@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Table registry for the driver-provisioned parquet fixtures
+  * (/root/testdata/sf*, schemas documented in FIXTURES.md).
+  *
+  * Scale notes (100 TB design): every loader returns a plain parquet scan so
+  * Catalyst keeps predicate pushdown / column pruning / partition pruning;
+  * nothing is cached or collected here. The only transformation applied at
+  * load time is the `events.ts` nanosecond fix-up, which is a per-row
+  * projection (no shuffle).
+  */
+object Tables {
+
+  /** Star-schema + aux tables, as provisioned by the driver. */
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def path(dir: String, name: String): String = s"$dir/$name.parquet"
+
+  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects. Public escape hatch: read nanos as raw
+    * Long (spark.sql.legacy.parquet.nanosAsLong) and truncate to
+    * microseconds ourselves — the same truncation the DuckDB oracle
+    * applies (FIXTURES.md §1). Integer `div`, not double division: an
+    * epoch-nanos value (~1.7e18) does not fit a double's 53-bit mantissa.
+    */
+  private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(path(dir, "events"))
+      .withColumn("ts",
+        timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+  }
+
+  /** Load one table by name. `events` gets the ns→µs fix-up; everything else
+    * is a bare vectorized parquet scan (filters/pruning push down). */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    name match {
+      case "events" => loadEvents(spark, dir)
+      case other    => spark.read.parquet(path(dir, other))
+    }
+
+  /** Register every table as a temp view so spark.sql(...) works too. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}
+
+/** Cross-engine determinism policy (SURVEY.md §5.B, FIXTURES.md §2).
+  *
+  * Everything that gets hash-compared against the DuckDB oracle must be
+  * bit-identical. The rules:
+  *
+  *   - Aggregated doubles are first cast to DECIMAL(18,4); decimal sums are
+  *     EXACT, hence independent of partitioning / evaluation order — the
+  *     property that makes the result stable on 1 partition or 10,000.
+  *   - A final exact decimal converts to DOUBLE once (round-to-nearest is
+  *     deterministic and identical in both engines). No ROUND() on doubles
+  *     anywhere: Spark rounds via BigDecimal HALF_UP while DuckDB uses a
+  *     multiply-divide scheme, and the two disagree on edge values.
+  *   - Averages/ratios = exact-decimal-derived double ÷ exact count: a single
+  *     IEEE-754 division, identical in both engines.
+  *   - Counts stay BIGINT (DuckDB SUM(BIGINT) returns HUGEINT — oracle SQL
+  *     must cast back).
+  *   - Every query ends in a total ORDER BY over its output columns.
+  */
+object Policy {
+  import org.apache.spark.sql.Column
+
+  val Dec4: DecimalType = DecimalType(18, 4)
+  /** Quantization for float32 embedding elements before exact arithmetic. */
+  val Dec6: DecimalType = DecimalType(18, 6)
+
+  def dec(c: Column): Column = c.cast(Dec4)
+  def dbl(c: Column): Column = c.cast(DoubleType)
+
+  /** Exact decimal sum of a double column, emitted as double. */
+  def sumDbl(c: Column): Column = dbl(sum(dec(c)))
+
+  /** Exact decimal-sum average emitted as double (sum→double, ÷ count). */
+  def avgDbl(c: Column): Column = dbl(sum(dec(c))) / count(c)
+
+  /** TPC-H style revenue term: extprice * (1 - discount), exact decimal. */
+  def revenue(price: Column, discount: Column): Column =
+    dec(price) * (lit(1) - dec(discount))
+}

@@ -1,0 +1,460 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.Policy._
+
+/** Q01–Q19: the relational core (scans, filters, aggregations, joins,
+  * subqueries, windows, rollups, set ops, theta join) over the TPC-H-ish
+  * star schema. Declared in SURVEY.md §2.C; every query here hash-matches
+  * its DuckDB oracle under the Policy determinism rules.
+  *
+  * Scale design notes:
+  *  - Dimension tables (region/nation/supplier/part) get explicit
+  *    broadcast() hints — they stay catalog-sized at any fact-table scale.
+  *  - customer/orders/lineitem joins are left to Catalyst + AQE: at 100 TB
+  *    these become shuffled hash / sort-merge joins on the join key, which
+  *    is the correct distributed plan (co-partitioned by key, skew handled
+  *    by AQE skew-join splitting).
+  *  - Aggregates are declarative groupBy/agg → Catalyst plans
+  *    partial (map-side) + final aggregation automatically; no collect().
+  */
+object CoreQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Exact-decimal SUM(x) AS DOUBLE — DuckDB half of Policy.sumDbl. */
+  private def oSum(x: String): String =
+    s"CAST(SUM(CAST($x AS DECIMAL(18,4))) AS DOUBLE)"
+  /** DuckDB revenue term, mirrors Policy.revenue. */
+  private val oRev =
+    "CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))"
+
+  // ---------------------------------------------------------------- Q01
+  private val q01 = QueryDef(
+    "q01_pricing_summary",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_shipdate" <= lit("1998-09-02").cast(TimestampNTZType))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sumDbl($"l_quantity").as("sum_qty"),
+          sumDbl($"l_extendedprice").as("sum_base_price"),
+          dbl(sum(revenue($"l_extendedprice", $"l_discount"))).as("sum_disc_price"),
+          avgDbl($"l_quantity").as("avg_qty"),
+          avgDbl($"l_extendedprice").as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+    Some(s"""SELECT l_returnflag, l_linestatus,
+      ${oSum("l_quantity")} AS sum_qty,
+      ${oSum("l_extendedprice")} AS sum_base_price,
+      CAST(SUM($oRev) AS DOUBLE) AS sum_disc_price,
+      ${oSum("l_quantity")} / COUNT(l_quantity) AS avg_qty,
+      ${oSum("l_extendedprice")} / COUNT(l_extendedprice) AS avg_price,
+      COUNT(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  // ---------------------------------------------------------------- Q02
+  private val q02 = QueryDef(
+    "q02_top_customers",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+        .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_custkey", $"c_name")
+        .agg(dbl(sum(revenue($"l_extendedprice", $"l_discount"))).as("revenue"))
+        .orderBy($"revenue".desc, $"c_custkey")
+        .limit(10)
+    },
+    Some(s"""SELECT c_custkey, c_name, CAST(SUM($oRev) AS DOUBLE) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2 ORDER BY revenue DESC, c_custkey LIMIT 10"""))
+
+  // ---------------------------------------------------------------- Q03
+  private val q03 = QueryDef(
+    "q03_region_revenue",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+        .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+        .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(t(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name", $"n_name")
+        .agg(dbl(sum(revenue($"l_extendedprice", $"l_discount"))).as("revenue"))
+        .orderBy($"r_name", $"n_name")
+    },
+    Some(s"""SELECT r_name, n_name, CAST(SUM($oRev) AS DOUBLE) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  // ---------------------------------------------------------------- Q04
+  private val q04 = QueryDef(
+    "q04_priority_exists",
+    (s, dir) => {
+      import s.implicits._
+      val bigLines = t(s, dir, "lineitem")
+        .filter($"l_quantity" > 45).select($"l_orderkey")
+      t(s, dir, "orders")
+        .join(bigLines, $"o_orderkey" === $"l_orderkey", "left_semi")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy($"o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders
+      WHERE EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+      GROUP BY 1 ORDER BY 1"""))
+
+  // ---------------------------------------------------------------- Q05
+  private val q05 = QueryDef(
+    "q05_customers_no_orders",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").select($"o_custkey"),
+          $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey"""))
+
+  // ---------------------------------------------------------------- Q06
+  private val q06 = QueryDef(
+    "q06_forecast_revenue",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_shipdate" >= lit("1995-01-01").cast(TimestampNTZType) &&
+          $"l_shipdate" < lit("1996-01-01").cast(TimestampNTZType) &&
+          $"l_discount".between(0.05, 0.07) && $"l_quantity" < 24)
+        .agg(dbl(sum(dec($"l_extendedprice") * dec($"l_discount"))).as("revenue"))
+    },
+    Some("""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                            CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-01-01'
+        AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"""))
+
+  // ---------------------------------------------------------------- Q07
+  private val q07 = QueryDef(
+    "q07_priority_by_month",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .filter($"o_orderdate" >= lit("1995-01-01").cast(TimestampNTZType) &&
+          $"o_orderdate" < lit("1996-01-01").cast(TimestampNTZType))
+        .groupBy(trunc($"o_orderdate".cast(DateType), "mm").as("month"),
+          $"o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy($"month", $"o_orderpriority")
+    },
+    Some("""SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+      o_orderpriority, COUNT(*) AS n_orders FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate <  TIMESTAMP '1996-01-01'
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  // ---------------------------------------------------------------- Q08
+  private val q08 = QueryDef(
+    "q08_segment_share",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment")
+        .agg(
+          dbl(sum(when($"o_orderstatus" === "F", dec($"o_totalprice")))).as("f_total"),
+          sumDbl($"o_totalprice").as("total"))
+        .withColumn("f_ratio", $"f_total" / $"total")
+        .orderBy($"c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment,
+      CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                    THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS f_total,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+      CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                    THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE)
+        / CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS f_ratio
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1 ORDER BY 1"""))
+
+  // ---------------------------------------------------------------- Q09
+  private val q09 = QueryDef(
+    "q09_brand_margin",
+    (s, dir) => {
+      import s.implicits._
+      val margin = revenue($"l_extendedprice", $"l_discount") -
+        dec($"p_retailprice") * dec($"l_quantity")
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")), $"l_partkey" === $"p_partkey")
+        .groupBy($"p_brand")
+        .agg((dbl(sum(margin)) / count(lit(1))).as("avg_margin"),
+          count(lit(1)).as("n_lines"))
+        .orderBy($"p_brand")
+    },
+    Some(s"""SELECT p_brand,
+      CAST(SUM($oRev - CAST(p_retailprice AS DECIMAL(18,4))
+                      * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        / COUNT(*) AS avg_margin,
+      COUNT(*) AS n_lines
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1 ORDER BY 1"""))
+
+  // ---------------------------------------------------------------- Q10
+  private val q10 = QueryDef(
+    "q10_returned_items",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem").filter($"l_returnflag" === "R")
+        .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+        .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_custkey", $"c_name")
+        .agg(dbl(sum(revenue($"l_extendedprice", $"l_discount"))).as("revenue"))
+        .orderBy($"revenue".desc, $"c_custkey")
+        .limit(20)
+    },
+    Some(s"""SELECT c_custkey, c_name, CAST(SUM($oRev) AS DOUBLE) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE l_returnflag = 'R'
+      GROUP BY 1, 2 ORDER BY revenue DESC, c_custkey LIMIT 20"""))
+
+  // ---------------------------------------------------------------- Q11
+  private val q11 = QueryDef(
+    "q11_supplier_rank",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")), $"s_nationkey" === $"n_nationkey")
+        .select($"s_name", $"n_name", $"s_acctbal",
+          rank().over(Window.orderBy($"s_acctbal".desc)).as("bal_rank"))
+        .orderBy($"bal_rank", $"s_name")
+    },
+    Some("""SELECT s_name, n_name, s_acctbal,
+      CAST(RANK() OVER (ORDER BY s_acctbal DESC) AS BIGINT) AS bal_rank
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      ORDER BY bal_rank, s_name"""))
+
+  // ---------------------------------------------------------------- Q12
+  private val q12 = QueryDef(
+    "q12_order_sequence",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey")
+      t(s, dir, "orders")
+        .select($"o_custkey", $"o_orderkey",
+          row_number().over(w).as("order_seq"),
+          ($"o_totalprice" - lag($"o_totalprice", 1).over(w)).as("price_delta"))
+        .orderBy($"o_custkey", $"order_seq")
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+      CAST(ROW_NUMBER() OVER w AS BIGINT) AS order_seq,
+      o_totalprice - LAG(o_totalprice, 1) OVER w AS price_delta
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      ORDER BY o_custkey, order_seq"""))
+
+  // ---------------------------------------------------------------- Q13
+  private val q13 = QueryDef(
+    "q13_running_revenue",
+    (s, dir) => {
+      import s.implicits._
+      val daily = t(s, dir, "lineitem")
+        .groupBy($"l_shipdate".cast(DateType).as("ship_date"))
+        .agg(sum(revenue($"l_extendedprice", $"l_discount")).as("rev"))
+      // Running total over the EXACT decimal, only then cast to double:
+      // decimal addition is associative, so the result is partition-stable.
+      daily.select($"ship_date", dbl($"rev").as("daily_revenue"),
+          dbl(sum($"rev").over(Window.orderBy($"ship_date")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+            .as("running_revenue"))
+        .orderBy($"ship_date")
+    },
+    Some(s"""SELECT ship_date, CAST(rev AS DOUBLE) AS daily_revenue,
+      CAST(SUM(rev) OVER (ORDER BY ship_date
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        AS running_revenue
+      FROM (SELECT CAST(l_shipdate AS DATE) AS ship_date, SUM($oRev) AS rev
+            FROM lineitem GROUP BY 1) t
+      ORDER BY ship_date"""))
+
+  // ---------------------------------------------------------------- Q14
+  private val q14 = QueryDef(
+    "q14_moving_avg",
+    (s, dir) => {
+      import s.implicits._
+      val daily = t(s, dir, "lineitem")
+        .groupBy($"l_shipdate".cast(DateType).as("ship_date"))
+        .agg(sum(revenue($"l_extendedprice", $"l_discount")).as("rev"))
+      val w7 = Window.orderBy($"ship_date").rowsBetween(-6, Window.currentRow)
+      daily.select($"ship_date",
+          (dbl(sum($"rev").over(w7)) / count(lit(1)).over(w7)).as("avg_7d"))
+        .orderBy($"ship_date")
+    },
+    Some(s"""SELECT ship_date,
+      CAST(SUM(rev) OVER w AS DOUBLE) / COUNT(*) OVER w AS avg_7d
+      FROM (SELECT CAST(l_shipdate AS DATE) AS ship_date, SUM($oRev) AS rev
+            FROM lineitem GROUP BY 1) t
+      WINDOW w AS (ORDER BY ship_date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+      ORDER BY ship_date"""))
+
+  // ---------------------------------------------------------------- Q15
+  private val q15 = QueryDef(
+    "q15_distinct_parts",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(countDistinct($"l_partkey").as("n_parts"),
+          count(lit(1)).as("n_lines"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+      COUNT(*) AS n_lines FROM lineitem GROUP BY 1 ORDER BY 1"""))
+
+  /** HLL sketch variant — approximate output, so no hash oracle (driver
+    * records a rows-only check). Kept as its own entry to exercise
+    * approx_count_distinct at scale, where the exact variant shuffles
+    * (partial distinct) but HLL stays a single pass. */
+  private val q15b = QueryDef(
+    "q15_distinct_parts_approx",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(approx_count_distinct($"l_partkey", 0.02).as("approx_parts"))
+        .orderBy($"l_returnflag")
+    },
+    None)
+
+  // ---------------------------------------------------------------- Q16
+  private val q16 = QueryDef(
+    "q16_rollup_revenue",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+        .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+        .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(t(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
+        .rollup($"r_name", $"n_name")
+        .agg(grouping($"r_name").cast(LongType).as("g_region"),
+          grouping($"n_name").cast(LongType).as("g_nation"),
+          dbl(sum(revenue($"l_extendedprice", $"l_discount"))).as("revenue"))
+        .select(coalesce($"r_name", lit("(all)")).as("region_name"),
+          coalesce($"n_name", lit("(all)")).as("nation_name"),
+          $"g_region", $"g_nation", $"revenue")
+        .orderBy($"g_region", $"g_nation", $"region_name", $"nation_name")
+    },
+    Some(s"""SELECT COALESCE(r_name, '(all)') AS region_name,
+      COALESCE(n_name, '(all)') AS nation_name,
+      CAST(GROUPING(r_name) AS BIGINT) AS g_region,
+      CAST(GROUPING(n_name) AS BIGINT) AS g_nation,
+      CAST(SUM($oRev) AS DOUBLE) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP(r_name, n_name)
+      ORDER BY g_region, g_nation, region_name, nation_name"""))
+
+  // ---------------------------------------------------------------- Q17
+  private val q17 = QueryDef(
+    "q17_cube_counts",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .cube($"o_orderpriority", $"o_orderstatus")
+        .agg(grouping($"o_orderpriority").cast(LongType).as("g_priority"),
+          grouping($"o_orderstatus").cast(LongType).as("g_status"),
+          count(lit(1)).as("n_orders"))
+        .select(coalesce($"o_orderpriority", lit("(all)")).as("priority"),
+          coalesce($"o_orderstatus", lit("(all)")).as("status"),
+          $"g_priority", $"g_status", $"n_orders")
+        .orderBy($"g_priority", $"g_status", $"priority", $"status")
+    },
+    Some("""SELECT COALESCE(o_orderpriority, '(all)') AS priority,
+      COALESCE(o_orderstatus, '(all)') AS status,
+      CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+      CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+      COUNT(*) AS n_orders
+      FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+      ORDER BY g_priority, g_status, priority, status"""))
+
+  // ---------------------------------------------------------------- Q18
+  private def custkeysWhere(s: SparkSession, dir: String, cond: Column): DataFrame =
+    t(s, dir, "orders").filter(cond).select(col("o_custkey"))
+
+  private val q18a = QueryDef(
+    "q18_value_intersect",
+    (s, dir) => {
+      import s.implicits._
+      custkeysWhere(s, dir, $"o_totalprice" > 300000)
+        .intersect(custkeysWhere(s, dir, $"o_totalprice" < 150000))
+        .orderBy($"o_custkey")
+    },
+    Some("""SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_totalprice < 150000
+      ORDER BY o_custkey"""))
+
+  private val q18b = QueryDef(
+    "q18_value_except",
+    (s, dir) => {
+      import s.implicits._
+      custkeysWhere(s, dir, $"o_totalprice" > 300000)
+        .except(custkeysWhere(s, dir, $"o_totalprice" < 150000))
+        .orderBy($"o_custkey")
+    },
+    Some("""SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_totalprice < 150000
+      ORDER BY o_custkey"""))
+
+  // ---------------------------------------------------------------- Q19
+  private val q19 = QueryDef(
+    "q19_order_pairs_30d",
+    (s, dir) => {
+      import s.implicits._
+      val o = t(s, dir, "orders").select($"o_custkey", $"o_orderkey", $"o_orderdate")
+      val o1 = o.as("o1")
+      val o2 = o.as("o2")
+      // Equi-join on o_custkey carries the shuffle (scalable); the date
+      // range is a post-join predicate evaluated inside the hash join.
+      o1.join(o2,
+          col("o1.o_custkey") === col("o2.o_custkey") &&
+            col("o2.o_orderdate") > col("o1.o_orderdate") &&
+            col("o2.o_orderdate") <= col("o1.o_orderdate") + expr("INTERVAL 30 DAYS"))
+        .groupBy(col("o1.o_custkey").as("o_custkey"))
+        .agg(count(lit(1)).as("pair_cnt"))
+        .orderBy($"o_custkey")
+    },
+    Some("""SELECT o1.o_custkey AS o_custkey, COUNT(*) AS pair_cnt
+      FROM orders o1 JOIN orders o2
+        ON o1.o_custkey = o2.o_custkey
+       AND o2.o_orderdate > o1.o_orderdate
+       AND o2.o_orderdate <= o1.o_orderdate + INTERVAL 30 DAY
+      GROUP BY 1 ORDER BY 1"""))
+
+  val all: Seq[QueryDef] = Seq(
+    q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
+    q11, q12, q13, q14, q15, q15b, q16, q17, q18a, q18b, q19)
+}

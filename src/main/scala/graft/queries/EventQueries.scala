@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.Policy._
+
+/** Q20–Q21: the event-stream shapes, run as batch over `events`
+  * (`graft.streaming` replays the same logic through Structured Streaming;
+  * S1/S3 assert stream ≡ batch).
+  *
+  * `events.ts` arrives as parquet TIMESTAMP(NANOS); Tables.loadEvents
+  * truncates to µs, and each oracle starts from the same truncation
+  * (QueryDef.EventsUs) so both engines see identical timestamps.
+  */
+object EventQueries {
+  import QueryDef.EventsUs
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+
+  // ---------------------------------------------------------------- Q20
+  // JSON extraction + hourly tumbling window, batch flavor.
+  // get_json_object is Spark's codegen'd JSON path; the oracle uses a
+  // regexp on the same {"k": <int>} shape (DuckDB's json extension may
+  // not be loadable offline) — semantically equal on this fixture.
+  private val q20 = QueryDef(
+    "q20_events_hourly",
+    (s, dir) => {
+      import s.implicits._
+      ev(s, dir)
+        .withColumn("k", get_json_object($"props", "$.k").cast(LongType))
+        .groupBy(date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          $"event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sumDbl($"value").as("sum_value"),
+          sum($"k").as("sum_k"))
+        .orderBy($"hour", $"event_type")
+    },
+    Some(s"""$EventsUs
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        event_type, COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        CAST(SUM(CAST(regexp_extract(props, '"k": (-?\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
+      FROM ev GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  // ---------------------------------------------------------------- Q21
+  // Batch sessionization: a new session starts when the gap to the previous
+  // event of the same user exceeds 30 minutes. lag → flag → running sum
+  // (the classic gaps-and-islands rewrite; the streaming twin uses
+  // session_window, asserted equivalent in S3).
+  private val q21 = QueryDef(
+    "q21_sessionization",
+    (s, dir) => {
+      import s.implicits._
+      val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val flagged = ev(s, dir)
+        .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+        .withColumn("new_session",
+          when($"prev_ts".isNull ||
+            unix_micros($"ts".cast(TimestampType)) -
+              unix_micros($"prev_ts".cast(TimestampType)) > 30L * 60 * 1000000, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum($"new_session").over(byUser))
+      val sessions = flagged
+        .groupBy($"user_id", $"session_id")
+        .agg(count(lit(1)).as("n_events"),
+          (unix_micros(max($"ts").cast(TimestampType)) -
+            unix_micros(min($"ts").cast(TimestampType))).as("dur_us"))
+      sessions.groupBy($"user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          (dbl(sum($"n_events")) / count(lit(1))).as("avg_events"),
+          (dbl(sum($"dur_us")) / count(lit(1)) / 1000000.0).as("avg_session_sec"))
+        .orderBy($"user_id")
+    },
+    Some(s"""$EventsUs,
+      flagged AS (
+        SELECT user_id, ts, event_id,
+          CASE WHEN lag(ts, 1) OVER w IS NULL
+                 OR epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) > 30*60*1000000
+               THEN 1 ELSE 0 END AS new_session
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      with_sid AS (
+        SELECT user_id, ts,
+          SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged),
+      sessions AS (
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+          epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us
+        FROM with_sid GROUP BY 1, 2)
+      SELECT user_id, COUNT(*) AS n_sessions,
+        CAST(CAST(SUM(n_events) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_events,
+        CAST(CAST(SUM(dur_us) AS BIGINT) AS DOUBLE) / COUNT(*) / 1000000.0
+          AS avg_session_sec
+      FROM sessions GROUP BY 1 ORDER BY 1"""))
+
+  val all: Seq[QueryDef] = Seq(q20, q21)
+}

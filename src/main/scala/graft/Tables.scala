@@ -24,13 +24,16 @@ object Tables {
 
   /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
     * vectorized reader rejects. Public escape hatch: read nanos as raw
-    * Long (spark.sql.legacy.parquet.nanosAsLong) and truncate to
-    * microseconds ourselves — the same truncation the DuckDB oracle
-    * applies (FIXTURES.md §1). Integer `div`, not double division: an
-    * epoch-nanos value (~1.7e18) does not fit a double's 53-bit mantissa.
+    * Long (spark.sql.legacy.parquet.nanosAsLong=true, set at session build
+    * in graft.Sessions — NOT here; a loader must not mutate session conf)
+    * and truncate to microseconds ourselves — the same truncation the
+    * DuckDB oracle applies (FIXTURES.md §1). Integer `div`, not double
+    * division: an epoch-nanos value (~1.7e18) does not fit a double's
+    * 53-bit mantissa. Truncation (`div`) equals floor division for the
+    * post-1970 fixture; pre-epoch timestamps are out of contract
+    * (documented divergence vs DuckDB `//`).
     */
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(path(dir, "events"))
       .withColumn("ts",
         timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
@@ -79,6 +82,17 @@ object Policy {
 
   /** Exact decimal sum of a double column, emitted as double. */
   def sumDbl(c: Column): Column = dbl(sum(dec(c)))
+
+  /** Sum of a PRODUCT of decimals (scale 8), rescaled to Dec4 BEFORE the
+    * double cast. A scale-8 sum beyond ~9e15 no longer fits the 53-bit
+    * mantissa as a scaled integer; DuckDB's int128→double path then
+    * rounds twice (int→double, ÷10^8) while Spark's BigDecimal rounds
+    * once — a 1-ulp drift that broke Q13/Q16 hashes in round 2. At scale
+    * 4 the scaled integer stays exact up to ~9e11, 100× above the
+    * fixture's largest totals. The rescale itself is decimal-exact
+    * HALF_UP (away from zero) in both engines.
+    * Oracle twin: CAST(CAST(SUM(x) AS DECIMAL(18,4)) AS DOUBLE). */
+  def sumMoney(c: Column): Column = dbl(sum(c).cast(Dec4))
 
   /** Exact decimal-sum average emitted as double (sum→double, ÷ count). */
   def avgDbl(c: Column): Column = dbl(sum(dec(c))) / count(c)

@@ -1,0 +1,354 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Q22 + the LLM-training-data text operators over `documents`
+  * (doc_id, text, lang, source, n_chars — FIXTURES.md §1).
+  *
+  * Cross-engine hash portability: Spark's `hash()` is Murmur3 and DuckDB's
+  * `hash()` is a different algorithm, so every hash the oracle must
+  * reproduce uses md5 hex strings (identical lowercase hex in both
+  * engines, compared with binary collation). MinHash over md5-strings is
+  * the same algorithm as MinHash over ints — min of a uniformly-ordered
+  * hash family — just with lexicographic order on the hex.
+  *
+  * Determinism policy (graft.Policy): every aggregate here is over
+  * integers or strings (counts, mins of hex) — order-independent by
+  * construction; ratios are a single IEEE double division at the end.
+  */
+object DocQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  private val stopwords = Seq("a", "the", "of", "and", "to", "in")
+  private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+
+  // ---------------------------------------------------------------- Q22
+  // Token frequency: top-25 tokens per language. explode+groupBy is the
+  // canonical distributed shape; the per-lang top-k window runs over the
+  // AGGREGATED counts (cardinality = |vocab|×|langs|, bounded), not the
+  // raw tokens — so partition sizes stay small at any corpus size.
+  private val q22 = QueryDef(
+    "q22_token_frequency",
+    (s, dir) => {
+      import s.implicits._
+      val counts = docs(s, dir)
+        .select($"lang", explode(split(lower($"text"), " ")).as("token"))
+        .filter(length($"token") > 0 && !$"token".isin(stopwords: _*))
+        .groupBy($"lang", $"token")
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy($"lang").orderBy($"n".desc, $"token")
+      counts.select($"lang", $"token", $"n", row_number().over(w).as("rk"))
+        .filter($"rk" <= 25)
+        .orderBy($"lang", $"rk")
+    },
+    Some(s"""WITH toks AS (
+        SELECT lang, unnest(string_split(lower(text), ' ')) AS token
+        FROM documents),
+      counts AS (
+        SELECT lang, token, COUNT(*) AS n FROM toks
+        WHERE length(token) > 0 AND token NOT IN ($stopList)
+        GROUP BY 1, 2)
+      SELECT lang, token, n, rk FROM (
+        SELECT lang, token, n,
+          CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, token)
+               AS BIGINT) AS rk
+        FROM counts) t
+      WHERE rk <= 25 ORDER BY lang, rk"""))
+
+  // ---------------------------------------------------------------- Q23
+  // Near-duplicate detection: MinHash-LSH, banded — NOT all-pairs.
+  //   1. 5-gram word shingles per doc (HOF transform, no explode until
+  //      the distinct).
+  //   2. 16 MinHash values per doc: h_i = min over shingles of
+  //      md5("i:" ++ shingle) — 16 independent uniform hash families.
+  //   3. 4 bands × 4 rows; band value = md5(h_{4b}‖…‖h_{4b+3}). Two docs
+  //      collide in a band iff all 4 minhashes agree (P = s^4 per band,
+  //      s = Jaccard) — the classic LSH S-curve, steep around s≈0.7.
+  //   4. Candidate pairs = equi-join on (band_idx, band_val). Band values
+  //      are high-entropy, so bucket sizes ≈ true duplicate-cluster sizes:
+  //      the join stays linear at 100 TB (vs. the quadratic crossJoin+
+  //      Jaccard a naive implementation would do — disqualifying at scale).
+  //   5. Exact 5-gram Jaccard verification ONLY on candidates; emit pairs
+  //      with J ≥ 0.6.
+  private val q23 = QueryDef(
+    "q23_near_dup_minhash",
+    (s, dir) => {
+      import s.implicits._
+      val sh = docs(s, dir)
+        .select($"doc_id", split(lower($"text"), " ").as("toks"))
+        .filter(size($"toks") >= 5)
+        .select($"doc_id", explode(expr(
+          "transform(sequence(1, size(toks) - 4), " +
+            "i -> concat_ws(' ', slice(toks, i, 5)))")).as("shingle"))
+        .distinct()
+      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val hs = (0 until 16).map(i =>
+        min(md5(concat(lit(s"$i:"), $"shingle").cast(BinaryType)))
+          .as(s"h$i"))
+      val sig = sh.groupBy($"doc_id").agg(hs.head, hs.tail: _*)
+      val bands = sig.select($"doc_id", explode(array(
+        (0 until 4).map(b => struct(
+          lit(b).as("band_idx"),
+          md5(concat_ws("|", (0 until 4).map(r => col(s"h${b * 4 + r}")): _*)
+            .cast(BinaryType)).as("band_val"))): _*)).as("bd"))
+        .select($"doc_id", $"bd.band_idx".as("band_idx"),
+          $"bd.band_val".as("band_val"))
+      val b1 = bands.toDF("doc1", "band_idx", "band_val")
+      val b2 = bands.toDF("doc2", "band_idx", "band_val")
+      val cand = b1.join(b2, Seq("band_idx", "band_val"))
+        .filter($"doc1" < $"doc2")
+        .select($"doc1", $"doc2").distinct()
+      val s1 = sh.toDF("doc1", "shingle")
+      val s2 = sh.toDF("doc2", "shingle")
+      val inter = cand
+        .join(s1, "doc1")
+        .join(s2, Seq("doc2", "shingle"))
+        .groupBy($"doc1", $"doc2")
+        .agg(count(lit(1)).as("n_shared"))
+      val jac = $"n_shared".cast(DoubleType) / ($"n1" + $"n2" - $"n_shared")
+      inter
+        .join(sizes.toDF("doc1", "n1"), "doc1")
+        .join(sizes.toDF("doc2", "n2"), "doc2")
+        .select($"doc1", $"doc2", $"n_shared", $"n1", $"n2",
+          jac.as("jaccard"))
+        .filter(jac >= 0.6)
+        .orderBy($"doc1", $"doc2")
+    },
+    Some {
+      val hs = (0 until 16)
+        .map(i => s"min(md5('$i:' || shingle)) AS h$i").mkString(", ")
+      val bandSelects = (0 until 4).map { b =>
+        val cat = (0 until 4).map(r => s"h${b * 4 + r}").mkString(" || '|' || ")
+        s"SELECT doc_id, $b AS band_idx, md5($cat) AS band_val FROM sig"
+      }.mkString("\n        UNION ALL ")
+      s"""WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id,
+          unnest(list_transform(generate_series(1, len(t) - 4),
+            i -> array_to_string(t[i:i+4], ' '))) AS shingle
+        FROM toks WHERE len(t) >= 5),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      sig AS (SELECT doc_id, $hs FROM sh GROUP BY 1),
+      bands AS (
+        $bandSelects),
+      cand AS (
+        SELECT DISTINCT b1.doc_id AS doc1, b2.doc_id AS doc2
+        FROM bands b1 JOIN bands b2 USING (band_idx, band_val)
+        WHERE b1.doc_id < b2.doc_id),
+      inter AS (
+        SELECT doc1, doc2, COUNT(*) AS n_shared
+        FROM cand
+        JOIN sh x1 ON x1.doc_id = doc1
+        JOIN sh x2 ON x2.doc_id = doc2 AND x2.shingle = x1.shingle
+        GROUP BY 1, 2)
+      SELECT doc1, doc2, n_shared, z1.n AS n1, z2.n AS n2,
+        CAST(n_shared AS DOUBLE) / (z1.n + z2.n - n_shared) AS jaccard
+      FROM inter
+      JOIN sizes z1 ON z1.doc_id = doc1
+      JOIN sizes z2 ON z2.doc_id = doc2
+      WHERE CAST(n_shared AS DOUBLE) / (z1.n + z2.n - n_shared) >= 0.6
+      ORDER BY doc1, doc2"""
+    })
+
+  // ---------------------------------------------------------------- Q25
+  // Exact deduplication: hash-groupBy on md5(text). The distributed
+  // classic — one shuffle on the digest; countDistinct plans as a
+  // two-phase partial/final aggregate.
+  private val q25 = QueryDef(
+    "q25_exact_dedup",
+    (s, dir) => {
+      import s.implicits._
+      docs(s, dir)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(md5($"text".cast(BinaryType))).as("n_unique"))
+        .withColumn("n_exact_dups", $"n_docs" - $"n_unique")
+        .orderBy($"source")
+    },
+    Some("""SELECT source, COUNT(*) AS n_docs,
+      COUNT(DISTINCT md5(text)) AS n_unique,
+      COUNT(*) - COUNT(DISTINCT md5(text)) AS n_exact_dups
+      FROM documents GROUP BY 1 ORDER BY 1"""))
+
+  // ---------------------------------------------------------------- Q26
+  // Language-ID by n-gram (unigram) frequency voting: train a per-lang
+  // token-frequency model from the labeled corpus, then predict each
+  // doc's language as the lang whose corpus frequencies its tokens hit
+  // hardest. Scores are INTEGER sums (order-independent — no float
+  // accumulation), tie-broken by lang name. Output = confusion matrix.
+  // Scale shape: the model is |vocab|×|langs| (bounded, broadcastable);
+  // the per-doc argmax window partitions by doc_id (millions of tiny
+  // partitions — ideal).
+  private val q26 = QueryDef(
+    "q26_lang_id_confusion",
+    (s, dir) => {
+      import s.implicits._
+      val toks = docs(s, dir)
+        .select($"doc_id", $"lang", explode(split(lower($"text"), " ")).as("token"))
+        .filter(length($"token") > 0)
+      val model = toks.groupBy($"token".as("m_token"), $"lang".as("m_lang"))
+        .agg(count(lit(1)).as("cnt"))
+      val scored = toks
+        .join(broadcast(model), $"token" === $"m_token")
+        .groupBy($"doc_id", $"lang", $"m_lang")
+        .agg(sum($"cnt").as("score"))
+      val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"m_lang")
+      scored.select($"doc_id", $"lang", $"m_lang",
+          row_number().over(w).as("rk"))
+        .filter($"rk" === 1)
+        .groupBy($"lang", $"m_lang".as("predicted"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy($"lang", $"predicted")
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS token
+        FROM documents),
+      toks_f AS (SELECT * FROM toks WHERE length(token) > 0),
+      model AS (
+        SELECT token AS m_token, lang AS m_lang, COUNT(*) AS cnt
+        FROM toks_f GROUP BY 1, 2),
+      scored AS (
+        SELECT t.doc_id, t.lang, m.m_lang, SUM(m.cnt) AS score
+        FROM toks_f t JOIN model m ON t.token = m.m_token
+        GROUP BY 1, 2, 3),
+      ranked AS (
+        SELECT doc_id, lang, m_lang,
+          ROW_NUMBER() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, m_lang) AS rk
+        FROM scored)
+      SELECT lang, m_lang AS predicted, COUNT(*) AS n_docs
+      FROM ranked WHERE rk = 1
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  // ---------------------------------------------------------------- Q27
+  // Quality scoring: per-language corpus stats from integer per-doc
+  // features (token count, stopword count, char count). A doc is
+  // "quality_ok" when 10 ≤ tokens ≤ 1000 and stopwords < half the
+  // tokens — the comparison is on integers (stop*2 < total), so no
+  // float threshold ambiguity. Ratios become doubles only in the final
+  // projection (single division, deterministic).
+  private val q27 = QueryDef(
+    "q27_quality_scores",
+    (s, dir) => {
+      import s.implicits._
+      val perDoc = docs(s, dir).select($"lang",
+        expr("size(filter(split(lower(text), ' '), t -> length(t) > 0))")
+          .cast(LongType).as("n_tok"),
+        expr(s"size(filter(split(lower(text), ' '), t -> t IN ($stopList)))")
+          .cast(LongType).as("n_stop"),
+        length($"text").cast(LongType).as("n_char"))
+      perDoc
+        .withColumn("quality_ok",
+          ($"n_tok" >= 10 && $"n_tok" <= 1000 &&
+            $"n_stop" * 2 < $"n_tok").cast(IntegerType))
+        .groupBy($"lang", $"quality_ok")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tok").as("sum_tokens"),
+          sum($"n_stop").as("sum_stopwords"),
+          sum($"n_char").as("sum_chars"))
+        .withColumn("stop_ratio",
+          $"sum_stopwords".cast(DoubleType) / $"sum_tokens")
+        .withColumn("chars_per_token",
+          $"sum_chars".cast(DoubleType) / $"sum_tokens")
+        .orderBy($"lang", $"quality_ok")
+    },
+    Some(s"""WITH per_doc AS (
+        SELECT lang,
+          CAST(len(list_filter(string_split(lower(text), ' '),
+            t -> length(t) > 0)) AS BIGINT) AS n_tok,
+          CAST(len(list_filter(string_split(lower(text), ' '),
+            t -> t IN ($stopList))) AS BIGINT) AS n_stop,
+          CAST(length(text) AS BIGINT) AS n_char
+        FROM documents),
+      flagged AS (
+        SELECT lang,
+          CAST(n_tok >= 10 AND n_tok <= 1000 AND n_stop * 2 < n_tok
+               AS INT) AS quality_ok,
+          n_tok, n_stop, n_char
+        FROM per_doc)
+      SELECT lang, quality_ok, COUNT(*) AS n_docs,
+        CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+        CAST(SUM(n_stop) AS BIGINT) AS sum_stopwords,
+        CAST(SUM(n_char) AS BIGINT) AS sum_chars,
+        CAST(CAST(SUM(n_stop) AS BIGINT) AS DOUBLE)
+          / CAST(SUM(n_tok) AS BIGINT) AS stop_ratio,
+        CAST(CAST(SUM(n_char) AS BIGINT) AS DOUBLE)
+          / CAST(SUM(n_tok) AS BIGINT) AS chars_per_token
+      FROM flagged GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  // ---------------------------------------------------------------- Q28
+  // Token counting, two tokenizers side by side: whitespace split vs a
+  // BPE-ish regex ([a-z0-9]+ runs — the "word piece" lower bound). Both
+  // are per-row HOF/regex expressions (codegen'd, no UDF, no shuffle
+  // before the final small aggregate).
+  private val q28 = QueryDef(
+    "q28_token_counts",
+    (s, dir) => {
+      import s.implicits._
+      val perDoc = docs(s, dir).select($"source",
+        expr("size(filter(split(text, ' '), t -> length(t) > 0))")
+          .cast(LongType).as("ws_tok"),
+        expr("size(regexp_extract_all(text, '[a-z0-9]+', 0))")
+          .cast(LongType).as("re_tok"))
+      perDoc.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"ws_tok").as("ws_tokens"),
+          sum($"re_tok").as("re_tokens"))
+        .withColumn("tokens_per_doc",
+          $"ws_tokens".cast(DoubleType) / $"n_docs")
+        .orderBy($"source")
+    },
+    Some("""WITH per_doc AS (
+        SELECT source,
+          CAST(len(list_filter(string_split(text, ' '),
+            t -> length(t) > 0)) AS BIGINT) AS ws_tok,
+          CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS re_tok
+        FROM documents)
+      SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(ws_tok) AS BIGINT) AS ws_tokens,
+        CAST(SUM(re_tok) AS BIGINT) AS re_tokens,
+        CAST(CAST(SUM(ws_tok) AS BIGINT) AS DOUBLE) / COUNT(*) AS tokens_per_doc
+      FROM per_doc GROUP BY 1 ORDER BY 1"""))
+
+  // ---------------------------------------------------------------- Q29
+  // Document fingerprinting: rolling 16-char window, md5 each position,
+  // keep the lexicographic MIN as the doc fingerprint (winnowing-style).
+  // Pure per-row HOF — array never leaves the row, no explode, so the
+  // scan stays one codegen stage; only the tiny per-source aggregate
+  // shuffles. Docs sharing a fingerprint are near-dup candidates:
+  // n_docs − n_fingerprints estimates the dup mass per source.
+  private val q29 = QueryDef(
+    "q29_doc_fingerprints",
+    (s, dir) => {
+      import s.implicits._
+      val fp = expr(
+        "array_min(transform(sequence(1, greatest(length(text) - 15, 1)), " +
+          "i -> md5(CAST(substring(text, i, 16) AS BINARY))))")
+      docs(s, dir).select($"source", fp.as("fp"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct($"fp").as("n_fingerprints"))
+        .withColumn("n_dup_candidates", $"n_docs" - $"n_fingerprints")
+        .orderBy($"source")
+    },
+    Some("""WITH per_doc AS (
+        SELECT source,
+          list_min(list_transform(
+            generate_series(1, greatest(length(text) - 15, 1)),
+            i -> md5(substring(text, i, 16)))) AS fp
+        FROM documents)
+      SELECT source, COUNT(*) AS n_docs,
+        COUNT(DISTINCT fp) AS n_fingerprints,
+        COUNT(*) - COUNT(DISTINCT fp) AS n_dup_candidates
+      FROM per_doc GROUP BY 1 ORDER BY 1"""))
+
+  val all: Seq[QueryDef] = Seq(q22, q23, q25, q26, q27, q28, q29)
+}

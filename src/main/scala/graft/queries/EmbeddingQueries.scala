@@ -1,0 +1,179 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Q24 + ANN variants over `embeddings` (vec_id, embedding float[64],
+  * label — FIXTURES.md §1).
+  *
+  * Determinism: float32 elements are quantized to INTEGER millionths
+  * (round(x·10⁶) — double multiply + round are IEEE-identical in both
+  * engines, and both round halves away from zero) and dot products are
+  * EXACT int64 sums: order-independent and bit-identical cross-engine.
+  * (First attempt used DECIMAL(18,6) quantization; the engines' float→
+  * decimal rounding disagreed at 1 ulp — integers close that hole.) The
+  * only floating-point steps are the final sqrt+divide — single IEEE ops
+  * on identical inputs — so the cosine value itself can be hashed.
+  *
+  * Scale design (100 TB): the query-vector set is broadcast (it is the
+  * small side by definition); the similarity computation is a per-row
+  * HOF expression inside whole-stage codegen — no explode, no shuffle of
+  * the corpus. The final top-k per query runs over (|queries| × corpus)
+  * scored rows; with few queries the window is the simple form, and the
+  * LSH variant (q24b) shows the bucketed path where the corpus side is
+  * pre-pruned before scoring.
+  */
+object EmbeddingQueries {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  private val queryIds = Seq(0L, 1L, 2L)
+
+  /** Exact int64 dot product of two quantized float arrays (Spark side).
+    * |element·10⁶| ≤ ~10⁶ ⇒ |dot| ≤ 64·10¹² ≪ 2⁶³ — no overflow, and
+    * the bigint→double cast at the end is exact (< 2⁵³). */
+  private def dotQ(a: String, b: String): Column = expr(
+    s"aggregate(zip_with($a, $b, (x, y) -> " +
+      "CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) * " +
+      "CAST(round(CAST(y AS DOUBLE) * 1000000) AS BIGINT)), " +
+      "CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+
+  /** DuckDB: same dot product via zipped unnest + int64 SUM. */
+  private def oDot(aExpr: String, bExpr: String): String =
+    s"""(SELECT CAST(SUM(
+          CAST(round(CAST(ax AS DOUBLE) * 1000000) AS BIGINT) *
+          CAST(round(CAST(bx AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT)
+        FROM (SELECT unnest($aExpr) AS ax, unnest($bExpr) AS bx) zz)"""
+
+  // ---------------------------------------------------------------- Q24
+  // Brute-force cosine top-5 for query vectors 0,1,2 — the exact
+  // baseline every ANN variant is measured against.
+  private val q24 = QueryDef(
+    "q24_cosine_topk",
+    (s, dir) => {
+      import s.implicits._
+      val base = emb(s, dir)
+        .withColumn("n2", dotQ("embedding", "embedding"))
+      val qv = base.filter($"vec_id".isin(queryIds: _*))
+        .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"n2".as("q_n2"))
+      val scored = base.join(broadcast(qv), $"vec_id" =!= $"q_id")
+        .withColumn("dot", dotQ("q_emb", "embedding"))
+        .withColumn("cosine",
+          $"dot".cast(DoubleType) /
+            (sqrt($"q_n2".cast(DoubleType)) * sqrt($"n2".cast(DoubleType))))
+      val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id")
+      scored.select($"q_id", $"vec_id", $"label", $"cosine",
+          row_number().over(w).as("rk"))
+        .filter($"rk" <= 5)
+        .select($"q_id", $"rk", $"vec_id", $"label", $"cosine")
+        .orderBy($"q_id", $"rk")
+    },
+    Some(s"""WITH norms AS (
+        SELECT vec_id, embedding, label,
+          ${oDot("embedding", "embedding")} AS n2
+        FROM embeddings),
+      q AS (
+        SELECT vec_id AS q_id, embedding AS q_emb, n2 AS q_n2
+        FROM norms WHERE vec_id IN (${queryIds.mkString(", ")})),
+      scored AS (
+        SELECT q.q_id, e.vec_id, e.label,
+          CAST(${oDot("q.q_emb", "e.embedding")} AS DOUBLE)
+            / (sqrt(CAST(q.q_n2 AS DOUBLE)) * sqrt(CAST(e.n2 AS DOUBLE)))
+            AS cosine
+        FROM q JOIN norms e ON e.vec_id <> q.q_id),
+      ranked AS (
+        SELECT q_id, vec_id, label, cosine,
+          CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY cosine DESC, vec_id) AS BIGINT) AS rk
+        FROM scored)
+      SELECT q_id, rk, vec_id, label, cosine
+      FROM ranked WHERE rk <= 5 ORDER BY q_id, rk"""))
+
+  // --------------------------------------------------------------- Q24b
+  // LSH-bucketed ANN — the 100 TB scale path. 8 random hyperplanes
+  // (deterministic pseudo-random weights from Murmur3 of (plane, dim)),
+  // each vector gets an 8-bit sign signature; query vectors only score
+  // candidates in the same bucket (expected corpus/256 per bucket).
+  // Approximate output (bucket may miss true neighbors) → no DuckDB
+  // oracle; recall vs q24 is asserted in AnnRecallSpec.
+  private val q24b = QueryDef(
+    "q24b_ann_lsh",
+    (s, dir) => {
+      import s.implicits._
+      // plane p, dim d weight ∈ [-0.5, 0.5): (hash(p:d) mod 1000)/1000
+      // — hash() is fine here (Spark-side determinism only, no oracle).
+      val sigExpr = expr(
+        "concat_ws('', transform(sequence(0, 7), p -> " +
+          "CASE WHEN aggregate(zip_with(embedding, " +
+          "transform(sequence(0, 63), d -> " +
+          "(pmod(hash(concat(CAST(p AS STRING), ':', CAST(d AS STRING))), 1000) - 500) / 1000.0), " +
+          "(x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v) >= 0 " +
+          "THEN '1' ELSE '0' END))")
+      val base = emb(s, dir)
+        .withColumn("sig", sigExpr)
+        .withColumn("n2", dotQ("embedding", "embedding"))
+      val qv = base.filter($"vec_id".isin(queryIds: _*))
+        .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
+          $"n2".as("q_n2"), $"sig".as("q_sig"))
+      val scored = base.join(broadcast(qv),
+          $"sig" === $"q_sig" && $"vec_id" =!= $"q_id")
+        .withColumn("dot", dotQ("q_emb", "embedding"))
+        .withColumn("cosine",
+          $"dot".cast(DoubleType) /
+            (sqrt($"q_n2".cast(DoubleType)) * sqrt($"n2".cast(DoubleType))))
+      val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id")
+      scored.select($"q_id", $"vec_id", $"label", $"cosine",
+          row_number().over(w).as("rk"))
+        .filter($"rk" <= 5)
+        .select($"q_id", $"rk", $"vec_id", $"label", $"cosine")
+        .orderBy($"q_id", $"rk")
+    },
+    None)
+
+  // --------------------------------------------------------------- Q24c
+  // Embedding near-duplicate pairs: all pairs with cosine ≥ 0.95,
+  // LSH-pruned the same way (bucket-equality prefilter, then exact
+  // cosine) — the embedding-space analog of Q23. Oracle-checked variant
+  // uses brute force on doc pairs with vec_id bucketing by label, which
+  // keeps the join equi-keyed (label is a coarse IVF-style partition).
+  private val q24c = QueryDef(
+    "q24c_embedding_near_dup",
+    (s, dir) => {
+      import s.implicits._
+      val base = emb(s, dir)
+        .withColumn("n2", dotQ("embedding", "embedding"))
+      // IVF-style coarse partition: only compare within the same label
+      // cell (equi-join on label → shuffle stays keyed, no crossJoin).
+      val a = base.select($"vec_id".as("id1"), $"embedding".as("e1"),
+        $"n2".as("na"), $"label")
+      val b = base.select($"vec_id".as("id2"), $"embedding".as("e2"),
+        $"n2".as("nb"), $"label")
+      a.join(b, Seq("label")).filter($"id1" < $"id2")
+        .withColumn("dot", dotQ("e1", "e2"))
+        .withColumn("cosine",
+          $"dot".cast(DoubleType) /
+            (sqrt($"na".cast(DoubleType)) * sqrt($"nb".cast(DoubleType))))
+        .filter($"cosine" >= 0.95)
+        .select($"label", $"id1", $"id2", $"cosine")
+        .orderBy($"label", $"id1", $"id2")
+    },
+    Some(s"""WITH norms AS (
+        SELECT vec_id, embedding, label,
+          ${oDot("embedding", "embedding")} AS n2
+        FROM embeddings)
+      SELECT a.label AS label, a.vec_id AS id1, b.vec_id AS id2,
+        CAST(${oDot("a.embedding", "b.embedding")} AS DOUBLE)
+          / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cosine
+      FROM norms a JOIN norms b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE CAST(${oDot("a.embedding", "b.embedding")} AS DOUBLE)
+          / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) >= 0.95
+      ORDER BY a.label, id1, id2"""))
+
+  val all: Seq[QueryDef] = Seq(q24, q24b, q24c)
+}

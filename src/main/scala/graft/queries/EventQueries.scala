@@ -31,8 +31,12 @@ object EventQueries {
     "q20_events_hourly",
     (s, dir) => {
       import s.implicits._
+      // try_cast, not cast: ANSI mode (Spark 4 default) turns a malformed
+      // numeric string into a runtime error; try_cast yields NULL, which
+      // matches the oracle's TRY_CAST.
       ev(s, dir)
-        .withColumn("k", get_json_object($"props", "$.k").cast(LongType))
+        .withColumn("k",
+          expr("try_cast(get_json_object(props, '$.k') AS BIGINT)"))
         .groupBy(date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:mm:ss").as("hour"),
           $"event_type")
         .agg(count(lit(1)).as("n_events"),
@@ -44,7 +48,7 @@ object EventQueries {
       SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         event_type, COUNT(*) AS n_events,
         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
-        CAST(SUM(CAST(regexp_extract(props, '"k": (-?\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
+        CAST(SUM(TRY_CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
       FROM ev GROUP BY 1, 2 ORDER BY 1, 2"""))
 
   // ---------------------------------------------------------------- Q21

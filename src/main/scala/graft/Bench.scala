@@ -7,10 +7,23 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local("graft-bench")
+    // Warm up the JVM/codegen paths once (scan + join + agg + window) so
+    // the first timed query doesn't absorb JIT cost; untimed by design.
+    try {
+      import org.apache.spark.sql.functions._
+      val li = Tables.load(spark, sfDir, "lineitem")
+        .select("l_orderkey", "l_quantity").limit(50000)
+      li.join(li.limit(1000), "l_orderkey").groupBy("l_orderkey")
+        .agg(sum("l_quantity")).write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
     val runs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
+      // noop sink, NOT count(): a count() action lets Catalyst prune the
+      // aggregate/projection work entirely (it only needs row counts), so
+      // it benchmarks a different, cheaper plan. noop materializes every
+      // output column through the full plan.
       val ok =
-        try { fn(spark, sfDir).count(); true }
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }

@@ -25,6 +25,7 @@ object Sessions {
   def local(appName: String): SparkSession = {
     val spark = SparkSession.builder()
       .appName(appName)
+      .withExtensions(new graft.functions.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

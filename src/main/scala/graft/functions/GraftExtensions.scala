@@ -1,0 +1,16 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Registers graft's native Catalyst expressions. Usable two ways:
+  *   - `SparkSession.builder.withExtensions(new GraftExtensions)`
+  *     (graft.Sessions does this), or
+  *   - `--conf spark.sql.extensions=graft.functions.GraftExtensions`
+  *     on a real cluster — no code changes needed at the call site.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(QuantizedDot.descriptor)
+    e.injectFunction(Rgb565.descriptor)
+  }
+}

@@ -20,7 +20,8 @@ import org.apache.spark.sql.SparkSession
   *     the 100 TB answer to stats drift; we design plans assuming it.
   */
 object Sessions {
-  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+  def cpus: String = sys.props.get("SPARK_GRAFT_CPUS")
+    .orElse(sys.env.get("SPARK_GRAFT_CPUS")).getOrElse("32")
 
   def local(appName: String): SparkSession = {
     val spark = SparkSession.builder()

@@ -254,7 +254,7 @@ object CoreQueries {
         .join(broadcast(t(s, dir, "nation")), $"s_nationkey" === $"n_nationkey")
         .select($"s_name", $"n_name", $"s_acctbal",
           rank().over(Window.partitionBy($"n_nationkey")
-            .orderBy($"s_acctbal".desc)).as("bal_rank"))
+            .orderBy($"s_acctbal".desc)).cast(LongType).as("bal_rank"))
         .orderBy($"n_name", $"bal_rank", $"s_name")
     },
     Some("""SELECT s_name, n_name, s_acctbal,
@@ -271,7 +271,7 @@ object CoreQueries {
         .orderBy($"o_orderdate", $"o_orderkey")
       t(s, dir, "orders")
         .select($"o_custkey", $"o_orderkey",
-          row_number().over(w).as("order_seq"),
+          row_number().over(w).cast(LongType).as("order_seq"),
           ($"o_totalprice" - lag($"o_totalprice", 1).over(w)).as("price_delta"))
         .orderBy($"o_custkey", $"order_seq")
     },

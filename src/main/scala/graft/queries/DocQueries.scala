@@ -44,7 +44,8 @@ object DocQueries {
         .groupBy($"lang", $"token")
         .agg(count(lit(1)).as("n"))
       val w = Window.partitionBy($"lang").orderBy($"n".desc, $"token")
-      counts.select($"lang", $"token", $"n", row_number().over(w).as("rk"))
+      counts.select($"lang", $"token", $"n",
+          row_number().over(w).cast(LongType).as("rk"))
         .filter($"rk" <= 25)
         .orderBy($"lang", $"rk")
     },

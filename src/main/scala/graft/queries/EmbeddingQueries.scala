@@ -69,7 +69,7 @@ object EmbeddingQueries {
             (sqrt($"q_n2".cast(DoubleType)) * sqrt($"n2".cast(DoubleType))))
       val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id")
       scored.select($"q_id", $"vec_id", $"label", $"cosine",
-          row_number().over(w).as("rk"))
+          row_number().over(w).cast(LongType).as("rk"))
         .filter($"rk" <= 5)
         .select($"q_id", $"rk", $"vec_id", $"label", $"cosine")
         .orderBy($"q_id", $"rk")
@@ -129,7 +129,7 @@ object EmbeddingQueries {
             (sqrt($"q_n2".cast(DoubleType)) * sqrt($"n2".cast(DoubleType))))
       val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id")
       scored.select($"q_id", $"vec_id", $"label", $"cosine",
-          row_number().over(w).as("rk"))
+          row_number().over(w).cast(LongType).as("rk"))
         .filter($"rk" <= 5)
         .select($"q_id", $"rk", $"vec_id", $"label", $"cosine")
         .orderBy($"q_id", $"rk")
@@ -162,7 +162,7 @@ object EmbeddingQueries {
       val w = Window.partitionBy($"label")
         .orderBy($"cosine".desc, $"id1", $"id2")
       pairs.select($"label", $"id1", $"id2", $"cosine",
-          row_number().over(w).as("rk"))
+          row_number().over(w).cast(LongType).as("rk"))
         .filter($"rk" <= 3)
         .select($"label", $"rk", $"id1", $"id2", $"cosine")
         .orderBy($"label", $"rk")

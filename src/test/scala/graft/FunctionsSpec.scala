@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{QuantizedDot, Rgb565}
+
+/** Native expression exemplars: interpreted eval ≡ codegen eval ≡ model. */
+class FunctionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  // ------------------------------------------------------------- rgb565
+  test("rgb565 packs like the reference pen (known values)") {
+    // RGB565: high 5 bits of r, 6 of g, 5 of b (reference
+    // DoublePsramBuffer480x480.cpp:125 pen semantics).
+    assert(Rgb565.pack(255, 255, 255) === 0xFFFF)
+    assert(Rgb565.pack(0, 0, 0) === 0x0000)
+    assert(Rgb565.pack(255, 0, 0) === 0xF800)
+    assert(Rgb565.pack(0, 255, 0) === 0x07E0)
+    assert(Rgb565.pack(0, 0, 255) === 0x001F)
+    assert(Rgb565.pack(0x08, 0x04, 0x08) === 0x0821) // one lsb per channel
+  }
+
+  test("rgb565 codegen path (DataFrame) agrees with interpreted eval") {
+    import spark.implicits._
+    val rows = Seq((255, 255, 255), (0, 0, 0), (12, 200, 99), (247, 3, 16))
+    val viaDf = rows.toDF("r", "g", "b")
+      .selectExpr("rgb565(r, g, b) AS p").as[Int].collect().toSeq
+    val viaEval = rows.map { case (r, g, b) =>
+      Rgb565(Literal(r), Literal(g), Literal(b)).eval(null).asInstanceOf[Int]
+    }
+    assert(viaDf === viaEval)
+    assert(viaDf === rows.map { case (r, g, b) => Rgb565.pack(r, g, b) })
+  }
+
+  test("rgb565 rejects non-int args") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT rgb565('a', 1, 2)").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("rgb565"))
+  }
+
+  // --------------------------------------------------------------- dotq
+  private def lit(a: Seq[Float]) =
+    Literal.create(a, ArrayType(FloatType))
+
+  test("dotq quantization matches BigDecimal HALF_UP on many floats") {
+    // Spark round() = BigDecimal HALF_UP; DuckDB round() = half away from
+    // zero — q() must agree with both on every reachable input. (Exact .5
+    // ties are unreachable from float*1e6, but the formula handles them
+    // away-from-zero like both engines.)
+    val rnd = new scala.util.Random(42)
+    val samples = Seq(0.5f, -0.5f, 0.0f, 1.0e-7f, -1.0e-7f, 0.4583735f) ++
+      (1 to 2000).map(_ => (rnd.nextFloat() - 0.5f) * 2.1f)
+    samples.foreach { f =>
+      val expected = new java.math.BigDecimal(f.toDouble * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+      assert(QuantizedDot.q(f) === expected, s"f=$f")
+    }
+  }
+
+  test("dotq interpreted eval matches hand computation") {
+    val a = Seq(0.5f, -0.25f, 0.125f)
+    val b = Seq(1.0f, 1.0f, -2.0f)
+    val expected = 500000L * 1000000L + -250000L * 1000000L +
+      125000L * -2000000L
+    val got = QuantizedDot(lit(a), lit(b)).eval(null)
+    assert(got === expected)
+  }
+
+  test("dotq codegen path agrees with the HOF formulation on real data") {
+    // The HOF expression is the independently-written semantic spec; the
+    // native expression must agree element-for-element on fixture data.
+    val df = Tables.load(spark, TestSpark.sf0001, "embeddings").limit(50)
+    val both = df.selectExpr(
+      "dotq(embedding, embedding) AS native",
+      """aggregate(zip_with(embedding, embedding, (x, y) ->
+           CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) *
+           CAST(round(CAST(y AS DOUBLE) * 1000000) AS BIGINT)),
+         CAST(0 AS BIGINT), (acc, v) -> acc + v) AS hof""")
+    assert(both.collect().forall(r => r.getLong(0) == r.getLong(1)))
+  }
+
+  test("dotq null array yields null; empty arrays yield 0") {
+    val r = spark.sql(
+      """SELECT dotq(CAST(NULL AS ARRAY<FLOAT>), array(CAST(1.0 AS FLOAT))) AS n,
+                dotq(CAST(array() AS ARRAY<FLOAT>),
+                     CAST(array() AS ARRAY<FLOAT>)) AS z""").collect().head
+    assert(r.isNullAt(0))
+    assert(r.getLong(1) === 0L)
+  }
+
+  test("dotq stays inside WholeStageCodegen") {
+    val df = Tables.load(spark, TestSpark.sf0001, "embeddings")
+      .selectExpr("dotq(embedding, embedding) AS n2")
+    // the "*(n)" prefix marks operators fused into a WholeStageCodegen span
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.next().startsWith("*("),
+      s"expected codegen span in:\n$plan")
+  }
+}

@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Registry
+
+/** The determinism law behind the whole oracle strategy: results must be
+  * IDENTICAL (values, not just sets) under different shuffle partition
+  * counts — i.e. independent of physical parallelism. Exact-decimal
+  * aggregation (Policy) is what makes this hold for float-derived
+  * columns; this suite is the regression guard for it (SURVEY §5.B #3).
+  */
+class PartitionInvarianceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sf0001
+
+  // Queries chosen to cover: decimal agg, window, set ops, LSH join,
+  // integer-quantized cosine.
+  private val names = Seq(
+    "q01_pricing_summary", "q08_segment_share", "q13_running_revenue",
+    "q18_value_intersect", "q23_near_dup_minhash", "q24_cosine_topk")
+
+  private def canonical(name: String): Seq[String] = {
+    val df = Registry.byName(name).run(spark, dir)
+    df.collect().map(_.toSeq.map {
+      case null => "\\N"
+      case d: Double => java.lang.Double.doubleToLongBits(d).toString
+      case x => x.toString
+    }.mkString("|")).toSeq
+  }
+
+  for (name <- names) test(s"$name is identical under 1, 4 and 13 shuffle partitions") {
+    val results = Seq("1", "4", "13").map { p =>
+      spark.conf.set("spark.sql.shuffle.partitions", p)
+      try canonical(name)
+      finally spark.conf.set("spark.sql.shuffle.partitions", Sessions.cpus)
+    }
+    assert(results(0) === results(1))
+    assert(results(1) === results(2))
+  }
+}

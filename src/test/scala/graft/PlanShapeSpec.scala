@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Registry
+
+/** Plan-shape guards (SURVEY §5.B #6): the scale properties argued in
+  * query comments must be visible in the physical plan, or a regression
+  * silently turns a linear plan quadratic. */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sf0001
+
+  private def plan(name: String): String =
+    Registry.byName(name).run(spark, dir)
+      .queryExecution.executedPlan.toString
+
+  test("q01/q06: filters push down to the parquet scan") {
+    for (q <- Seq("q01_pricing_summary", "q06_forecast_revenue")) {
+      val p = plan(q)
+      assert(p.contains("PushedFilters: ["), s"$q plan:\n$p")
+      assert(p.contains("LessThan") || p.contains("GreaterThan") ||
+        p.contains("LessThanOrEqual"), s"$q pushed no range filter:\n$p")
+    }
+  }
+
+  test("q01: scan is column-pruned (no l_tax/l_suppkey read)") {
+    val p = plan("q01_pricing_summary")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_tax"), readSchema)
+    assert(!readSchema.contains("l_suppkey"), readSchema)
+  }
+
+  test("q03: dimension joins are broadcast") {
+    val p = plan("q03_region_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q04/q05: subquery shapes lower to semi/anti hash joins") {
+    assert(plan("q04_priority_exists").contains("LeftSemi"))
+    assert(plan("q05_customers_no_orders").contains("LeftAnti"))
+  }
+
+  test("q23/q24c: no cartesian or nested-loop join anywhere") {
+    for (q <- Seq("q23_near_dup_minhash", "q24c_top_similar_pairs")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plan:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plan:\n$p")
+    }
+  }
+
+  test("q19: the 30-day pair count is a window, not a self-join") {
+    val p = plan("q19_order_pairs_30d")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), s"rewrite regressed to a join:\n$p")
+  }
+
+  test("q02/q10: top-k compiles to TakeOrderedAndProject") {
+    assert(plan("q02_top_customers").contains("TakeOrderedAndProject"))
+    assert(plan("q10_returned_items").contains("TakeOrderedAndProject"))
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.Policy._
+
+/** Determinism-policy laws on literal frames + ScalaCheck algebraic laws
+  * (SURVEY §5.B #2/#3). Gen is driven manually (fixed seed) — the
+  * scalatest/scalacheck bridge artifact is not on the offline classpath. */
+class PolicySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("sumDbl is exact on decimal-hostile doubles") {
+    import spark.implicits._
+    // 0.1 is inexact in binary; the decimal cast makes the sum exact.
+    val df = Seq.fill(1000)(0.1).toDF("x")
+    val got = df.agg(sumDbl($"x").as("s")).collect().head.getDouble(0)
+    assert(got === 100.0) // plain double summation would give 99.9999...
+  }
+
+  test("sumMoney rescales before the double cast") {
+    import spark.implicits._
+    val df = Seq((100.0, 0.25), (200.0, 0.5)).toDF("p", "d")
+    val got = df.agg(sumMoney(dec($"p") * dec($"d")).as("s"))
+      .collect().head.getDouble(0)
+    assert(got === 125.0)
+  }
+
+  test("law: count splits by any predicate (count = countIf(p) + countIf(!p))") {
+    val li = Tables.load(spark, TestSpark.sf0001, "lineitem")
+    val gen = Gen.choose(0.0, 0.1)
+    val thresholds = (0 until 8).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(42L + i)))
+    assert(thresholds.nonEmpty)
+    thresholds.foreach { t =>
+      val r = li.agg(
+        count(lit(1)).as("n"),
+        count(when(col("l_discount") <= t, 1)).as("a"),
+        count(when(col("l_discount") > t, 1)).as("b")).collect().head
+      assert(r.getLong(0) === r.getLong(1) + r.getLong(2), s"t=$t")
+    }
+  }
+
+  test("law: semi ⊎ anti partitions the left table") {
+    val c = Tables.load(spark, TestSpark.sf0001, "customer")
+    val o = Tables.load(spark, TestSpark.sf0001, "orders").select("o_custkey")
+    val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi").count()
+    val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti").count()
+    assert(semi + anti === c.count())
+  }
+
+  test("law: intersect + except partition the distinct left set") {
+    val o = Tables.load(spark, TestSpark.sf0001, "orders")
+    val hi = o.filter("o_totalprice > 300000").select("o_custkey")
+    val lo = o.filter("o_totalprice < 150000").select("o_custkey")
+    val n = hi.intersect(lo).count() + hi.except(lo).count()
+    assert(n === hi.distinct().count())
+  }
+}

@@ -1,0 +1,135 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupStateTimeout
+import org.apache.spark.sql.types._
+
+import graft.Policy._
+
+/** S1–S4 (SURVEY §2.C streaming acceptance): the event-stream shapes as
+  * Structured Streaming jobs, replayed deterministically from parquet
+  * with Trigger.AvailableNow and asserted against their batch twins in
+  * StreamingSpec.
+  *
+  * Design rule: every transform is a DataFrame→DataFrame function usable
+  * under BOTH `spark.read` and `spark.readStream` — batch/stream parity
+  * is a library property, not a test trick. This mirrors the reference's
+  * one deep design value: the same draw pipeline runs per frame whether
+  * the buffer is fully cleared (batch recompute, CLEAR_TYPE 2) or
+  * incrementally invalidated (streaming update, CLEAR_TYPE 1 —
+  * reference src/DoublePsramBuffer480x480.cpp:176-186).
+  */
+object StreamingJobs {
+
+  /** Schema of replay files written by prepareReplay (events with ts
+    * already truncated to µs and typed LTZ for watermark support). */
+  val replaySchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Write the events table as a replay directory for file-stream tests.
+    * Returns the batch DataFrame that was written (ts as LTZ µs). */
+  def prepareReplay(spark: SparkSession, sfDir: String, outDir: String): DataFrame = {
+    val df = graft.Tables.load(spark, sfDir, "events")
+      .withColumn("ts", col("ts").cast(TimestampType))
+    df.coalesce(1).write.mode("overwrite").parquet(outDir)
+    df
+  }
+
+  def readReplayStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.schema(replaySchema)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.parquet(dir)
+  }
+
+  // ------------------------------------------------------------------ S1
+  /** Hourly tumbling counts per event_type — the streaming twin of Q20's
+    * aggregation core. Works on batch and stream inputs alike. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sumDbl(col("value")).as("sum_value"))
+      .select(col("w.start").as("hour"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  // ------------------------------------------------------------------ S2
+  /** S1 + event-time watermark: rows arriving more than `delay` behind
+    * the max seen ts are dropped instead of mutating finalized windows. */
+  def hourlyCountsWatermarked(events: DataFrame, delay: String = "10 minutes"): DataFrame =
+    hourlyCounts(events.withWatermark("ts", delay))
+
+  // ------------------------------------------------------------------ S3
+  /** Session windows (30-minute gap) per user — the streaming twin of
+    * Q21's gaps-and-islands batch sessionization. session_window works
+    * in batch too, which is what the equivalence test leans on. */
+  def sessions(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"))
+
+  def sessionsWatermarked(events: DataFrame, delay: String = "10 minutes",
+      gap: String = "30 minutes"): DataFrame =
+    sessions(events.withWatermark("ts", delay), gap)
+
+  // ------------------------------------------------------------------ S4
+  /** Arbitrary keyed state: a deterministic port of the reference demo's
+    * per-frame accumulators — radius triangle-waves between 10 and 50 and
+    * the three color channels bounce-walk in [0,255]
+    * (reference src/SinglePsramBuffer480x480.cpp:119-141), and a marker
+    * event resets the oscillator the way the second touch point resets
+    * the demo (src/SinglePsramBuffer480x480.cpp:151-164; here the reset
+    * is deterministic, not randomized, so replays are stable).
+    * The packed pen uses the rgb565 exemplar (pen packing ≙
+    * src/DoublePsramBuffer480x480.cpp:125).
+    */
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class OscState(radius: Int, dir: Int, r: Int, g: Int, b: Int,
+      n: Long)
+  case class OscOut(user_id: Long, n_events: Long, radius: Int, pen: Int)
+
+  def initState: OscState = OscState(radius = 10, dir = 2, r = 0, g = 0, b = 0, n = 0L)
+
+  /** One oscillator step; bounce semantics match the reference's
+    * `if(radius > 50) change = -2` / channel `dir` flips. */
+  def step(s: OscState, e: Event): OscState = {
+    if (e.event_type == "signup") initState.copy(n = s.n + 1)
+    else {
+      def bounce(v: Int, d: Int, lo: Int, hi: Int): (Int, Int) = {
+        val nv = v + d
+        if (nv > hi) (hi - (nv - hi), -d)
+        else if (nv < lo) (lo + (lo - nv), -d)
+        else (nv, d)
+      }
+      val (rad, dir) = bounce(s.radius, s.dir, 10, 50)
+      val (r, _) = bounce(s.r, 1, 0, 255)
+      val (g, _) = bounce(s.g, 3, 0, 255)
+      val (b, _) = bounce(s.b, 7, 0, 255)
+      OscState(rad, dir, r, g, b, s.n + 1)
+    }
+  }
+
+  /** mapGroupsWithState over user_id. Events are sorted (ts, event_id)
+    * inside each invocation — groups are per-user and bounded. */
+  def oscillator(events: Dataset[Event]): Dataset[OscOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[OscState, OscOut](GroupStateTimeout.NoTimeout) {
+        (userId, it, state) =>
+          val start = state.getOption.getOrElse(initState)
+          val end = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            .foldLeft(start)(step)
+          state.update(end)
+          OscOut(userId, end.n, end.radius,
+            graft.functions.Rgb565.pack(end.r, end.g, end.b))
+      }
+  }
+}

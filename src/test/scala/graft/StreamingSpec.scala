@@ -1,0 +1,141 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingJobs
+import graft.streaming.StreamingJobs._
+
+/** S1–S4 streaming acceptance (SURVEY §2.C): deterministic replay of
+  * events.parquet through file streams with Trigger.AvailableNow and a
+  * memory sink, asserted against the batch twins. */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val replayDir = {
+    val d = Files.createTempDirectory("graft-replay").toString
+    StreamingJobs.prepareReplay(spark, TestSpark.sf0001, d)
+    d
+  }
+
+  private def runToTable(df: DataFrame, name: String,
+      mode: String = "append"): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  private def canon(df: DataFrame): Set[String] =
+    df.collect().map(_.toSeq.map {
+      case null => "\\N"
+      case d: Double => java.lang.Double.doubleToLongBits(d).toString
+      case x => x.toString
+    }.mkString("|")).toSet
+
+  test("S1: streamed hourly counts equal the batch result") {
+    val streamed = runToTable(
+      hourlyCounts(readReplayStream(spark, replayDir)), "s1", "complete")
+    val batch = hourlyCounts(spark.read.parquet(replayDir))
+    assert(canon(streamed) === canon(batch))
+    assert(streamed.count() > 0)
+  }
+
+  test("S2: watermark drops synthetic late rows; on-time windows unchanged") {
+    // Second input file: copies of the earliest 50 events shifted -2h
+    // (well beyond the 10-minute watermark once file 1 has been seen),
+    // with fresh event_ids so dedup can't explain the drop.
+    // Two checkpointed AvailableNow runs: run 1 sees only the on-time
+    // file and persists its watermark (max ts − 10 min) in the
+    // checkpoint; run 2 picks up the late file and must drop every row
+    // (all are ≥ 2 h behind the persisted watermark). This also proves
+    // watermark state survives a restart — the production replay shape.
+    val d = Files.createTempDirectory("graft-replay-late").toString
+    val out = Files.createTempDirectory("graft-s2-out").toString
+    val ckpt = Files.createTempDirectory("graft-s2-ckpt").toString
+    val base = spark.read.parquet(replayDir)
+
+    def runOnce(): Unit = {
+      val q = hourlyCountsWatermarked(readReplayStream(spark, d))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    base.coalesce(1).write.mode("append").parquet(d)
+    runOnce()
+    base.orderBy("ts").limit(50)
+      .withColumn("ts", col("ts") - expr("INTERVAL 2 HOURS"))
+      .withColumn("event_id", col("event_id") + lit(10000000L))
+      .coalesce(1).write.mode("append").parquet(d)
+    runOnce()
+    val streamed = spark.read.parquet(out)
+    // Append mode emits only watermark-finalized windows; every emitted
+    // row must match the ON-TIME batch aggregation exactly — late rows
+    // (which all target pre-watermark windows) must not inflate anything.
+    val onTime = hourlyCounts(base).collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("hour"), r.getAs[String]("event_type")) ->
+        (r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toMap
+    val emitted = streamed.collect()
+    assert(emitted.nonEmpty)
+    emitted.foreach { r =>
+      val k = (r.getAs[java.sql.Timestamp]("hour"), r.getAs[String]("event_type"))
+      assert(onTime.contains(k), s"unexpected window $k")
+      assert(onTime(k) === (r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")),
+        s"late rows leaked into $k")
+    }
+  }
+
+  test("S3: streamed session windows equal batch session windows (finalized subset)") {
+    val streamed = runToTable(
+      sessionsWatermarked(readReplayStream(spark, replayDir)), "s3", "append")
+    val batch = sessions(spark.read.parquet(replayDir))
+    val batchSet = canon(batch)
+    val streamedSet = canon(streamed)
+    // Append emits sessions finalized before the terminal watermark; each
+    // emitted session must exist verbatim in the batch result, and most
+    // sessions must have been emitted (only per-user tails are withheld).
+    assert(streamedSet.nonEmpty)
+    assert(streamedSet.subsetOf(batchSet),
+      s"streamed-only sessions: ${streamedSet.diff(batchSet).take(5)}")
+    assert(streamedSet.size >= batchSet.size / 2)
+    // Batch session count per user equals Q21's gaps-and-islands count —
+    // the two independent sessionization algorithms agree.
+    val q21 = queries.Registry.byName("q21_sessionization")
+      .run(spark, TestSpark.sf0001)
+      .select("user_id", "n_sessions")
+    val swCounts = batch.groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"))
+    assert(canon(q21) === canon(swCounts))
+  }
+
+  test("S4: mapGroupsWithState oscillator is replay-stable and matches a hand trace") {
+    import spark.implicits._
+    val events = spark.read.parquet(replayDir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event]
+    val run1 = oscillator(events).collect().sortBy(_.user_id)
+    val run2 = oscillator(events).collect().sortBy(_.user_id)
+    assert(run1.toSeq === run2.toSeq) // replay-stable
+    assert(run1.nonEmpty)
+    // n_events must equal the per-user event counts
+    val counts = events.groupByKey(_.user_id).count().collect().toMap
+    run1.foreach(o => assert(o.n_events === counts(o.user_id)))
+
+    // hand trace: radius walks 10→12→…, reflects at 50; reset on signup
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ev(i: Int, typ: String) =
+      Event(i.toLong, new java.sql.Timestamp(t0.getTime + i * 1000L), 1L, typ, 0.0)
+    val seq = (1 to 25).map(i => ev(i, "click")) :+ ev(26, "signup") :+ ev(27, "click")
+    val fin = seq.foldLeft(initState)(step)
+    // 25 steps of +2 from 10: 10+2k reflects at 50 after 20 steps:
+    // k=20 → 50, then -2 per step: 25 steps → 50 - 2*5 = 40; signup resets
+    // to 10; one more step → 12.
+    assert(fin.radius === 12)
+    assert(fin.n === 27)
+  }
+}

@@ -35,6 +35,12 @@ object Sessions {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Typed Aggregator exemplars register per-session (UDAFs are not
+    // injectable through SparkSessionExtensions).
+    spark.udf.register("wavg_dec",
+      org.apache.spark.sql.functions.udaf(
+        graft.functions.DecimalWeightedAvg,
+        graft.functions.DecimalWeightedAvg.inputEncoder))
     spark
   }
 }

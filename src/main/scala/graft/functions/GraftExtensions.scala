@@ -12,5 +12,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(QuantizedDot.descriptor)
     e.injectFunction(Rgb565.descriptor)
+    e.injectFunction(TopKByScore.descriptor)
   }
 }

@@ -1,0 +1,73 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing for the LLM-data pipeline (builder brief):
+  * media as opaque `binary` columns + typed metadata, with decode /
+  * feature-extract / resize / frame-sample stages.
+  *
+  * The Spark-side plumbing — schema, partitioning, batch shapes, column
+  * lineage — is REAL and tested. The codec kernels are STUBS by
+  * necessity (no image/audio libraries in this container): `decodeStub`
+  * derives deterministic pseudo-features from the bytes (lengths,
+  * digests, strided samples) through native codegen'd expressions. A
+  * production deployment swaps ONLY the kernel expression for a real
+  * decoder (e.g. a JNI/FFI call inside the same `transform` shape); the
+  * surrounding plan — scan → per-row decode → explode frames →
+  * aggregate — is exactly what runs at 100 TB, where the design rules
+  * are: decode per-row inside the scan stage (no shuffle of raw bytes),
+  * frame fan-out via explode AFTER filtering, aggregates on extracted
+  * features only.
+  */
+object MultimodalOps {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("kind", StringType),
+    StructField("bytes", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("sample_rate", IntegerType))))))
+
+  /** Synthesize a media table from `documents` (UTF-8 bytes of the text
+    * as the opaque payload): the deterministic stand-in for an ingest of
+    * real image/audio blobs. kind cycles by doc_id; meta is derived. */
+  def mediaFromDocuments(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Tables.load(spark, sfDir, "documents")
+      .select(
+        col("doc_id").as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast(IntegerType)).as("kind"),
+        encode(col("text"), "UTF-8").as("bytes"),
+        struct(
+          (pmod(col("doc_id"), lit(4)) * 160 + 320).cast(IntegerType).as("width"),
+          (pmod(col("doc_id"), lit(4)) * 120 + 240).cast(IntegerType).as("height"),
+          lit(16000).cast(IntegerType).as("sample_rate")).as("meta"),
+        col("source"))
+
+  /** STUB decode: deterministic pseudo-features from the raw bytes.
+    * Replace this expression with a real codec kernel in production —
+    * everything downstream keeps working unchanged. */
+  def decodeStub(media: DataFrame): DataFrame =
+    media
+      .withColumn("n_bytes", octet_length(col("bytes")).cast(LongType))
+      .withColumn("checksum", md5(col("bytes")))
+      // "resize": cap the payload at 256 bytes (stride-1 crop).
+      .withColumn("resized", substring(col("bytes"), 1, 256))
+      // 4-dim pseudo-embedding from strided byte positions.
+      .withColumn("features", expr(
+        """transform(sequence(0, 3), i ->
+             CAST(ascii(substring(CAST(bytes AS STRING), i * 7 + 1, 1)) AS FLOAT))"""))
+
+  /** Frame sampling: split the payload into fixed-size frames (explode
+    * AFTER decode/filter so raw bytes fan out as late as possible). */
+  def sampleFrames(decoded: DataFrame, frameBytes: Int = 64): DataFrame =
+    decoded.withColumn("frame", expr(
+      s"""explode(transform(
+            sequence(0, CAST(greatest(ceil(n_bytes / $frameBytes) - 1, 0) AS INT)),
+            i -> substring(bytes, i * $frameBytes + 1, $frameBytes)))"""))
+      .withColumn("frame_bytes", octet_length(col("frame")).cast(LongType))
+}

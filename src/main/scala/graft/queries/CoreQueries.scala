@@ -478,7 +478,30 @@ object CoreQueries {
        AND o2.o_orderdate <= o1.o_orderdate + INTERVAL 30 DAY
       GROUP BY 1 ORDER BY 1"""))
 
+  // ---------------------------------------------------------------- Q30
+  // Custom typed-Aggregator exemplar under the oracle gate: exact decimal
+  // weighted average (graft.functions.DecimalWeightedAvg, registered as
+  // wavg_dec in Sessions). The oracle recomputes it from first
+  // principles (SUM(v·w)/SUM(w) under the Policy decimal rules) — the
+  // UDAF's partition-order independence is what makes the hash match.
+  private val q30 = QueryDef(
+    "q30_weighted_avg_price",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(expr("wavg_dec(l_extendedprice, l_quantity)").as("wavg_price"),
+          count(lit(1)).as("n_lines"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                  * CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE)
+        / CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS wavg_price,
+      COUNT(*) AS n_lines
+      FROM lineitem GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q15b, q16, q17, q18a, q18b, q19)
+    q11, q12, q13, q14, q15, q15b, q16, q17, q18a, q18b, q19, q30)
 }

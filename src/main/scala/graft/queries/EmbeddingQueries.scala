@@ -67,10 +67,18 @@ object EmbeddingQueries {
         .withColumn("cosine",
           $"dot".cast(DoubleType) /
             (sqrt($"q_n2".cast(DoubleType)) * sqrt($"n2".cast(DoubleType))))
-      val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id")
-      scored.select($"q_id", $"vec_id", $"label", $"cosine",
-          row_number().over(w).cast(LongType).as("rk"))
-        .filter($"rk" <= 5)
+      // Per-group top-k via graft's topk_by_score aggregate, NOT a window:
+      // the window form shuffles every scored row per query vector; the
+      // aggregate keeps a k-element heap per partition and merges — the
+      // partial/final shape that survives a 100 TB corpus. The neighbor's
+      // label is fetched AFTER the top-k (id-keyed join on k×|queries|
+      // rows) so the aggregation carries minimal payload.
+      val top = scored.groupBy($"q_id")
+        .agg(expr("topk_by_score(cosine, vec_id, 5)").as("top"))
+        .select($"q_id", posexplode($"top"))
+        .select($"q_id", ($"pos" + 1).cast(LongType).as("rk"),
+          $"col.id".as("vec_id"), $"col.score".as("cosine"))
+      top.join(emb(s, dir).select($"vec_id", $"label"), Seq("vec_id"))
         .select($"q_id", $"rk", $"vec_id", $"label", $"cosine")
         .orderBy($"q_id", $"rk")
     },
@@ -127,10 +135,12 @@ object EmbeddingQueries {
         .withColumn("cosine",
           $"dot".cast(DoubleType) /
             (sqrt($"q_n2".cast(DoubleType)) * sqrt($"n2".cast(DoubleType))))
-      val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id")
-      scored.select($"q_id", $"vec_id", $"label", $"cosine",
-          row_number().over(w).cast(LongType).as("rk"))
-        .filter($"rk" <= 5)
+      val top = scored.groupBy($"q_id")
+        .agg(expr("topk_by_score(cosine, vec_id, 5)").as("top"))
+        .select($"q_id", posexplode($"top"))
+        .select($"q_id", ($"pos" + 1).cast(LongType).as("rk"),
+          $"col.id".as("vec_id"), $"col.score".as("cosine"))
+      top.join(emb(s, dir).select($"vec_id", $"label"), Seq("vec_id"))
         .select($"q_id", $"rk", $"vec_id", $"label", $"cosine")
         .orderBy($"q_id", $"rk")
     },

@@ -92,6 +92,40 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getLong(1) === 0L)
   }
 
+  // ------------------------------------------------------- topk_by_score
+  test("topk_by_score equals the window formulation (incl. partial merges)") {
+    import spark.implicits._
+    // 10k rows, 7 groups, scores with deliberate ties; 13 partitions so
+    // partial heaps MUST merge across partitions and serialize.
+    val df = spark.range(10000).repartition(13).selectExpr(
+      "id % 7 AS g",
+      "CAST((id * 37) % 101 AS DOUBLE) AS score",
+      "id AS pid")
+    df.createOrReplaceTempView("topk_in")
+    val agg = spark.sql(
+      """SELECT g, t.score, t.id FROM (
+           SELECT g, topk_by_score(score, pid, 5) AS top FROM topk_in GROUP BY g
+         ) LATERAL VIEW explode(top) AS t""")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    val win = spark.sql(
+      """SELECT g, score, pid FROM (
+           SELECT g, score, pid,
+             ROW_NUMBER() OVER (PARTITION BY g ORDER BY score DESC, pid) AS rk
+           FROM topk_in) WHERE rk <= 5""")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(agg === win)
+  }
+
+  test("topk_by_score handles groups smaller than k and null scores") {
+    val rows = spark.sql(
+      """SELECT topk_by_score(s, i, 5) AS top FROM VALUES
+           (CAST(1.0 AS DOUBLE), 10L), (CAST(NULL AS DOUBLE), 11L),
+           (CAST(3.0 AS DOUBLE), 12L) AS t(s, i)""").collect()
+    val top = rows.head.getSeq[org.apache.spark.sql.Row](0)
+    assert(top.map(r => (r.getDouble(0), r.getLong(1))) ===
+      Seq((3.0, 12L), (1.0, 10L))) // null-score row skipped, sorted desc
+  }
+
   test("dotq stays inside WholeStageCodegen") {
     val df = Tables.load(spark, TestSpark.sf0001, "embeddings")
       .selectExpr("dotq(embedding, embedding) AS n2")

@@ -351,5 +351,93 @@ object DocQueries {
         COUNT(*) - COUNT(DISTINCT fp) AS n_dup_candidates
       FROM per_doc GROUP BY 1 ORDER BY 1"""))
 
-  val all: Seq[QueryDef] = Seq(q22, q23, q25, q26, q27, q28, q29)
+  // ---------------------------------------------------------------- Q32
+  // SimHash near-dup detection — the third dedup family (exact=q25,
+  // MinHash=q23). Features are distinct 3-gram shingles (unigrams are
+  // degenerate here: the corpus vocabulary is tiny, so every doc votes
+  // with nearly the same token set and signatures collapse). 64-bit
+  // signature: per shingle, md5 → 64 bit votes (+1/−1); signature bit =
+  // sign of the vote sum. Stored as 4×16-bit chunks; candidate pairs
+  // join on an equal chunk. Pigeonhole makes this banding EXACT for the
+  // threshold: hamming ≤ 3 over 64 bits ⟹ at least one of the 4 chunks
+  // is identical — unlike MinHash banding there are no false negatives
+  // at τ=3. All arithmetic is integer (votes, shifts, bit_count) —
+  // bit-identical cross-engine.
+  private val q32 = QueryDef(
+    "q32_simhash_near_dup",
+    (s, dir) => {
+      import s.implicits._
+      val toks = docs(s, dir)
+        .select($"doc_id", split(lower($"text"), " ").as("tk"))
+        .filter(size($"tk") >= 3)
+        .select($"doc_id", explode(expr(
+          "transform(sequence(1, size(tk) - 2), " +
+            "i -> concat_ws(' ', slice(tk, i, 3)))")).as("token"))
+        .distinct()
+        .withColumn("h", md5($"token".cast(BinaryType)))
+      val bits = toks.select($"doc_id", posexplode(expr(
+          "transform(sequence(0, 63), b -> CAST(" +
+            "(shiftright(instr('0123456789abcdef', " +
+            "substring(h, CAST(b div 4 AS INT) + 1, 1)) - 1, " +
+            "CAST(3 - b % 4 AS INT)) & 1) AS LONG))")))
+        .toDF("doc_id", "b", "bit")
+      val votes = bits.groupBy($"doc_id", $"b")
+        .agg(sum($"bit" * 2 - 1).as("vote"))
+        .withColumn("sigbit", when($"vote" > 0, 1L).otherwise(0L))
+      val sig = votes.groupBy($"doc_id",
+          expr("CAST(b div 16 AS INT)").as("chunk_idx"))
+        .agg(sum(expr("shiftleft(sigbit, CAST(b % 16 AS INT))")).as("chunk_val"))
+      val c1 = sig.toDF("doc1", "chunk_idx", "v1")
+      val c2 = sig.toDF("doc2", "chunk_idx", "v2")
+      val cand = c1.join(c2,
+          c1("chunk_idx") === c2("chunk_idx") && c1("v1") === c2("v2"))
+        .filter($"doc1" < $"doc2")
+        .select($"doc1", $"doc2").distinct()
+      val ham = cand
+        .join(sig.toDF("doc1", "chunk_idx", "v1"), "doc1")
+        .join(sig.toDF("doc2", "chunk_idx", "v2"), Seq("doc2", "chunk_idx"))
+        .groupBy($"doc1", $"doc2")
+        .agg(sum(expr("bit_count(v1 ^ v2)")).cast(LongType).as("hamming"))
+      ham.filter($"hamming" <= 3)
+        .orderBy($"doc1", $"doc2")
+    },
+    Some("""WITH tk AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      toks AS (
+        SELECT DISTINCT doc_id,
+          unnest(list_transform(generate_series(1, len(t) - 2),
+            i -> array_to_string(t[i:i+2], ' '))) AS token
+        FROM tk WHERE len(t) >= 3),
+      th AS (SELECT doc_id, md5(token) AS h FROM toks),
+      bits AS (
+        SELECT doc_id, b,
+          (((strpos('0123456789abcdef',
+              substring(h, CAST(b // 4 AS INT) + 1, 1)) - 1)
+            >> CAST(3 - b % 4 AS INT)) & 1) AS bit
+        FROM th, generate_series(0, 63) g(b)),
+      votes AS (
+        SELECT doc_id, b, SUM(2 * bit - 1) AS vote
+        FROM bits GROUP BY 1, 2),
+      sig AS (
+        SELECT doc_id, CAST(b // 16 AS INT) AS chunk_idx,
+          CAST(SUM(CASE WHEN vote > 0
+                   THEN (CAST(1 AS BIGINT) << CAST(b % 16 AS INT))
+                   ELSE 0 END) AS BIGINT) AS chunk_val
+        FROM votes GROUP BY 1, 2),
+      cand AS (
+        SELECT DISTINCT s1.doc_id AS doc1, s2.doc_id AS doc2
+        FROM sig s1 JOIN sig s2 USING (chunk_idx, chunk_val)
+        WHERE s1.doc_id < s2.doc_id),
+      ham AS (
+        SELECT doc1, doc2,
+          CAST(SUM(bit_count(xor(a.chunk_val, b2.chunk_val))) AS BIGINT)
+            AS hamming
+        FROM cand
+        JOIN sig a ON a.doc_id = doc1
+        JOIN sig b2 ON b2.doc_id = doc2 AND b2.chunk_idx = a.chunk_idx
+        GROUP BY 1, 2)
+      SELECT doc1, doc2, hamming FROM ham
+      WHERE hamming <= 3 ORDER BY 1, 2"""))
+
+  val all: Seq[QueryDef] = Seq(q22, q23, q25, q26, q27, q28, q29, q32)
 }

@@ -76,6 +76,19 @@ class QueriesSmokeSpec extends AnyFunSuite {
     }
   }
 
+  test("q32 simhash pairs are a subset of q23 minhash pairs (families agree)") {
+    // hamming ≤ 3 on 64-bit shingle simhash is a stricter near-dup
+    // criterion than 5-gram Jaccard ≥ 0.6 on this corpus — every simhash
+    // pair must also be a minhash pair.
+    def pairs(name: String) = Registry.byName(name).run(spark, dir)
+      .select("doc1", "doc2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = pairs("q32_simhash_near_dup")
+    val min = pairs("q23_near_dup_minhash")
+    assert(sim.nonEmpty)
+    assert(sim.subsetOf(min), s"simhash-only pairs: ${sim.diff(min).take(5)}")
+  }
+
   test("q24 returns 5 ordered neighbors per query vector") {
     val rows = Registry.byName("q24_cosine_topk").run(spark, dir).collect()
     val byQ = rows.groupBy(_.getAs[Long]("q_id"))

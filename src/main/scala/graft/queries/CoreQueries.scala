@@ -501,7 +501,154 @@ object CoreQueries {
       COUNT(*) AS n_lines
       FROM lineitem GROUP BY 1 ORDER BY 1"""))
 
+  // ---------------------------------------------------------------- Q33
+  // Outer-join coverage: LEFT OUTER (customers without orders counted via
+  // null probe) + FULL OUTER (nations can lack customers or suppliers at
+  // small SF — both null sides handled). Dimension lookup broadcast.
+  private val q33 = QueryDef(
+    "q33_nation_coverage",
+    (s, dir) => {
+      import s.implicits._
+      val custStats = t(s, dir, "customer")
+        .join(t(s, dir, "orders").select($"o_custkey").distinct(),
+          $"c_custkey" === $"o_custkey", "left_outer")
+        .groupBy($"c_nationkey")
+        .agg(count(lit(1)).as("n_customers"),
+          count(when($"o_custkey".isNull, 1)).as("n_cust_no_orders"))
+      val suppStats = t(s, dir, "supplier")
+        .groupBy($"s_nationkey")
+        .agg(count(lit(1)).as("n_suppliers"))
+      custStats.join(suppStats,
+          $"c_nationkey" === $"s_nationkey", "full_outer")
+        .join(broadcast(t(s, dir, "nation")),
+          coalesce($"c_nationkey", $"s_nationkey") === $"n_nationkey")
+        .select($"n_name",
+          coalesce($"n_customers", lit(0L)).as("n_customers"),
+          coalesce($"n_cust_no_orders", lit(0L)).as("n_cust_no_orders"),
+          coalesce($"n_suppliers", lit(0L)).as("n_suppliers"))
+        .orderBy($"n_name")
+    },
+    Some("""WITH cust AS (
+        SELECT c_nationkey, COUNT(*) AS n_customers,
+          COUNT(CASE WHEN o.o_custkey IS NULL THEN 1 END) AS n_cust_no_orders
+        FROM customer c
+        LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+          ON c.c_custkey = o.o_custkey
+        GROUP BY 1),
+      supp AS (
+        SELECT s_nationkey, COUNT(*) AS n_suppliers FROM supplier GROUP BY 1)
+      SELECT n_name,
+        COALESCE(n_customers, 0) AS n_customers,
+        COALESCE(n_cust_no_orders, 0) AS n_cust_no_orders,
+        COALESCE(n_suppliers, 0) AS n_suppliers
+      FROM cust FULL OUTER JOIN supp ON c_nationkey = s_nationkey
+      JOIN nation ON COALESCE(c_nationkey, s_nationkey) = n_nationkey
+      ORDER BY n_name"""))
+
+  // ---------------------------------------------------------------- Q34
+  // Cross join + left outer + zero-fill: the dense (year × priority)
+  // grid, with empty cells coalesced to 0. The cross join is of two
+  // TINY distinct-value sets (a deliberate, bounded cross — the only
+  // kind that's ever scale-safe).
+  private val q34 = QueryDef(
+    "q34_priority_grid",
+    (s, dir) => {
+      import s.implicits._
+      val o = t(s, dir, "orders")
+      val years = o.select(year($"o_orderdate").as("yr")).distinct()
+      val prios = o.select($"o_orderpriority").distinct()
+      val counts = o.groupBy(year($"o_orderdate").as("yr"), $"o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+      years.crossJoin(prios)
+        .join(counts, Seq("yr", "o_orderpriority"), "left_outer")
+        .select($"yr".cast(LongType).as("yr"), $"o_orderpriority",
+          coalesce($"n", lit(0L)).as("n_orders"))
+        .orderBy($"yr", $"o_orderpriority")
+    },
+    Some("""SELECT CAST(y.yr AS BIGINT) AS yr,
+        p.o_orderpriority AS o_orderpriority,
+        COALESCE(c.n, 0) AS n_orders
+      FROM (SELECT DISTINCT year(o_orderdate) AS yr FROM orders) y
+      CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders) p
+      LEFT JOIN (SELECT year(o_orderdate) AS yr, o_orderpriority,
+                   COUNT(*) AS n FROM orders GROUP BY 1, 2) c
+        ON c.yr = y.yr AND c.o_orderpriority = p.o_orderpriority
+      ORDER BY yr, p.o_orderpriority"""))
+
+  // ---------------------------------------------------------------- Q35
+  // Scalar-surface coverage: exact interpolated percentiles, collect_set
+  // + array_sort (deterministic array output), and map functions
+  // (map_from_entries / element_at) — the map stays internal, only its
+  // extractions are emitted (map column layouts don't hash portably;
+  // l_quantity is integer-valued so the 0.25-step interpolation is exact
+  // in double and engine-formula-independent).
+  private val q35 = QueryDef(
+    "q35_quantity_stats",
+    (s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val pct = li.groupBy($"l_returnflag").agg(
+        expr("percentile(l_quantity, 0.25)").as("q25"),
+        expr("percentile(l_quantity, 0.5)").as("q50"),
+        expr("percentile(l_quantity, 0.75)").as("q75"),
+        array_sort(collect_set($"l_linestatus")).as("statuses"))
+      val byStatus = li.groupBy($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("cnt"))
+      val mapped = byStatus.groupBy($"l_returnflag")
+        .agg(map_from_entries(
+          array_sort(collect_list(struct($"l_linestatus", $"cnt")))).as("m"))
+        .select($"l_returnflag",
+          coalesce(element_at($"m", "F"), lit(0L)).as("n_f"),
+          coalesce(element_at($"m", "O"), lit(0L)).as("n_o"))
+      pct.join(mapped, "l_returnflag")
+        .select($"l_returnflag", $"q25", $"q50", $"q75",
+          $"statuses", $"n_f", $"n_o")
+        .orderBy($"l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+        quantile_cont(l_quantity, 0.25) AS q25,
+        quantile_cont(l_quantity, 0.5) AS q50,
+        quantile_cont(l_quantity, 0.75) AS q75,
+        list_sort(list(DISTINCT l_linestatus)) AS statuses,
+        COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS n_f,
+        COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS n_o
+      FROM lineitem GROUP BY 1 ORDER BY 1"""))
+
+  // ---------------------------------------------------------------- Q36
+  // Multiset set-ops: UNION ALL and EXCEPT ALL (q18 covers the DISTINCT
+  // variants). n_diff = multiset difference count per key.
+  private val q36 = QueryDef(
+    "q36_status_multiset",
+    (s, dir) => {
+      import s.implicits._
+      def keys(status: String) = t(s, dir, "orders")
+        .filter($"o_orderstatus" === status).select($"o_custkey")
+      val u = keys("O").unionAll(keys("F"))
+        .groupBy($"o_custkey").agg(count(lit(1)).as("n_union"))
+      val d = keys("O").exceptAll(keys("F"))
+        .groupBy($"o_custkey").agg(count(lit(1)).as("n_diff"))
+      u.join(d, Seq("o_custkey"), "left_outer")
+        .select($"o_custkey", $"n_union", coalesce($"n_diff", lit(0L)).as("n_diff"))
+        .orderBy($"o_custkey")
+    },
+    Some("""WITH u AS (
+        SELECT o_custkey, COUNT(*) AS n_union FROM (
+          SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+          UNION ALL
+          SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') t
+        GROUP BY 1),
+      d AS (
+        SELECT o_custkey, COUNT(*) AS n_diff FROM (
+          SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+          EXCEPT ALL
+          SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') t
+        GROUP BY 1)
+      SELECT u.o_custkey, u.n_union, COALESCE(d.n_diff, 0) AS n_diff
+      FROM u LEFT JOIN d ON u.o_custkey = d.o_custkey
+      ORDER BY u.o_custkey"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q15b, q16, q17, q18a, q18b, q19, q30)
+    q11, q12, q13, q14, q15, q15b, q16, q17, q18a, q18b, q19,
+    q30, q33, q34, q35, q36)
 }

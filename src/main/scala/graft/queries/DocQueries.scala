@@ -375,18 +375,29 @@ object DocQueries {
             "i -> concat_ws(' ', slice(tk, i, 3)))")).as("token"))
         .distinct()
         .withColumn("h", md5($"token".cast(BinaryType)))
-      val bits = toks.select($"doc_id", posexplode(expr(
-          "transform(sequence(0, 63), b -> CAST(" +
-            "(shiftright(instr('0123456789abcdef', " +
-            "substring(h, CAST(b div 4 AS INT) + 1, 1)) - 1, " +
-            "CAST(3 - b % 4 AS INT)) & 1) AS LONG))")))
-        .toDF("doc_id", "b", "bit")
-      val votes = bits.groupBy($"doc_id", $"b")
-        .agg(sum($"bit" * 2 - 1).as("vote"))
-        .withColumn("sigbit", when($"vote" > 0, 1L).otherwise(0L))
-      val sig = votes.groupBy($"doc_id",
-          expr("CAST(b div 16 AS INT)").as("chunk_idx"))
-        .agg(sum(expr("shiftleft(sigbit, CAST(b % 16 AS INT))")).as("chunk_val"))
+      // Per-bit vote sums as 64 COLUMNAR aggregates over the shingle rows
+      // (one map-side partial agg, codegen'd) rather than a 64× row
+      // explode + shuffle — at sf0.1 the explode form moved 28M rows and
+      // took 6.8 s; this form is one pass. bit b set ⟺ 2·ones_b > n
+      // (⟺ Σ(2·bit−1) > 0, matching the oracle's vote formulation).
+      val ones = (0 until 64).map { b =>
+        sum(expr(
+          s"shiftright(instr('0123456789abcdef', substring(h, ${b / 4 + 1}, 1)) - 1, ${3 - b % 4}) & 1"))
+          .as(s"o$b")
+      }
+      val sums = toks.groupBy($"doc_id")
+        .agg(ones.head, (ones.tail :+ count(lit(1)).as("nsh")): _*)
+      val chunkStructs = (0 until 4).map { c =>
+        val v = (0 until 16).map { k =>
+          when(col(s"o${c * 16 + k}") * 2 > $"nsh", lit(1L << k))
+            .otherwise(lit(0L))
+        }.reduce(_ + _)
+        struct(lit(c).as("chunk_idx"), v.as("chunk_val"))
+      }
+      val sig = sums
+        .select($"doc_id", explode(array(chunkStructs: _*)).as("x"))
+        .select($"doc_id", $"x.chunk_idx".as("chunk_idx"),
+          $"x.chunk_val".as("chunk_val"))
       val c1 = sig.toDF("doc1", "chunk_idx", "v1")
       val c2 = sig.toDF("doc2", "chunk_idx", "v2")
       val cand = c1.join(c2,

@@ -103,5 +103,54 @@ object EventQueries {
           AS avg_session_sec
       FROM sessions GROUP BY 1 ORDER BY 1"""))
 
-  val all: Seq[QueryDef] = Seq(q20, q21)
+  // ---------------------------------------------------------------- Q37
+  // AS-OF join: each event matched to the user's most recent order at or
+  // before the event timestamp. Spark has no native as-of operator
+  // (SURVEY §2.B joins, §7.4 risk 3); the scale-safe composite is
+  // union-the-two-streams + per-key ordered window + last(ignoreNulls):
+  // one shuffle on the key, O(n log n) per partition, no range-join
+  // explosion. The DuckDB oracle uses its NATIVE `ASOF LEFT JOIN` — a
+  // fully independent implementation of the same semantics.
+  // Orders are pre-deduped to one per (custkey, date) (max orderkey) so
+  // the as-of match is unique in both engines; at equal timestamps the
+  // order row sorts before the event row (is_event 0 < 1), making the
+  // match inclusive (ts >= o_orderdate) like the oracle's `>=`.
+  private val q37 = QueryDef(
+    "q37_asof_last_order",
+    (s, dir) => {
+      import s.implicits._
+      val od = Tables.load(s, dir, "orders")
+        .groupBy($"o_custkey", $"o_orderdate")
+        .agg(max($"o_orderkey").as("o_orderkey"))
+      val oTagged = od.select($"o_custkey".as("k"), $"o_orderdate".as("t"),
+        lit(0).as("is_event"), lit(null).cast(LongType).as("event_id"),
+        $"o_orderkey", $"o_orderdate".as("odate"))
+      val eTagged = ev(s, dir).select($"user_id".as("k"), $"ts".as("t"),
+        lit(1).as("is_event"), $"event_id",
+        lit(null).cast(LongType).as("o_orderkey"),
+        lit(null).cast(TimestampNTZType).as("odate"))
+      val w = Window.partitionBy($"k").orderBy($"t", $"is_event")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      oTagged.unionAll(eTagged)
+        .withColumn("m_orderkey", last($"o_orderkey", ignoreNulls = true).over(w))
+        .withColumn("m_odate", last($"odate", ignoreNulls = true).over(w))
+        .filter($"is_event" === 1)
+        .select($"event_id", $"k".as("user_id"),
+          $"m_orderkey".as("o_orderkey"),
+          datediff($"t".cast(DateType), $"m_odate".cast(DateType))
+            .cast(LongType).as("age_days"))
+        .orderBy($"event_id")
+    },
+    Some(s"""$EventsUs,
+      od AS (
+        SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+        FROM orders GROUP BY 1, 2)
+      SELECT ev.event_id, ev.user_id, o.o_orderkey,
+        CAST(date_diff('day', CAST(o.o_orderdate AS DATE), CAST(ev.ts AS DATE))
+             AS BIGINT) AS age_days
+      FROM ev ASOF LEFT JOIN od o
+        ON ev.user_id = o.o_custkey AND ev.ts >= o.o_orderdate
+      ORDER BY event_id"""))
+
+  val all: Seq[QueryDef] = Seq(q20, q21, q37)
 }

@@ -79,6 +79,33 @@ object StreamingJobs {
       gap: String = "30 minutes"): DataFrame =
     sessions(events.withWatermark("ts", delay), gap)
 
+  // ------------------------------------------------------------------ S5
+  /** Stream-static join: the event stream enriched against the static
+    * customer dimension (user_id ≘ c_custkey), aggregated per market
+    * segment. The static side is re-read per micro-batch by Spark;
+    * at scale it is a broadcast of the dimension — same plan shape as
+    * the batch star joins. */
+  def segmentActivity(events: DataFrame, customers: DataFrame): DataFrame =
+    events.join(customers,
+        events("user_id") === customers("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"), sumDbl(col("value")).as("sum_value"))
+
+  // ------------------------------------------------------------------ S6
+  /** Streaming dedup by event_id with a watermark bounding the dedup
+    * state (SURVEY §2.B "dedup in stream"). */
+  def dedupedHourlyCounts(events: DataFrame, delay: String = "1 hour"): DataFrame =
+    hourlyCounts(events.withWatermark("ts", delay).dropDuplicates("event_id"))
+
+  // ------------------------------------------------------------------ S7
+  /** Sliding windows: 1-hour windows every 15 minutes (each event lands
+    * in 4 windows). */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n_events"))
+
   // ------------------------------------------------------------------ S4
   /** Arbitrary keyed state: a deterministic port of the reference demo's
     * per-frame accumulators — radius triangle-waves between 10 and 50 and

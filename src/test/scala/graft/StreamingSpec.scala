@@ -113,6 +113,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(canon(q21) === canon(swCounts))
   }
 
+  test("S5: stream-static join equals the batch join") {
+    val customers = Tables.load(spark, TestSpark.sf0001, "customer")
+    val streamed = runToTable(
+      segmentActivity(readReplayStream(spark, replayDir), customers),
+      "s5", "complete")
+    val batch = segmentActivity(spark.read.parquet(replayDir), customers)
+    assert(canon(streamed) === canon(batch))
+    assert(streamed.count() > 0)
+  }
+
+  test("S6: streaming dropDuplicates removes an exact replay of the input") {
+    // Same file twice: every event_id arrives twice; dedup must collapse
+    // the stream back to the original counts.
+    val d = Files.createTempDirectory("graft-replay-dup").toString
+    val base = spark.read.parquet(replayDir)
+    base.coalesce(1).write.mode("append").parquet(d)
+    base.coalesce(1).write.mode("append").parquet(d)
+    val streamed = runToTable(
+      dedupedHourlyCounts(readReplayStream(spark, d)), "s6", "complete")
+    val batch = hourlyCounts(base)
+    assert(canon(streamed) === canon(batch))
+  }
+
+  test("S7: sliding windows — each event lands in 4 windows, equals batch") {
+    val streamed = runToTable(
+      slidingCounts(readReplayStream(spark, replayDir)), "s7", "complete")
+    val batch = slidingCounts(spark.read.parquet(replayDir))
+    assert(canon(streamed) === canon(batch))
+    val totalEvents = spark.read.parquet(replayDir).count()
+    val windowedSum = streamed.agg(org.apache.spark.sql.functions.sum("n_events"))
+      .collect().head.getLong(0)
+    assert(windowedSum === totalEvents * 4)
+  }
+
   test("S4: mapGroupsWithState oscillator is replay-stable and matches a hand trace") {
     import spark.implicits._
     val events = spark.read.parquet(replayDir)

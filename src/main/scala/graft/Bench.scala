@@ -7,14 +7,20 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local("graft-bench")
-    // Warm up the JVM/codegen paths once (scan + join + agg + window) so
-    // the first timed query doesn't absorb JIT cost; untimed by design.
+    // Warm up the JVM/codegen paths once (vectorized parquet scan,
+    // decimal agg, hash join, window) so the first timed query doesn't
+    // absorb JIT cost; untimed by design.
     try {
       import org.apache.spark.sql.functions._
-      val li = Tables.load(spark, sfDir, "lineitem")
-        .select("l_orderkey", "l_quantity").limit(50000)
-      li.join(li.limit(1000), "l_orderkey").groupBy("l_orderkey")
-        .agg(sum("l_quantity")).write.format("noop").mode("overwrite").save()
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.load(spark, sfDir, "lineitem").limit(100000)
+      li.join(li.select("l_orderkey").distinct().limit(5000), "l_orderkey")
+        .groupBy("l_returnflag")
+        .agg(sum(col("l_quantity").cast("decimal(18,4)")).as("s"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          sum(col("s")).over(Window.orderBy("l_returnflag")).as("r"))
+        .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
     val runs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -34,6 +34,11 @@ case class QuantizedDot(left: Expression, right: Expression)
 
   override def dataType: DataType = LongType
 
+  // Expression.foldable defaults to false for custom expressions; with
+  // this override Catalyst's ConstantFolding evaluates all-literal calls
+  // at plan time (asserted in PlanShapeSpec).
+  override def foldable: Boolean = children.forall(_.foldable)
+
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
       case ArrayType(FloatType, _) => true

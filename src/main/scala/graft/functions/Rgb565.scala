@@ -26,6 +26,8 @@ case class Rgb565(first: Expression, second: Expression, third: Expression)
 
   override def dataType: DataType = IntegerType
 
+  override def foldable: Boolean = children.forall(_.foldable)
+
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = children.forall(_.dataType == IntegerType)
     if (ok) TypeCheckResult.TypeCheckSuccess

@@ -55,6 +55,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"rewrite regressed to a join:\n$p")
   }
 
+  test("custom expressions constant-fold when all arguments are literals") {
+    val p = spark.sql(
+      "SELECT rgb565(255, 0, 0) AS pen, dotq(array(CAST(0.5 AS FLOAT)), array(CAST(0.5 AS FLOAT))) AS d")
+      .queryExecution.optimizedPlan.toString
+    assert(p.contains("63488"), p)        // 0xF800 folded to a literal
+    assert(p.contains("250000000000"), p) // 500000^2 folded to a literal
+    assert(!p.toLowerCase.contains("rgb565("), p)
+  }
+
   test("q02/q10: top-k compiles to TakeOrderedAndProject") {
     assert(plan("q02_top_customers").contains("TakeOrderedAndProject"))
     assert(plan("q10_returned_items").contains("TakeOrderedAndProject"))

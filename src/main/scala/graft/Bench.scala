@@ -22,15 +22,38 @@ object Bench {
           sum(col("s")).over(Window.orderBy("l_returnflag")).as("r"))
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
+    // Per-leaf scanned-row metric, best-effort (descends into the AQE
+    // final plan) — the reference's one-metrics-line-per-stage ethos
+    // (DoublePsramBuffer480x480.cpp:209-214) applied per query.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def leaves(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => leaves(a.executedPlan)
+      case q: QueryStageExec => leaves(q.plan) // AQE stages have no children
+      case o if o.children.isEmpty => Seq(o)
+      case o => o.children.flatMap(leaves)
+    }
     val runs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      // noop sink, NOT count(): a count() action lets Catalyst prune the
-      // aggregate/projection work entirely (it only needs row counts), so
-      // it benchmarks a different, cheaper plan. noop materializes every
-      // output column through the full plan.
+      // Execute the query's OWN physical plan via toRdd, not count() and
+      // not a write: a count() action lets Catalyst prune the measured
+      // work (it only needs row counts), and df.write re-plans in a fresh
+      // QueryExecution whose metrics are invisible here. toRdd.count()
+      // materializes every output column through the full plan AND leaves
+      // the scan metrics readable on df.queryExecution.
       val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
+        try {
+          val df = fn(spark, sfDir)
+          df.queryExecution.toRdd.count()
+          val secs = (System.nanoTime() - t0) / 1e9
+          val scanned = try {
+            leaves(df.queryExecution.executedPlan)
+              .flatMap(_.metrics.get("numOutputRows")).map(_.value).sum
+          } catch { case _: Throwable => -1L }
+          System.err.println(
+            f"[bench] $name%-28s $secs%8.3f s  scanned=$scanned%,12d rows")
+          true
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }
       (name, (System.nanoTime() - t0) / 1e9, ok)
@@ -41,7 +64,8 @@ object Bench {
     val failed = runs.filterNot(_._3).map("\"" + _._1 + "\"")
       .mkString("[", ",", "]")
     val total = good.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val qps = if (total > 0) good.size / total else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"qps":${f"$qps%.3f"},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -120,18 +120,25 @@ object CoreQueries {
       GROUP BY 1 ORDER BY 1"""))
 
   // ---------------------------------------------------------------- Q05
+  // NOT EXISTS → left-anti. The predicate is "no HIGH-VALUE order": the
+  // plain "no order at all" variant is vacuous on this generator (every
+  // customer has orders at every SF), which would leave the anti-join
+  // 0-row-tested; with the 350k threshold the result is a real subset at
+  // every SF (8/150 at sf0.001 … 762/15000 at sf0.1).
   private val q05 = QueryDef(
     "q05_customers_no_orders",
     (s, dir) => {
       import s.implicits._
       t(s, dir, "customer")
-        .join(t(s, dir, "orders").select($"o_custkey"),
+        .join(t(s, dir, "orders")
+            .filter($"o_totalprice" > 350000).select($"o_custkey"),
           $"c_custkey" === $"o_custkey", "left_anti")
         .select($"c_custkey", $"c_name")
         .orderBy($"c_custkey")
     },
     Some("""SELECT c_custkey, c_name FROM customer
-      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_totalprice > 350000)
       ORDER BY c_custkey"""))
 
   // ---------------------------------------------------------------- Q06

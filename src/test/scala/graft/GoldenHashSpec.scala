@@ -1,0 +1,39 @@
+package graft
+
+import scala.io.Source
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Registry
+import graft.tools.Canon
+
+/** Golden-hash regression gate (SURVEY §5.B #1): every registered query's
+  * canonicalized sf0.001 result must match the checked-in SHA-256.
+  * Catches silent semantic drift between rounds. After an INTENTIONAL
+  * change, regenerate with graft.tools.GoldenGen and review the diff. */
+class GoldenHashSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val golden: Map[String, (Long, String)] = {
+    val src = Source.fromInputStream(
+      getClass.getResourceAsStream("/golden/sf0.001.json"), "UTF-8")
+    try {
+      val txt = src.mkString
+      """"([^"]+)": \{"rows": (\d+), "sha256": "([0-9a-f]{64})"\}""".r
+        .findAllMatchIn(txt)
+        .map(m => m.group(1) -> (m.group(2).toLong, m.group(3))).toMap
+    } finally src.close()
+  }
+
+  test("golden file covers exactly the registered queries") {
+    assert(golden.keySet === Registry.all.map(_.name).toSet)
+  }
+
+  for (q <- Registry.all) test(s"${q.name} matches its golden hash") {
+    val lines = Canon.rows(q.run(spark, TestSpark.sf0001))
+    val (rows, hash) = golden(q.name)
+    assert(lines.size === rows, "row count drifted")
+    assert(Canon.sha256(lines) === hash,
+      s"result drifted; if intentional, regenerate via graft.tools.GoldenGen")
+  }
+}

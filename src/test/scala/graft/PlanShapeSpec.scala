@@ -41,12 +41,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan("q05_customers_no_orders").contains("LeftAnti"))
   }
 
-  test("q23/q24c: no cartesian or nested-loop join anywhere") {
-    for (q <- Seq("q23_near_dup_minhash", "q24c_top_similar_pairs")) {
-      val p = plan(q)
-      assert(!p.contains("CartesianProduct"), s"$q plan:\n$p")
-      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plan:\n$p")
-    }
+  test("no query plans a cartesian/nested-loop join (except q34's bounded grid)") {
+    // Intentional exemptions: q34 crosses two tiny distinct-value sets;
+    // q24 broadcast-nested-loops the 3-row query-vector set against the
+    // corpus — a map-side scan with a bounded broadcast side, which is
+    // the correct "score every corpus row against k queries" plan (the
+    // LSH variant q24b shows the pruned alternative and stays equi-keyed
+    // on the bucket signature). Everything else must stay equi-keyed.
+    val offenders = Registry.all
+      .filterNot(q => Set("q34_priority_grid", "q24_cosine_topk")(q.name))
+      .flatMap { q =>
+        val p = plan(q.name)
+        if (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
+          Some(q.name)
+        else None
+      }
+    assert(offenders.isEmpty, s"unbounded join shapes in: $offenders")
   }
 
   test("q19: the 30-day pair count is a window, not a self-join") {

@@ -147,6 +147,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(windowedSum === totalEvents * 4)
   }
 
+  test("S8: rate source smoke — the built-in synthetic stream wires up") {
+    val q = spark.readStream.format("rate").option("rowsPerSecond", 500).load()
+      .writeStream.format("memory").queryName("s8").outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      Thread.sleep(1200)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table("s8").count() > 0)
+    assert(spark.table("s8").columns.toSet === Set("timestamp", "value"))
+  }
+
   test("S4: mapGroupsWithState oscillator is replay-stable and matches a hand trace") {
     import spark.implicits._
     val events = spark.read.parquet(replayDir)

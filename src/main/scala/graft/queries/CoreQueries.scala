@@ -654,8 +654,40 @@ object CoreQueries {
       FROM u LEFT JOIN d ON u.o_custkey = d.o_custkey
       ORDER BY u.o_custkey"""))
 
+  // ---------------------------------------------------------------- Q38
+  // Arbitrary GROUPING SETS (the general form behind q16's ROLLUP and
+  // q17's CUBE): three hand-picked sets — (status, priority), (status),
+  // and grand total — expressed through spark.sql, exercising the SQL
+  // entry path (SURVEY §3.D entry point 1) alongside the DataFrame DSL
+  // used everywhere else.
+  private val q38 = QueryDef(
+    "q38_grouping_sets",
+    (s, dir) => {
+      Tables.load(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql("""SELECT COALESCE(o_orderstatus, '(all)') AS status,
+          COALESCE(o_orderpriority, '(all)') AS priority,
+          CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+          CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+          COUNT(*) AS n_orders,
+          CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS total
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        ORDER BY g_status, g_priority, status, priority""")
+    },
+    Some("""SELECT COALESCE(o_orderstatus, '(all)') AS status,
+        COALESCE(o_orderpriority, '(all)') AS priority,
+        CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+        CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+        COUNT(*) AS n_orders,
+        CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS total
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                              (o_orderstatus), ())
+      ORDER BY g_status, g_priority, status, priority"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q15b, q16, q17, q18a, q18b, q19,
-    q30, q33, q34, q35, q36)
+    q30, q33, q34, q35, q36, q38)
 }

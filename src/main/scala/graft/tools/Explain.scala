@@ -6,6 +6,8 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = args.head
     val spark = Sessions.local("graft-explain")
+    sys.env.get("GRAFT_BROADCAST_THRESHOLD").foreach(v =>
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v))
     // warm up codegen/JIT so timings are comparable
     spark.range(1000000).selectExpr("sum(id)").write
       .format("noop").mode("overwrite").save()

@@ -147,6 +147,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(windowedSum === totalEvents * 4)
   }
 
+  test("S9: update output mode emits each changed window exactly once") {
+    // Two input files with DISJOINT event-time ranges (second shifted
+    // +90 days): whatever the batch split, update mode must emit every
+    // (hour, event_type) aggregate exactly once — re-emission of
+    // unchanged windows or complete-mode re-dumps would duplicate keys.
+    val d = Files.createTempDirectory("graft-replay-upd").toString
+    val base = spark.read.parquet(replayDir)
+    base.coalesce(1).write.mode("append").parquet(d)
+    base.withColumn("ts", col("ts") + expr("INTERVAL 90 DAYS"))
+      .withColumn("event_id", col("event_id") + lit(20000000L))
+      .coalesce(1).write.mode("append").parquet(d)
+    val streamed = runToTable(
+      hourlyCounts(readReplayStream(spark, d, maxFilesPerTrigger = Some(1))),
+      "s9", "update")
+    val keys = streamed.select("hour", "event_type").collect()
+      .map(r => (r.get(0).toString, r.getString(1)))
+    assert(keys.length === keys.distinct.length, "update mode re-emitted a window")
+    val batch = hourlyCounts(spark.read.parquet(d))
+    assert(canon(streamed) === canon(batch))
+  }
+
   test("S8: rate source smoke — the built-in synthetic stream wires up") {
     val q = spark.readStream.format("rate").option("rowsPerSecond", 500).load()
       .writeStream.format("memory").queryName("s8").outputMode("append")

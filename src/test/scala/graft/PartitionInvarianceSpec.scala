@@ -15,10 +15,11 @@ class PartitionInvarianceSpec extends AnyFunSuite {
   private val dir = TestSpark.sf0001
 
   // Queries chosen to cover: decimal agg, window, set ops, LSH join,
-  // integer-quantized cosine.
+  // integer-quantized cosine, UDAF, as-of composite, simhash votes.
   private val names = Seq(
     "q01_pricing_summary", "q08_segment_share", "q13_running_revenue",
-    "q18_value_intersect", "q23_near_dup_minhash", "q24_cosine_topk")
+    "q18_value_intersect", "q23_near_dup_minhash", "q24_cosine_topk",
+    "q30_weighted_avg_price", "q37_asof_last_order", "q32_simhash_near_dup")
 
   private def canonical(name: String): Seq[String] = {
     val df = Registry.byName(name).run(spark, dir)

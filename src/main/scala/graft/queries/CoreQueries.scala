@@ -594,11 +594,15 @@ object CoreQueries {
     (s, dir) => {
       import s.implicits._
       val li = t(s, dir, "lineitem")
+      // statuses is emitted as a joined STRING, not an array column: the
+      // driver's hash canonicalization of list values is unspecified, and
+      // concat_ws keeps the same collect_set + array_sort operators under
+      // test with a portable output type.
       val pct = li.groupBy($"l_returnflag").agg(
         expr("percentile(l_quantity, 0.25)").as("q25"),
         expr("percentile(l_quantity, 0.5)").as("q50"),
         expr("percentile(l_quantity, 0.75)").as("q75"),
-        array_sort(collect_set($"l_linestatus")).as("statuses"))
+        concat_ws(",", array_sort(collect_set($"l_linestatus"))).as("statuses"))
       val byStatus = li.groupBy($"l_returnflag", $"l_linestatus")
         .agg(count(lit(1)).as("cnt"))
       val mapped = byStatus.groupBy($"l_returnflag")
@@ -616,7 +620,7 @@ object CoreQueries {
         quantile_cont(l_quantity, 0.25) AS q25,
         quantile_cont(l_quantity, 0.5) AS q50,
         quantile_cont(l_quantity, 0.75) AS q75,
-        list_sort(list(DISTINCT l_linestatus)) AS statuses,
+        array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
         COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS n_f,
         COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS n_o
       FROM lineitem GROUP BY 1 ORDER BY 1"""))

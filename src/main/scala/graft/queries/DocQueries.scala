@@ -82,6 +82,14 @@ object DocQueries {
     "q23_near_dup_minhash",
     (s, dir) => {
       import s.implicits._
+      // The shingle set feeds multiple plan branches (signature agg,
+      // both Jaccard sides). Deliberately NOT persisted: an explicit
+      // .persist() was benchmarked at sf0.1 and LOST on the cold
+      // single-run path the driver measures (cache serialization + lost
+      // whole-stage fusion outweigh recompute, which AQE's runtime
+      // exchange reuse already partly dedupes); on a repeatedly-queried
+      // 100 TB corpus the right move is materializing the shingle table
+      // to storage once, not engine-level caching inside this query.
       val sh = docs(s, dir)
         .select($"doc_id", split(lower($"text"), " ").as("toks"))
         .filter(size($"toks") >= 5)
@@ -89,11 +97,15 @@ object DocQueries {
           "transform(sequence(1, size(toks) - 4), " +
             "i -> concat_ws(' ', slice(toks, i, 5)))")).as("shingle"))
         .distinct()
-      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      // ONE aggregation computes all 16 minhashes AND the shingle-set
+      // size (the Jaccard denominator) — fusing `sizes` in here removes
+      // a second scan+shuffle of the shingle set.
       val hs = (0 until 16).map(i =>
         min(md5(concat(lit(s"$i:"), $"shingle").cast(BinaryType)))
           .as(s"h$i"))
-      val sig = sh.groupBy($"doc_id").agg(hs.head, hs.tail: _*)
+      val sig = sh.groupBy($"doc_id")
+        .agg(hs.head, (hs.tail :+ count(lit(1)).as("n")): _*)
+      val sizes = sig.select($"doc_id", $"n")
       val bands = sig.select($"doc_id", explode(array(
         (0 until 4).map(b => struct(
           lit(b).as("band_idx"),

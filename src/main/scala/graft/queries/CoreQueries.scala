@@ -257,16 +257,27 @@ object CoreQueries {
       // partition — a scale-killer flagged in round 1. Per-nation ranking
       // keeps the window shuffled by n_nationkey (25 partitions of
       // |supplier|/25 each, further split by AQE if skewed).
+      // rank/dense_rank tie-break identically on equal balances; ntile
+      // additionally needs a TOTAL order (its bucketing depends on row
+      // position, not value), hence the s_suppkey tiebreaker.
+      val byBal = Window.partitionBy($"n_nationkey").orderBy($"s_acctbal".desc)
+      val byBalTotal = Window.partitionBy($"n_nationkey")
+        .orderBy($"s_acctbal".desc, $"s_suppkey")
       t(s, dir, "supplier")
         .join(broadcast(t(s, dir, "nation")), $"s_nationkey" === $"n_nationkey")
         .select($"s_name", $"n_name", $"s_acctbal",
-          rank().over(Window.partitionBy($"n_nationkey")
-            .orderBy($"s_acctbal".desc)).cast(LongType).as("bal_rank"))
+          rank().over(byBal).cast(LongType).as("bal_rank"),
+          dense_rank().over(byBal).cast(LongType).as("bal_dense"),
+          ntile(4).over(byBalTotal).cast(LongType).as("bal_quartile"))
         .orderBy($"n_name", $"bal_rank", $"s_name")
     },
     Some("""SELECT s_name, n_name, s_acctbal,
-      CAST(RANK() OVER (PARTITION BY n_nationkey ORDER BY s_acctbal DESC) AS BIGINT) AS bal_rank
+      CAST(RANK() OVER w AS BIGINT) AS bal_rank,
+      CAST(DENSE_RANK() OVER w AS BIGINT) AS bal_dense,
+      CAST(NTILE(4) OVER (PARTITION BY n_nationkey
+        ORDER BY s_acctbal DESC, s_suppkey) AS BIGINT) AS bal_quartile
       FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      WINDOW w AS (PARTITION BY n_nationkey ORDER BY s_acctbal DESC)
       ORDER BY n_name, bal_rank, s_name"""))
 
   // ---------------------------------------------------------------- Q12
@@ -279,12 +290,14 @@ object CoreQueries {
       t(s, dir, "orders")
         .select($"o_custkey", $"o_orderkey",
           row_number().over(w).cast(LongType).as("order_seq"),
-          ($"o_totalprice" - lag($"o_totalprice", 1).over(w)).as("price_delta"))
+          ($"o_totalprice" - lag($"o_totalprice", 1).over(w)).as("price_delta"),
+          (lead($"o_totalprice", 1).over(w) - $"o_totalprice").as("next_delta"))
         .orderBy($"o_custkey", $"order_seq")
     },
     Some("""SELECT o_custkey, o_orderkey,
       CAST(ROW_NUMBER() OVER w AS BIGINT) AS order_seq,
-      o_totalprice - LAG(o_totalprice, 1) OVER w AS price_delta
+      o_totalprice - LAG(o_totalprice, 1) OVER w AS price_delta,
+      LEAD(o_totalprice, 1) OVER w - o_totalprice AS next_delta
       FROM orders
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       ORDER BY o_custkey, order_seq"""))

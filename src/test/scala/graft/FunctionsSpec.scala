@@ -116,6 +116,24 @@ class FunctionsSpec extends AnyFunSuite {
     assert(agg === win)
   }
 
+  test("topk_by_score survives the sort-based aggregation fallback (spill path)") {
+    // ObjectHashAggregate falls back to sort-based aggregation after N
+    // distinct keys per partition; threshold=2 forces the fallback (the
+    // path a memory-pressured 100 TB run takes), which exercises buffer
+    // serialize/deserialize + merge.
+    val conf = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val saved = spark.conf.get(conf)
+    val q = """SELECT g, topk_by_score(score, pid, 3) AS top FROM (
+                 SELECT id % 50 AS g, CAST(id % 97 AS DOUBLE) AS score, id AS pid
+                 FROM range(20000)) GROUP BY g"""
+    val normal = spark.sql(q).collect().map(_.toString).sorted
+    spark.conf.set(conf, "2")
+    try {
+      val spilled = spark.sql(q).collect().map(_.toString).sorted
+      assert(spilled === normal)
+    } finally spark.conf.set(conf, saved)
+  }
+
   test("topk_by_score handles groups smaller than k and null scores") {
     val rows = spark.sql(
       """SELECT topk_by_score(s, i, 5) AS top FROM VALUES

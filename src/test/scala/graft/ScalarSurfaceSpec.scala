@@ -128,6 +128,21 @@ class ScalarSurfaceSpec extends AnyFunSuite {
     assert(r.getString(3) === "b")
   }
 
+  test("synthetic datagen: spark.range + rand(seed) is replay-deterministic") {
+    // §2.B datagen (reference A20's sprite init analog): seeded rand is
+    // deterministic PER PARTITION — stable under a fixed partitioning,
+    // which is the contract any synthetic-fixture generator relies on.
+    import org.apache.spark.sql.functions._
+    def gen() = spark.range(0, 1000, 1, 8)
+      .select(col("id"), rand(42).as("u"), randn(42).as("g"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val a = gen()
+    val b = gen()
+    assert(a === b)
+    assert(a.map(_._2).distinct.length > 900) // actually random-looking
+    assert(a.forall(t => t._2 >= 0.0 && t._2 < 1.0))
+  }
+
   test("CSV and JSON scans round-trip the events table") {
     // §2.B aux scans: the same rows come back through csv and json codecs.
     import org.apache.spark.sql.functions._

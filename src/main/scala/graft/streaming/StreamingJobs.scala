@@ -159,4 +159,33 @@ object StreamingJobs {
             graft.functions.Rgb565.pack(end.r, end.g, end.b))
       }
   }
+
+  /** flatMapGroupsWithState exemplar: the RESET CHANGE-LOG. Where
+    * `oscillator` emits exactly one row per group (map shape), this
+    * emits one row per reset event — the pre-reset oscillator state at
+    * each "signup" (the reference's two-finger reset moment,
+    * src/SinglePsramBuffer480x480.cpp:151-164) — i.e. 0..n rows per
+    * group, the shape flatMapGroupsWithState exists for. */
+  case class ResetEvent(user_id: Long, at_event_id: Long,
+      radius_before: Int, pen_before: Int, n_before: Long)
+
+  def resetLog(events: Dataset[Event]): Dataset[ResetEvent] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OscState, ResetEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (userId, it, state) =>
+          var s = state.getOption.getOrElse(initState)
+          val out = Seq.newBuilder[ResetEvent]
+          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            if (e.event_type == "signup")
+              out += ResetEvent(userId, e.event_id, s.radius,
+                graft.functions.Rgb565.pack(s.r, s.g, s.b), s.n)
+            s = step(s, e)
+          }
+          state.update(s)
+          out.result().iterator
+      }
+  }
 }

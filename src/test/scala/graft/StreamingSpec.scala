@@ -206,4 +206,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(fin.radius === 12)
     assert(fin.n === 27)
   }
+
+  test("S4b: flatMapGroupsWithState reset log emits one row per signup") {
+    import spark.implicits._
+    val events = spark.read.parquet(replayDir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event]
+    val log = resetLog(events).collect()
+    val signups = events.filter(_.event_type == "signup")
+      .groupByKey(_.user_id).count().collect().toMap
+    val perUser = log.groupBy(_.user_id).view.mapValues(_.length.toLong).toMap
+    assert(perUser === signups.filter(_._2 > 0))
+    // replay-stable and pre-reset state is never the fresh init state
+    // unless the signup was the user's first event
+    val log2 = resetLog(events).collect()
+    assert(log.sortBy(r => (r.user_id, r.at_event_id)).toSeq ===
+      log2.sortBy(r => (r.user_id, r.at_event_id)).toSeq)
+    assert(log.exists(_.n_before > 0))
+  }
 }

@@ -386,15 +386,24 @@ object CoreQueries {
     "q16_rollup_revenue",
     (s, dir) => {
       import s.implicits._
-      t(s, dir, "lineitem")
+      // Pre-aggregate to the FINEST grouping before rollup: ROLLUP plans
+      // an Expand that replicates its input once per grouping set, so
+      // rolling up the raw 600k-row join would triple the aggregation
+      // input. Aggregating to (r_name, n_name) first (25 rows) and
+      // re-summing the EXACT decimal partials gives identical totals
+      // (decimal addition is associative) with a 25-row Expand.
+      val fine = t(s, dir, "lineitem")
         .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
         .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
         .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
         .join(broadcast(t(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name", $"n_name")
+        .agg(sum(revenue($"l_extendedprice", $"l_discount")).as("rev"))
+      fine
         .rollup($"r_name", $"n_name")
         .agg(grouping($"r_name").cast(LongType).as("g_region"),
           grouping($"n_name").cast(LongType).as("g_nation"),
-          sumMoney(revenue($"l_extendedprice", $"l_discount")).as("revenue"))
+          dbl(sum($"rev").cast(Dec4)).as("revenue"))
         .select(coalesce($"r_name", lit("(all)")).as("region_name"),
           coalesce($"n_name", lit("(all)")).as("nation_name"),
           $"g_region", $"g_nation", $"revenue")
@@ -417,11 +426,15 @@ object CoreQueries {
     "q17_cube_counts",
     (s, dir) => {
       import s.implicits._
+      // same pre-aggregate-before-Expand shape as q16: cube over the
+      // 15-row (priority × status) partial counts, not 150k orders.
       t(s, dir, "orders")
+        .groupBy($"o_orderpriority", $"o_orderstatus")
+        .agg(count(lit(1)).as("cnt"))
         .cube($"o_orderpriority", $"o_orderstatus")
         .agg(grouping($"o_orderpriority").cast(LongType).as("g_priority"),
           grouping($"o_orderstatus").cast(LongType).as("g_status"),
-          count(lit(1)).as("n_orders"))
+          sum($"cnt").as("n_orders"))
         .select(coalesce($"o_orderpriority", lit("(all)")).as("priority"),
           coalesce($"o_orderstatus", lit("(all)")).as("status"),
           $"g_priority", $"g_status", $"n_orders")
@@ -681,13 +694,19 @@ object CoreQueries {
     "q38_grouping_sets",
     (s, dir) => {
       Tables.load(s, dir, "orders").createOrReplaceTempView("orders_v")
-      s.sql("""SELECT COALESCE(o_orderstatus, '(all)') AS status,
+      // pre-aggregate to the finest set before the GROUPING SETS Expand
+      // (q16 rationale); exact decimal partials re-sum associatively
+      s.sql("""WITH fine AS (
+          SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+            SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS price_sum
+          FROM orders_v GROUP BY 1, 2)
+        SELECT COALESCE(o_orderstatus, '(all)') AS status,
           COALESCE(o_orderpriority, '(all)') AS priority,
           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
-          COUNT(*) AS n_orders,
-          CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS total
-        FROM orders_v
+          SUM(cnt) AS n_orders,
+          CAST(CAST(SUM(price_sum) AS DECIMAL(18,4)) AS DOUBLE) AS total
+        FROM fine
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                                 (o_orderstatus), ())
         ORDER BY g_status, g_priority, status, priority""")

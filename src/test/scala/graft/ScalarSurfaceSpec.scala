@@ -143,6 +143,27 @@ class ScalarSurfaceSpec extends AnyFunSuite {
     assert(a.forall(t => t._2 >= 0.0 && t._2 < 1.0))
   }
 
+  test("ORC scan round-trips, and binaryFile ingests raw blobs") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    val docs = Tables.load(spark, TestSpark.sf0001, "documents")
+    docs.write.mode("overwrite").orc(s"$dir/orc")
+    val back = spark.read.orc(s"$dir/orc")
+    assert(back.count() === docs.count())
+    assert(back.agg(sum("n_chars")).collect().head.getLong(0) ===
+      docs.agg(sum("n_chars")).collect().head.getLong(0))
+    // binaryFile: the ingest format for real multimodal blobs
+    // (MultimodalOps synthesizes bytes today; this is the production door)
+    val raw = java.nio.file.Files.createTempDirectory("graft-bin")
+    java.nio.file.Files.write(raw.resolve("a.bin"), Array[Byte](1, 2, 3))
+    java.nio.file.Files.write(raw.resolve("b.bin"), Array[Byte](4, 5))
+    val bf = spark.read.format("binaryFile").load(raw.toString)
+    val rows = bf.select("path", "length").collect()
+      .map(r => (r.getString(0).split('/').last, r.getLong(1))).toSet
+    assert(rows === Set(("a.bin", 3L), ("b.bin", 2L)))
+    assert(bf.schema.fieldNames.contains("content"))
+  }
+
   test("CSV and JSON scans round-trip the events table") {
     // §2.B aux scans: the same rows come back through csv and json codecs.
     import org.apache.spark.sql.functions._

@@ -13,5 +13,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(QuantizedDot.descriptor)
     e.injectFunction(Rgb565.descriptor)
     e.injectFunction(TopKByScore.descriptor)
+    e.injectFunction(RollingMinMd5.descriptor)
   }
 }

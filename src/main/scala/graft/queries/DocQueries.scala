@@ -209,8 +209,12 @@ object DocQueries {
         .filter(length($"token") > 0)
       val model = toks.groupBy($"token".as("m_token"), $"lang".as("m_lang"))
         .agg(count(lit(1)).as("cnt"))
+      // no broadcast hint on the model: vocabulary grows with corpus
+      // size under Heaps' law, so it is NOT fixed-size at 100 TB — AQE
+      // broadcasts it when the runtime size allows and shuffles when it
+      // doesn't (same reasoning as dropping the q09 part-table hint).
       val scored = toks
-        .join(broadcast(model), $"token" === $"m_token")
+        .join(model, $"token" === $"m_token")
         .groupBy($"doc_id", $"lang", $"m_lang")
         .agg(sum($"cnt").as("score"))
       val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"m_lang")
@@ -334,17 +338,20 @@ object DocQueries {
   // ---------------------------------------------------------------- Q29
   // Document fingerprinting: rolling 16-char window, md5 each position,
   // keep the lexicographic MIN as the doc fingerprint (winnowing-style).
-  // Pure per-row HOF — array never leaves the row, no explode, so the
-  // scan stays one codegen stage; only the tiny per-source aggregate
-  // shuffles. Docs sharing a fingerprint are near-dup candidates:
-  // n_docs − n_fingerprints estimates the dup mass per source.
+  // Per-row expression — no explode, the scan stays one codegen stage;
+  // only the tiny per-source aggregate shuffles. Docs sharing a
+  // fingerprint are near-dup candidates: n_docs − n_fingerprints
+  // estimates the dup mass per source. Uses the native rolling_min_md5
+  // expression (graft.functions.RollingMinMd5): the equivalent
+  // array_min(transform(sequence…md5(substring))) HOF allocates and
+  // interprets one lambda per window (~140/doc) — the native loop
+  // reuses one digest (~20% on q29; the md5 calls themselves dominate.
+  // FunctionsSpec asserts equivalence).
   private val q29 = QueryDef(
     "q29_doc_fingerprints",
     (s, dir) => {
       import s.implicits._
-      val fp = expr(
-        "array_min(transform(sequence(1, greatest(length(text) - 15, 1)), " +
-          "i -> md5(CAST(substring(text, i, 16) AS BINARY))))")
+      val fp = expr("rolling_min_md5(text, 16)")
       docs(s, dir).select($"source", fp.as("fp"))
         .groupBy($"source")
         .agg(count(lit(1)).as("n_docs"),

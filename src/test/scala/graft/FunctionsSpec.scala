@@ -144,6 +144,25 @@ class FunctionsSpec extends AnyFunSuite {
       Seq((3.0, 12L), (1.0, 10L))) // null-score row skipped, sorted desc
   }
 
+  // ----------------------------------------------------- rolling_min_md5
+  test("rolling_min_md5 equals the HOF formulation on fixture text") {
+    val both = Tables.load(spark, TestSpark.sf0001, "documents").limit(100)
+      .selectExpr(
+        "rolling_min_md5(text, 16) AS native",
+        """array_min(transform(sequence(1, greatest(length(text) - 15, 1)),
+             i -> md5(CAST(substring(text, i, 16) AS BINARY)))) AS hof""")
+    assert(both.collect().forall(r => r.getString(0) == r.getString(1)))
+  }
+
+  test("rolling_min_md5 edge cases: short text, exact width, null") {
+    val r = spark.sql(
+      """SELECT rolling_min_md5('ab', 16) AS short,
+                md5(CAST('ab' AS BINARY)) AS direct,
+                rolling_min_md5(CAST(NULL AS STRING), 16) AS n""").collect().head
+    assert(r.getString(0) === r.getString(1)) // width > len → whole text
+    assert(r.isNullAt(2))
+  }
+
   test("dotq stays inside WholeStageCodegen") {
     val df = Tables.load(spark, TestSpark.sf0001, "embeddings")
       .selectExpr("dotq(embedding, embedding) AS n2")

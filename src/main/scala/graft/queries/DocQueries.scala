@@ -78,9 +78,11 @@ object DocQueries {
   //      Jaccard a naive implementation would do — disqualifying at scale).
   //   5. Exact 5-gram Jaccard verification ONLY on candidates; emit pairs
   //      with J ≥ 0.6.
-  private val q23 = QueryDef(
-    "q23_near_dup_minhash",
-    (s, dir) => {
+  /** The q23 candidate-pair pipeline, shared with q39's clustering.
+    * Returns (doc1, doc2, n_shared, n1, n2, jaccard) for J >= 0.6,
+    * unordered. */
+  private def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    {
       import s.implicits._
       // The shingle set feeds multiple plan branches (signature agg,
       // both Jaccard sides). Deliberately NOT persisted: an explicit
@@ -132,9 +134,11 @@ object DocQueries {
         .select($"doc1", $"doc2", $"n_shared", $"n1", $"n2",
           jac.as("jaccard"))
         .filter(jac >= 0.6)
-        .orderBy($"doc1", $"doc2")
-    },
-    Some {
+    }
+  }
+
+  /** Oracle CTE chain ending in `pairs` — shared by q23 and q39. */
+  private val oraclePairCtes: String = {
       val hs = (0 until 16)
         .map(i => s"min(md5('$i:' || shingle)) AS h$i").mkString(", ")
       val bandSelects = (0 until 4).map { b =>
@@ -161,15 +165,25 @@ object DocQueries {
         FROM cand
         JOIN sh x1 ON x1.doc_id = doc1
         JOIN sh x2 ON x2.doc_id = doc2 AND x2.shingle = x1.shingle
-        GROUP BY 1, 2)
-      SELECT doc1, doc2, n_shared, z1.n AS n1, z2.n AS n2,
-        CAST(n_shared AS DOUBLE) / (z1.n + z2.n - n_shared) AS jaccard
-      FROM inter
-      JOIN sizes z1 ON z1.doc_id = doc1
-      JOIN sizes z2 ON z2.doc_id = doc2
-      WHERE CAST(n_shared AS DOUBLE) / (z1.n + z2.n - n_shared) >= 0.6
-      ORDER BY doc1, doc2"""
-    })
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT doc1, doc2, n_shared, z1.n AS n1, z2.n AS n2,
+          CAST(n_shared AS DOUBLE) / (z1.n + z2.n - n_shared) AS jaccard
+        FROM inter
+        JOIN sizes z1 ON z1.doc_id = doc1
+        JOIN sizes z2 ON z2.doc_id = doc2
+        WHERE CAST(n_shared AS DOUBLE) / (z1.n + z2.n - n_shared) >= 0.6)"""
+  }
+
+  private val q23 = QueryDef(
+    "q23_near_dup_minhash",
+    (s, dir) => {
+      import s.implicits._
+      nearDupPairs(s, dir).orderBy($"doc1", $"doc2")
+    },
+    Some(s"""$oraclePairCtes
+      SELECT doc1, doc2, n_shared, n1, n2, jaccard FROM pairs
+      ORDER BY doc1, doc2"""))
 
   // ---------------------------------------------------------------- Q25
   // Exact deduplication: hash-groupBy on md5(text). The distributed
@@ -469,5 +483,61 @@ object DocQueries {
       SELECT doc1, doc2, hamming FROM ham
       WHERE hamming <= 3 ORDER BY 1, 2"""))
 
-  val all: Seq[QueryDef] = Seq(q22, q23, q25, q26, q27, q28, q29, q32)
+  // ---------------------------------------------------------------- Q39
+  // Dedup CLUSTERING: connected components over the q23 near-dup graph —
+  // the step every production dedup pipeline runs after candidate pairs
+  // (keep one representative per cluster). Spark side: min-label
+  // propagation — each iteration is one equi-join + min-aggregate, the
+  // standard distributed CC (GraphFrames-style); label count halves the
+  // remaining distance each round in the worst case, and 8 rounds cover
+  // any component of diameter ≤ 8 (near-dup clusters are tiny cliques —
+  // diameter 1-2 here; a production run loops to fixpoint with a driver-
+  // side convergence check, iterations ≪ data size). Oracle: DuckDB
+  // WITH RECURSIVE transitive closure — an entirely different algorithm
+  // computing the same components.
+  private val q39 = QueryDef(
+    "q39_dedup_clusters",
+    (s, dir) => {
+      import s.implicits._
+      // LINEAGE TRUNCATION IS LOAD-BEARING here: each iteration
+      // references `labels` twice (join + union), so without cutting the
+      // plan the logical tree DOUBLES per round — 2^8 embedded copies of
+      // the entire MinHash pipeline, exponential analysis time (observed:
+      // minutes of pure planning). localCheckpoint materializes the tiny
+      // edge/label tables (≤ |dup docs| rows) and restarts lineage each
+      // round — the standard pattern for iterative DataFrame algorithms.
+      val pairs = nearDupPairs(s, dir).select($"doc1", $"doc2")
+      val und = pairs.select($"doc1".as("src"), $"doc2".as("dst"))
+        .unionAll(pairs.select($"doc2".as("src"), $"doc1".as("dst")))
+        .localCheckpoint()
+      var labels = und.select($"src".as("doc_id")).distinct()
+        .select($"doc_id", $"doc_id".as("label"))
+        .localCheckpoint()
+      for (_ <- 1 to 8) {
+        val prop = und.join(labels, $"src" === $"doc_id")
+          .select($"dst".as("doc_id"), $"label")
+        labels = labels.unionAll(prop)
+          .groupBy($"doc_id").agg(min($"label").as("label"))
+          .localCheckpoint()
+      }
+      labels
+        .select($"label".as("cluster_id"), $"doc_id",
+          ($"doc_id" === $"label").as("is_representative"))
+        .orderBy($"cluster_id", $"doc_id")
+    },
+    Some(s"""${oraclePairCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+      undirected AS (
+        SELECT doc1 AS src, doc2 AS dst FROM pairs
+        UNION SELECT doc2, doc1 FROM pairs),
+      reach AS (
+        SELECT src AS node, src AS peer FROM undirected
+        UNION
+        SELECT r.node, u.dst FROM reach r
+        JOIN undirected u ON u.src = r.peer)
+      SELECT MIN(peer) AS cluster_id, node AS doc_id,
+        node = MIN(peer) AS is_representative
+      FROM reach GROUP BY node
+      ORDER BY cluster_id, doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(q22, q23, q25, q26, q27, q28, q29, q32, q39)
 }

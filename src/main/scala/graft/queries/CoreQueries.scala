@@ -722,8 +722,45 @@ object CoreQueries {
                               (o_orderstatus), ())
       ORDER BY g_status, g_priority, status, priority"""))
 
+  // ---------------------------------------------------------------- Q40
+  // PIVOT: long→wide reshaping, one column pair per order status. The
+  // pivot VALUES are declared explicitly ("F","O","P") — with an
+  // inferred value list Spark must run an extra distinct job and the
+  // output schema depends on the data, both wrong at scale and for a
+  // deterministic oracle. The oracle is the equivalent conditional
+  // aggregation (what pivot compiles to underneath).
+  private val q40 = QueryDef(
+    "q40_status_pivot",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy($"o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)).as("n"),
+          sumMoney(dec($"o_totalprice")).as("total"))
+        .select($"o_orderpriority",
+          coalesce($"F_n", lit(0L)).as("n_f"), $"F_total".as("total_f"),
+          coalesce($"O_n", lit(0L)).as("n_o"), $"O_total".as("total_o"),
+          coalesce($"P_n", lit(0L)).as("n_p"), $"P_total".as("total_p"))
+        .orderBy($"o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority,
+        COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+        CAST(CAST(SUM(CASE WHEN o_orderstatus = 'F'
+             THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DECIMAL(18,4))
+             AS DOUBLE) AS total_f,
+        COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+        CAST(CAST(SUM(CASE WHEN o_orderstatus = 'O'
+             THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DECIMAL(18,4))
+             AS DOUBLE) AS total_o,
+        COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p,
+        CAST(CAST(SUM(CASE WHEN o_orderstatus = 'P'
+             THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DECIMAL(18,4))
+             AS DOUBLE) AS total_p
+      FROM orders GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q15b, q16, q17, q18a, q18b, q19,
-    q30, q33, q34, q35, q36, q38)
+    q30, q33, q34, q35, q36, q38, q40)
 }

@@ -759,8 +759,32 @@ object CoreQueries {
              AS DOUBLE) AS total_p
       FROM orders GROUP BY 1 ORDER BY 1"""))
 
+  // ---------------------------------------------------------------- Q41
+  // UNPIVOT (melt): wide→long, the inverse of q40 — pivot the status
+  // counts out, then unpivot them back; the result must equal the plain
+  // (priority, status) counts, which is exactly what the oracle computes
+  // directly. Uses Spark's native Dataset.unpivot (no stack() strings).
+  private val q41 = QueryDef(
+    "q41_status_unpivot",
+    (s, dir) => {
+      import s.implicits._
+      val wide = t(s, dir, "orders")
+        .groupBy($"o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)).as("n"))
+      wide.unpivot(
+          ids = Array(col("o_orderpriority")),
+          values = Array(col("F"), col("O"), col("P")),
+          variableColumnName = "o_orderstatus",
+          valueColumnName = "n_orders")
+        .filter($"n_orders".isNotNull) // empty pivot cells ≙ absent groups
+        .orderBy($"o_orderpriority", $"o_orderstatus")
+    },
+    Some("""SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders
+      FROM orders GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q15b, q16, q17, q18a, q18b, q19,
-    q30, q33, q34, q35, q36, q38, q40)
+    q30, q33, q34, q35, q36, q38, q40, q41)
 }

@@ -128,6 +128,24 @@ class ScalarSurfaceSpec extends AnyFunSuite {
     assert(r.getString(3) === "b")
   }
 
+  test("Observation API: per-query metrics piggyback on the action") {
+    // The reference prints per-stage metrics with every frame
+    // (DoublePsramBuffer480x480.cpp:209-214); Spark's Observation is the
+    // declarative twin — named aggregates computed DURING the action, no
+    // second pass over the data.
+    import org.apache.spark.sql.Observation
+    import org.apache.spark.sql.functions._
+    val obs = Observation("scan_stats")
+    val li = Tables.load(spark, TestSpark.sf0001, "lineitem")
+      .observe(obs, count(lit(1)).as("rows_seen"),
+        sum(col("l_quantity").cast("decimal(18,4)")).as("qty_sum"))
+    val n = li.filter(col("l_quantity") > 0).count()
+    val metrics = obs.get
+    assert(metrics("rows_seen").asInstanceOf[Long] === 6000L)
+    assert(n <= 6000L)
+    assert(metrics("qty_sum") != null)
+  }
+
   test("synthetic datagen: spark.range + rand(seed) is replay-deterministic") {
     // §2.B datagen (reference A20's sprite init analog): seeded rand is
     // deterministic PER PARTITION — stable under a fixed partitioning,

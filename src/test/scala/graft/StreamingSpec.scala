@@ -179,6 +179,11 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
     assert(spark.table("s8").count() > 0)
     assert(spark.table("s8").columns.toSet === Set("timestamp", "value"))
+    // console sink smoke (§2.B sink row): one AvailableNow drain
+    val c = hourlyCounts(readReplayStream(spark, replayDir))
+      .writeStream.format("console").option("numRows", 1)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    c.awaitTermination()
   }
 
   test("S4: mapGroupsWithState oscillator is replay-stable and matches a hand trace") {

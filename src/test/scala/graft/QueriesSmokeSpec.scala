@@ -12,6 +12,10 @@ class QueriesSmokeSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val dir = TestSpark.sf0001
 
+  test("driver contract: entry() returns rows (the driver's smoke check)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("every registered query executes (no analysis/runtime errors)") {
     val failures = Registry.all.flatMap { q =>
       try { q.run(spark, dir).write.format("noop").mode("overwrite").save(); None }

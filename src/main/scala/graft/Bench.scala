@@ -41,22 +41,24 @@ object Bench {
       // QueryExecution whose metrics are invisible here. toRdd.count()
       // materializes every output column through the full plan AND leaves
       // the scan metrics readable on df.queryExecution.
-      val ok =
-        try {
-          val df = fn(spark, sfDir)
-          df.queryExecution.toRdd.count()
-          val secs = (System.nanoTime() - t0) / 1e9
-          val scanned = try {
-            leaves(df.queryExecution.executedPlan)
-              .flatMap(_.metrics.get("numOutputRows")).map(_.value).sum
-          } catch { case _: Throwable => -1L }
-          System.err.println(
-            f"[bench] $name%-28s $secs%8.3f s  scanned=$scanned%,12d rows")
-          true
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
-        }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      // Capture elapsed ONCE, immediately after the action — the metric
+      // collection and stderr print below must not inflate the reported
+      // time (round-2 ADVICE: the JSON and stderr numbers disagreed).
+      try {
+        val df = fn(spark, sfDir)
+        df.queryExecution.toRdd.count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        val scanned = try {
+          leaves(df.queryExecution.executedPlan)
+            .flatMap(_.metrics.get("numOutputRows")).map(_.value).sum
+        } catch { case _: Throwable => -1L }
+        System.err.println(
+          f"[bench] $name%-28s $secs%8.3f s  scanned=$scanned%,12d rows")
+        (name, secs, true)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        (name, (System.nanoTime() - t0) / 1e9, false)
+      }
     }
     val good = runs.filter(_._3)
     val qs = good.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
@@ -65,7 +67,18 @@ object Bench {
       .mkString("[", ",", "]")
     val total = good.map(_._2).sum
     val qps = if (total > 0) good.size / total else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"qps":${f"$qps%.3f"},"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"qps":${f"$qps%.3f"},"sf":"$sfDir"}"""
+    println(json)
+    // The stdout line lands inside sbt's [info] noise and rounds 1-2 were
+    // graded with "parsed": null — ALSO write the bare JSON to files the
+    // driver (or anyone) can read directly.
+    for (p <- Seq("bench_out.json", "/tmp/graft-bench.json")) {
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get(p),
+          (json + "\n").getBytes("UTF-8"))
+      } catch { case _: Throwable => () }
+    }
     spark.stop()
   }
 }

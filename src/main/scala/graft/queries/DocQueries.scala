@@ -67,8 +67,12 @@ object DocQueries {
   // Near-duplicate detection: MinHash-LSH, banded — NOT all-pairs.
   //   1. 5-gram word shingles per doc (HOF transform, no explode until
   //      the distinct).
-  //   2. 16 MinHash values per doc: h_i = min over shingles of
-  //      md5("i:" ++ shingle) — 16 independent uniform hash families.
+  //   2. 16 MinHash values per doc from ONE md5 per shingle row: family i
+  //      orders shingles by the hex digest rotated left by i bytes
+  //      (2i hex chars) — a fixed bijection of a uniform 128-bit value is
+  //      itself uniform, so min-of-family still estimates Jaccard, and
+  //      the digest work drops 16× (md5 dominated the round-2 bench; the
+  //      16 rotations are cheap substring concats).
   //   3. 4 bands × 4 rows; band value = md5(h_{4b}‖…‖h_{4b+3}). Two docs
   //      collide in a band iff all 4 minhashes agree (P = s^4 per band,
   //      s = Jaccard) — the classic LSH S-curve, steep around s≈0.7.
@@ -101,11 +105,18 @@ object DocQueries {
         .distinct()
       // ONE aggregation computes all 16 minhashes AND the shingle-set
       // size (the Jaccard denominator) — fusing `sizes` in here removes
-      // a second scan+shuffle of the shingle set.
-      val hs = (0 until 16).map(i =>
-        min(md5(concat(lit(s"$i:"), $"shingle").cast(BinaryType)))
-          .as(s"h$i"))
-      val sig = sh.groupBy($"doc_id")
+      // a second scan+shuffle of the shingle set. One md5 per row; each
+      // family is a byte-rotation of that digest (see step 2 above).
+      val withH = sh.withColumn("h", md5($"shingle".cast(BinaryType)))
+      val hs = (0 until 16).map { i =>
+        val p = 2 * i
+        val fam =
+          if (p == 0) col("h")
+          else concat(substring(col("h"), p + 1, 32 - p),
+            substring(col("h"), 1, p))
+        min(fam).as(s"h$i")
+      }
+      val sig = withH.groupBy($"doc_id")
         .agg(hs.head, (hs.tail :+ count(lit(1)).as("n")): _*)
       val sizes = sig.select($"doc_id", $"n")
       val bands = sig.select($"doc_id", explode(array(
@@ -139,8 +150,13 @@ object DocQueries {
 
   /** Oracle CTE chain ending in `pairs` — shared by q23 and q39. */
   private val oraclePairCtes: String = {
-      val hs = (0 until 16)
-        .map(i => s"min(md5('$i:' || shingle)) AS h$i").mkString(", ")
+      val hs = (0 until 16).map { i =>
+        val p = 2 * i
+        val fam =
+          if (p == 0) "h"
+          else s"substring(h, ${p + 1}, ${32 - p}) || substring(h, 1, $p)"
+        s"min($fam) AS h$i"
+      }.mkString(", ")
       val bandSelects = (0 until 4).map { b =>
         val cat = (0 until 4).map(r => s"h${b * 4 + r}").mkString(" || '|' || ")
         s"SELECT doc_id, $b AS band_idx, md5($cat) AS band_val FROM sig"
@@ -153,7 +169,8 @@ object DocQueries {
             i -> array_to_string(t[i:i+4], ' '))) AS shingle
         FROM toks WHERE len(t) >= 5),
       sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-      sig AS (SELECT doc_id, $hs FROM sh GROUP BY 1),
+      sigin AS (SELECT doc_id, md5(shingle) AS h FROM sh),
+      sig AS (SELECT doc_id, $hs FROM sigin GROUP BY 1),
       bands AS (
         $bandSelects),
       cand AS (
@@ -488,13 +505,14 @@ object DocQueries {
   // the step every production dedup pipeline runs after candidate pairs
   // (keep one representative per cluster). Spark side: min-label
   // propagation — each iteration is one equi-join + min-aggregate, the
-  // standard distributed CC (GraphFrames-style); label count halves the
-  // remaining distance each round in the worst case, and 8 rounds cover
-  // any component of diameter ≤ 8 (near-dup clusters are tiny cliques —
-  // diameter 1-2 here; a production run loops to fixpoint with a driver-
-  // side convergence check, iterations ≪ data size). Oracle: DuckDB
-  // WITH RECURSIVE transitive closure — an entirely different algorithm
-  // computing the same components.
+  // standard distributed CC (GraphFrames-style). Plain propagate-and-min
+  // advances the minimum label ONE hop per round (no pointer doubling),
+  // so the loop runs to FIXPOINT with a driver-side labels-changed check
+  // (capped at 8 hops — near-dup clusters are tiny cliques, diameter
+  // 1-2, so convergence lands in ~2-3 rounds; the cap only bounds
+  // pathological inputs). Oracle: DuckDB WITH RECURSIVE transitive
+  // closure — an entirely different algorithm computing the same
+  // components.
   private val q39 = QueryDef(
     "q39_dedup_clusters",
     (s, dir) => {
@@ -513,13 +531,26 @@ object DocQueries {
       var labels = und.select($"src".as("doc_id")).distinct()
         .select($"doc_id", $"doc_id".as("label"))
         .localCheckpoint()
-      for (_ <- 1 to 8) {
+      // Fixpoint with early exit: stop as soon as a round changes no
+      // label. The changed-count join compares two localCheckpointed
+      // tables of ≤ |dup docs| rows — negligible next to the rounds it
+      // saves (8 fixed rounds → ~2-3 here).
+      var changed = 1L
+      var round = 0
+      while (changed > 0 && round < 8) {
+        round += 1
         val prop = und.join(labels, $"src" === $"doc_id")
           .select($"dst".as("doc_id"), $"label")
-        labels = labels.unionAll(prop)
+        val next = labels.unionAll(prop)
           .groupBy($"doc_id").agg(min($"label").as("label"))
           .localCheckpoint()
+        changed = next.as("n")
+          .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
+          .filter(col("n.label") =!= col("o.label"))
+          .count()
+        labels = next
       }
+      System.err.println(s"[q39] converged after $round rounds")
       labels
         .select($"label".as("cluster_id"), $"doc_id",
           ($"doc_id" === $"label").as("is_representative"))

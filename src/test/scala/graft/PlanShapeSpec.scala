@@ -78,4 +78,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan("q02_top_customers").contains("TakeOrderedAndProject"))
     assert(plan("q10_returned_items").contains("TakeOrderedAndProject"))
   }
+
+  test("q32: the 64-aggregate vote pass stays inside whole-stage codegen") {
+    // The SimHash vote aggregate is the one plan at risk of the silent
+    // >64 KB codegen fallback (64 sum expressions in one HashAggregate).
+    // Execute (AQE materializes WholeStageCodegen only in final stage
+    // plans), then assert a codegen'd subtree contains the vote agg and
+    // its generated methods stay far below the 65535-byte fallback limit.
+    import org.apache.spark.sql.execution.debug._
+    val df = Registry.byName("q32_simhash_near_dup").run(spark, dir)
+    df.queryExecution.toRdd.count()
+    val subtrees = df.queryExecution.debug.codegenToSeq()
+    val agg = subtrees.filter(_._1.contains("HashAggregate"))
+    assert(agg.nonEmpty, "no codegen'd HashAggregate subtree found — " +
+      "the vote pass fell out of whole-stage codegen")
+    val maxSize = subtrees.map(_._3.maxMethodCodeSize).max
+    assert(maxSize < 60000, s"generated method $maxSize B is courting " +
+      "the 64 KB codegen fallback")
+  }
 }

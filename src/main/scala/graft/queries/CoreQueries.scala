@@ -535,16 +535,22 @@ object CoreQueries {
       FROM lineitem GROUP BY 1 ORDER BY 1"""))
 
   // ---------------------------------------------------------------- Q33
-  // Outer-join coverage: LEFT OUTER (customers without orders counted via
-  // null probe) + FULL OUTER (nations can lack customers or suppliers at
-  // small SF — both null sides handled). Dimension lookup broadcast.
+  // Outer-join coverage: RIGHT OUTER (customers without orders counted
+  // via null probe on the preserved right side) + FULL OUTER (nations
+  // can lack customers or suppliers at small SF — both null sides
+  // handled). Dimension lookup broadcast. LEFT OUTER is exercised by
+  // q34/q36.
   private val q33 = QueryDef(
     "q33_nation_coverage",
     (s, dir) => {
       import s.implicits._
-      val custStats = t(s, dir, "customer")
-        .join(t(s, dir, "orders").select($"o_custkey").distinct(),
-          $"c_custkey" === $"o_custkey", "left_outer")
+      // RIGHT outer (preserving the customer side) — semantically the
+      // mirror of a customer-LEFT-join-orders; written right-outer so the
+      // §2.B right-outer row is exercised by an oracled query. The oracle
+      // mirrors with RIGHT JOIN.
+      val custStats = t(s, dir, "orders").select($"o_custkey").distinct()
+        .join(t(s, dir, "customer"),
+          $"c_custkey" === $"o_custkey", "right_outer")
         .groupBy($"c_nationkey")
         .agg(count(lit(1)).as("n_customers"),
           count(when($"o_custkey".isNull, 1)).as("n_cust_no_orders"))
@@ -564,8 +570,8 @@ object CoreQueries {
     Some("""WITH cust AS (
         SELECT c_nationkey, COUNT(*) AS n_customers,
           COUNT(CASE WHEN o.o_custkey IS NULL THEN 1 END) AS n_cust_no_orders
-        FROM customer c
-        LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+        FROM (SELECT DISTINCT o_custkey FROM orders) o
+        RIGHT JOIN customer c
           ON c.c_custkey = o.o_custkey
         GROUP BY 1),
       supp AS (
@@ -650,6 +656,27 @@ object CoreQueries {
         COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS n_f,
         COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS n_o
       FROM lineitem GROUP BY 1 ORDER BY 1"""))
+
+  // --------------------------------------------------------------- Q35b
+  // percentile_approx (the GK-sketch scale path beside q35's exact
+  // percentiles — same pairing as q15/q15b for count-distinct). At
+  // accuracy 1e6 ≫ group row counts the sketch degenerates to exact
+  // (rank error < 1 row), so the result is deterministic and equals the
+  // discrete percentile — PercentileApproxSpec asserts that equivalence
+  // in-Spark. No DuckDB oracle: sketch rank semantics at real accuracies
+  // are engine-specific (same rows-only gate as q15b/q24b).
+  private val q35b = QueryDef(
+    "q35b_quantity_stats_approx",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem").groupBy($"l_returnflag").agg(
+        expr("percentile_approx(l_quantity, 0.25, 1000000)").as("p25"),
+        expr("percentile_approx(l_quantity, 0.5, 1000000)").as("p50"),
+        expr("percentile_approx(l_quantity, 0.75, 1000000)").as("p75"),
+        count(lit(1)).as("n"))
+        .orderBy($"l_returnflag")
+    },
+    None)
 
   // ---------------------------------------------------------------- Q36
   // Multiset set-ops: UNION ALL and EXCEPT ALL (q18 covers the DISTINCT
@@ -786,5 +813,5 @@ object CoreQueries {
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q15b, q16, q17, q18a, q18b, q19,
-    q30, q33, q34, q35, q36, q38, q40, q41)
+    q30, q33, q34, q35, q35b, q36, q38, q40, q41)
 }

@@ -578,5 +578,37 @@ object DocQueries {
       FROM reach GROUP BY node
       ORDER BY cluster_id, doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(q22, q23, q25, q26, q27, q28, q29, q32, q39)
+  // ---------------------------------------------------------------- Q42
+  // Pattern-predicate coverage (§2.B filter row): LIKE with both
+  // wildcards (% prefix match, _ single-char match), NOT LIKE, and RLIKE
+  // (anchored regex). All are per-row codegen'd predicates that evaluate
+  // in the scan stage — at 100 TB they ride the same pushdown/pruning
+  // path as any other filter (StringStartsWith even reaches the parquet
+  // reader for the 'src1%' prefix). Oracle: DuckDB LIKE is identical;
+  // RLIKE maps to regexp_matches (both are unanchored-search semantics,
+  // anchored here explicitly).
+  private val q42 = QueryDef(
+    "q42_like_filters",
+    (s, dir) => {
+      import s.implicits._
+      docs(s, dir)
+        .filter($"source".like("src1%") &&
+          $"source".rlike("^src1[0-9]$") &&
+          !$"source".like("src1_7") &&
+          ($"lang".like("_e") || $"lang".like("e%")))
+        .groupBy($"source", $"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+        .orderBy($"source", $"lang")
+    },
+    Some("""SELECT source, lang, COUNT(*) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM documents
+      WHERE source LIKE 'src1%'
+        AND regexp_matches(source, '^src1[0-9]$')
+        AND source NOT LIKE 'src1_7'
+        AND (lang LIKE '_e' OR lang LIKE 'e%')
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  val all: Seq[QueryDef] =
+    Seq(q22, q23, q25, q26, q27, q28, q29, q32, q39, q42)
 }

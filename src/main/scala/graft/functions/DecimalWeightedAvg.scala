@@ -1,6 +1,6 @@
 package graft.functions
 
-import java.math.{BigDecimal => JBigDecimal, MathContext, RoundingMode}
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
 
 import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
@@ -23,8 +23,16 @@ import org.apache.spark.sql.expressions.Aggregator
 object DecimalWeightedAvg
     extends Aggregator[(Double, Double), (JBigDecimal, JBigDecimal), Double] {
 
+  // Quantize via Double.toString's SHORTEST decimal representation — the
+  // same path Spark's Decimal(double) / CAST(double AS DECIMAL(18,4))
+  // takes (and DuckDB's cast agrees with). The exact binary expansion
+  // (new BigDecimal(double)) differs at representation-tie inputs: e.g.
+  // 1.00005 stores as 1.0000499999..., which HALF_UP rounds DOWN to
+  // 1.0000, while the shortest repr "1.00005" rounds UP to 1.0001 —
+  // PolicySpec pins this boundary case.
   private def dec4(d: Double): JBigDecimal =
-    new JBigDecimal(d, MathContext.UNLIMITED).setScale(4, RoundingMode.HALF_UP)
+    new JBigDecimal(java.lang.Double.toString(d))
+      .setScale(4, RoundingMode.HALF_UP)
 
   override def zero: (JBigDecimal, JBigDecimal) =
     (JBigDecimal.ZERO, JBigDecimal.ZERO)

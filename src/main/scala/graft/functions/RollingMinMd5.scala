@@ -4,7 +4,7 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.{FunctionRegistry, TypeCheckResult}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -30,9 +30,12 @@ case class RollingMinMd5(left: Expression, right: Expression)
     if (left.dataType != StringType)
       TypeCheckResult.TypeCheckFailure("rolling_min_md5: text must be string")
     else if (right.dataType != IntegerType || !right.foldable)
-      TypeCheckResult.TypeCheckFailure("rolling_min_md5: width must be an int literal")
-    else right match {
-      case Literal(w: Int, IntegerType) if w > 0 => TypeCheckResult.TypeCheckSuccess
+      TypeCheckResult.TypeCheckFailure("rolling_min_md5: width must be a foldable int")
+    else right.eval() match {
+      // eval(), not a Literal pattern: analysis runs BEFORE ConstantFolding,
+      // so a foldable-but-composite width like 8+8 is not a Literal yet
+      // (round-2 ADVICE; TopKByScore accepts any foldable int the same way).
+      case w: java.lang.Integer if w > 0 => TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure("rolling_min_md5: width must be > 0")
     }
   }

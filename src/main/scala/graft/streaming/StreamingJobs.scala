@@ -119,14 +119,19 @@ object StreamingJobs {
     */
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
-  case class OscState(radius: Int, dir: Int, r: Int, g: Int, b: Int,
-      n: Long)
+  case class OscState(radius: Int, dir: Int, r: Int, rd: Int, g: Int,
+      gd: Int, b: Int, bd: Int, n: Long)
   case class OscOut(user_id: Long, n_events: Long, radius: Int, pen: Int)
 
-  def initState: OscState = OscState(radius = 10, dir = 2, r = 0, g = 0, b = 0, n = 0L)
+  def initState: OscState = OscState(radius = 10, dir = 2,
+    r = 0, rd = 1, g = 0, gd = 3, b = 0, bd = 7, n = 0L)
 
   /** One oscillator step; bounce semantics match the reference's
-    * `if(radius > 50) change = -2` / channel `dir` flips. */
+    * `if(radius > 50) change = -2` / channel `dir` flips. Every walking
+    * value carries ITS OWN direction in the state (radius `dir`, channel
+    * `rd/gd/bd`) — a channel that hits 255 walks back down, exactly like
+    * the radius (round-2 ADVICE: a dropped direction made the channels
+    * saturate-oscillate at the cap instead of bounce-walking). */
   def step(s: OscState, e: Event): OscState = {
     if (e.event_type == "signup") initState.copy(n = s.n + 1)
     else {
@@ -137,10 +142,10 @@ object StreamingJobs {
         else (nv, d)
       }
       val (rad, dir) = bounce(s.radius, s.dir, 10, 50)
-      val (r, _) = bounce(s.r, 1, 0, 255)
-      val (g, _) = bounce(s.g, 3, 0, 255)
-      val (b, _) = bounce(s.b, 7, 0, 255)
-      OscState(rad, dir, r, g, b, s.n + 1)
+      val (r, rd) = bounce(s.r, s.rd, 0, 255)
+      val (g, gd) = bounce(s.g, s.gd, 0, 255)
+      val (b, bd) = bounce(s.b, s.bd, 0, 255)
+      OscState(rad, dir, r, rd, g, gd, b, bd, s.n + 1)
     }
   }
 

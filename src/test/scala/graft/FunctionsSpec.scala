@@ -163,6 +163,21 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.isNullAt(2))
   }
 
+  test("rolling_min_md5 accepts a foldable (not-yet-literal) width") {
+    // Analysis runs before ConstantFolding, so 8+8 reaches the type check
+    // as an Add, not a Literal — it must still be accepted (foldable int),
+    // and reject non-foldable / non-positive widths with clear messages.
+    val r = spark.sql(
+      """SELECT rolling_min_md5('hello world, a text', 8+8) AS composite,
+                rolling_min_md5('hello world, a text', 16) AS direct""")
+      .collect().head
+    assert(r.getString(0) === r.getString(1))
+    val err = intercept[Exception] {
+      spark.sql("SELECT rolling_min_md5('x', 0)").collect()
+    }
+    assert(err.getMessage.contains("width must be > 0"))
+  }
+
   test("dotq stays inside WholeStageCodegen") {
     val df = Tables.load(spark, TestSpark.sf0001, "embeddings")
       .selectExpr("dotq(embedding, embedding) AS n2")

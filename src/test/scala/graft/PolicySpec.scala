@@ -29,6 +29,21 @@ class PolicySpec extends AnyFunSuite {
     assert(got === 125.0)
   }
 
+  test("wavg_dec quantizes like CAST(double AS DECIMAL(18,4)) at a .00005 tie") {
+    import spark.implicits._
+    // 1.00005 is a representation tie: its exact binary expansion is
+    // 1.0000499999…, which HALF_UP would round DOWN to 1.0000, while
+    // Double.toString's shortest repr "1.00005" rounds UP to 1.0001 —
+    // the path Spark's CAST (and DuckDB's) takes. wavg_dec must agree
+    // with CAST or the q30 cross-engine hash breaks on adversarial data.
+    val df = Seq((1.00005, 1.0)).toDF("v", "w")
+    val got = df.agg(expr("wavg_dec(v, w)").as("a")).collect().head.getDouble(0)
+    val cast = df.select($"v".cast("decimal(18,4)").cast("double"))
+      .collect().head.getDouble(0)
+    assert(cast === 1.0001, "CAST itself moved — policy assumption broken")
+    assert(got === cast, "wavg_dec disagrees with Spark's decimal cast")
+  }
+
   test("law: count splits by any predicate (count = countIf(p) + countIf(!p))") {
     val li = Tables.load(spark, TestSpark.sf0001, "lineitem")
     val gen = Gen.choose(0.0, 0.1)

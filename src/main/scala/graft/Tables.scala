@@ -50,6 +50,38 @@ object Tables {
   /** Register every table as a temp view so spark.sql(...) works too. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Catalog-backed BUCKETED copy of a fixture table — the storage-layout
+    * half of the zero-shuffle fact-fact join story (q03b; plan property
+    * proven in BucketingSpec and PlanShapeSpec). Bucketing is a
+    * write-once decision: at 100 TB both fact tables are bucketed by the
+    * join key at ingest and every subsequent join on that key skips its
+    * exchange entirely. Here the bucketed copy is materialized lazily
+    * per (table, sfDir) into the session warehouse — the one-time cost a
+    * real pipeline pays at ingest, paid on first use (and visible as
+    * such in q03b's cold bench time; see BASELINE.md note).
+    *
+    * Bucket info lives in the catalog, so the copy must be read back via
+    * spark.table, not a bare parquet path. Synchronized: test suites
+    * share one session. */
+  def bucketed(spark: SparkSession, dir: String, name: String, key: String,
+      cols: Seq[String], buckets: Int = 32): DataFrame = synchronized {
+    val tbl = s"${name}_bkt_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    if (!spark.catalog.tableExists(tbl)) {
+      // a previous JVM can leave the managed dir behind (in-memory
+      // catalog, persistent warehouse) — clear it or saveAsTable refuses
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), tbl)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      if (loc.exists()) rm(loc)
+      load(spark, dir, name).select(cols.map(col): _*)
+        .write.bucketBy(buckets, key).sortBy(key).saveAsTable(tbl)
+    }
+    spark.table(tbl)
+  }
 }
 
 /** Cross-engine determinism policy (SURVEY.md §5.B, FIXTURES.md §2).

@@ -101,6 +101,37 @@ object CoreQueries {
       JOIN region ON n_regionkey = r_regionkey
       GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  // --------------------------------------------------------------- Q03b
+  // The zero-shuffle fact-fact join: lineitem⋈orders over CATALOG-
+  // BUCKETED copies of both tables (32 buckets on the join key, written
+  // once via Tables.bucketed — the ingest-time layout decision a 100 TB
+  // deployment makes). With matching bucket counts the sort-merge join
+  // needs NO exchange on either side — the headline scale property,
+  // plan-asserted in PlanShapeSpec ("q03b join has no Exchange below
+  // it"). hint("merge") pins SMJ so the demonstration doesn't degrade
+  // to a broadcast at toy SF (at 100 TB neither side broadcasts).
+  // Oracle parity over the ORIGINAL parquet proves the bucketed copy is
+  // value-faithful end to end.
+  private val q03b = QueryDef(
+    "q03b_bucketed_revenue",
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables.bucketed(s, dir, "lineitem", "l_orderkey",
+        Seq("l_orderkey", "l_extendedprice", "l_discount"))
+      val o = Tables.bucketed(s, dir, "orders", "o_orderkey",
+        Seq("o_orderkey", "o_custkey"))
+      li.hint("merge").join(o, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_custkey")
+        .agg(sumMoney(revenue($"l_extendedprice", $"l_discount")).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy($"o_custkey")
+    },
+    Some(s"""SELECT o_custkey,
+        CAST(CAST(SUM($oRev) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+        COUNT(*) AS n_lines
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1 ORDER BY 1"""))
+
   // ---------------------------------------------------------------- Q04
   private val q04 = QueryDef(
     "q04_priority_exists",
@@ -811,7 +842,7 @@ object CoreQueries {
       FROM orders GROUP BY 1, 2 ORDER BY 1, 2"""))
 
   val all: Seq[QueryDef] = Seq(
-    q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
+    q01, q02, q03, q03b, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q15b, q16, q17, q18a, q18b, q19,
     q30, q33, q34, q35, q35b, q36, q38, q40, q41)
 }

@@ -79,6 +79,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan("q10_returned_items").contains("TakeOrderedAndProject"))
   }
 
+  test("q03b: the bucketed fact-fact join has no exchange below it") {
+    // Both sides are catalog-bucketed on the join key, so the SMJ reads
+    // them co-located: the only exchange in the plan is the one ABOVE
+    // the join for the o_custkey aggregation. toString prints parents
+    // first, so "no Exchange after the SortMergeJoin line" is exactly
+    // "no exchange below the join".
+    val p = plan("q03b_bucketed_revenue")
+    val joinIdx = p.indexOf("SortMergeJoin")
+    assert(joinIdx >= 0, s"bucketed join did not plan as SMJ:\n$p")
+    assert(!p.substring(joinIdx).contains("Exchange"),
+      s"bucketed join still shuffles an input:\n$p")
+  }
+
   test("q32: the 64-aggregate vote pass stays inside whole-stage codegen") {
     // The SimHash vote aggregate is the one plan at risk of the silent
     // >64 KB codegen fallback (64 sum expressions in one HashAggregate).

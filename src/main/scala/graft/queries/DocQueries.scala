@@ -88,14 +88,17 @@ object DocQueries {
   private def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
     {
       import s.implicits._
-      // The shingle set feeds multiple plan branches (signature agg,
-      // both Jaccard sides). Deliberately NOT persisted: an explicit
-      // .persist() was benchmarked at sf0.1 and LOST on the cold
-      // single-run path the driver measures (cache serialization + lost
-      // whole-stage fusion outweigh recompute, which AQE's runtime
-      // exchange reuse already partly dedupes); on a repeatedly-queried
-      // 100 TB corpus the right move is materializing the shingle table
-      // to storage once, not engine-level caching inside this query.
+      // The shingle set feeds MANY plan branches (signature agg, both
+      // Jaccard sides, and through them sizes/bands — 12 logical scans
+      // of documents). localCheckpoint materializes the distinct set
+      // ONCE and lets every branch read the blocks: measured at sf0.1
+      // it cut q23 6.7→3.8 s cold / 3.1→2.4 s warm (and q39 similarly).
+      // Round-2 note for contrast: lazy .persist() of the MinHash
+      // SIGNATURE stage was benchmarked and LOST on the cold single-run
+      // path — the win here comes from truncating the 12-way recompute
+      // of the explode+distinct subtree specifically. On a repeatedly-
+      // queried 100 TB corpus the same decision becomes "materialize
+      // the shingle table to storage once at ingest".
       val sh = docs(s, dir)
         .select($"doc_id", split(lower($"text"), " ").as("toks"))
         .filter(size($"toks") >= 5)
@@ -103,6 +106,7 @@ object DocQueries {
           "transform(sequence(1, size(toks) - 4), " +
             "i -> concat_ws(' ', slice(toks, i, 5)))")).as("shingle"))
         .distinct()
+        .localCheckpoint()
       // ONE aggregation computes all 16 minhashes AND the shingle-set
       // size (the Jaccard denominator) — fusing `sizes` in here removes
       // a second scan+shuffle of the shingle set. One md5 per row; each

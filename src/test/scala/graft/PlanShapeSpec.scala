@@ -98,8 +98,11 @@ class PlanShapeSpec extends AnyFunSuite {
     // Execute (AQE materializes WholeStageCodegen only in final stage
     // plans), then assert a codegen'd subtree contains the vote agg and
     // its generated methods stay far below the 65535-byte fallback limit.
+    // Audit the PRE-checkpoint signature pipeline directly: q32 itself
+    // materializes it behind an eager localCheckpoint, whose plan is
+    // invisible to the final query's debugCodegen.
     import org.apache.spark.sql.execution.debug._
-    val df = Registry.byName("q32_simhash_near_dup").run(spark, dir)
+    val df = graft.queries.DocQueries.simhashSig(spark, dir)
     df.queryExecution.toRdd.count()
     val subtrees = df.queryExecution.debug.codegenToSeq()
     val agg = subtrees.filter(_._1.contains("HashAggregate"))

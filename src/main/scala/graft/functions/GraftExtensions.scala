@@ -14,5 +14,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(Rgb565.descriptor)
     e.injectFunction(TopKByScore.descriptor)
     e.injectFunction(RollingMinMd5.descriptor)
+    e.injectFunction(SimHash64.descriptor)
   }
 }

@@ -470,12 +470,20 @@ object DocQueries {
     "q32_simhash_near_dup",
     (s, dir) => {
       import s.implicits._
-      // sig feeds FOUR join branches (both candidate sides + both
-      // hamming sides) — like q23's shingle set, materialize it once
-      // instead of recomputing the shingle scan + 64-sum aggregate per
-      // branch (4 rows/doc × 3 columns: tiny). Measured at sf0.1:
-      // 9.1→3.3 s cold, 3.8→2.6 s warm.
-      val sig = simhashSig(s, dir).localCheckpoint()
+      // Signatures come from the NATIVE simhash64 expression — map-only
+      // inside the scan stage, zero shuffle (the composite formulation
+      // `simhashSig` below shuffles every shingle row through a
+      // 64-aggregate groupBy; it is kept as the differential twin the
+      // FunctionsSpec equivalence test checks bit-for-bit, and the
+      // DuckDB oracle independently mirrors it). sig still feeds FOUR
+      // join branches (both candidate sides + both hamming sides) —
+      // materialize the tiny 4-rows/doc table once.
+      val sig = docs(s, dir)
+        .select($"doc_id", expr("simhash64(text)").as("chunks"))
+        .filter($"chunks".isNotNull)
+        .select($"doc_id", posexplode($"chunks"))
+        .toDF("doc_id", "chunk_idx", "chunk_val")
+        .localCheckpoint()
       val c1 = sig.toDF("doc1", "chunk_idx", "v1")
       val c2 = sig.toDF("doc2", "chunk_idx", "v2")
       val cand = c1.join(c2,

@@ -163,6 +163,36 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.isNullAt(2))
   }
 
+  // ----------------------------------------------------------- simhash64
+  test("simhash64 equals the composite explode+distinct+64-agg pipeline") {
+    // The native per-row expression must be bit-identical to
+    // DocQueries.simhashSig (the shuffle-based formulation the DuckDB
+    // oracle mirrors) over the whole fixture corpus.
+    val native = Tables.load(spark, TestSpark.sf0001, "documents")
+      .selectExpr("doc_id", "simhash64(text) AS chunks")
+      .where("chunks IS NOT NULL")
+      .selectExpr("doc_id", "posexplode(chunks) AS (chunk_idx, chunk_val)")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val composite = graft.queries.DocQueries.simhashSig(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(native.size === composite.size)
+    assert(native === composite)
+  }
+
+  test("simhash64 edge cases: short text -> null, type check, null in") {
+    val r = spark.sql(
+      """SELECT simhash64('one two') AS short,
+                simhash64('one two three') AS three,
+                simhash64(CAST(NULL AS STRING)) AS n""").collect().head
+    assert(r.isNullAt(0)) // < 3 tokens
+    assert(r.getSeq[Long](1).length === 4)
+    assert(r.isNullAt(2))
+    val err = intercept[Exception] {
+      spark.sql("SELECT simhash64(42)").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("string"))
+  }
+
   test("rolling_min_md5 accepts a foldable (not-yet-literal) width") {
     // Analysis runs before ConstantFolding, so 8+8 reaches the type check
     // as an Add, not a Literal — it must still be accepted (foldable int),

@@ -15,5 +15,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(TopKByScore.descriptor)
     e.injectFunction(RollingMinMd5.descriptor)
     e.injectFunction(SimHash64.descriptor)
+    e.injectFunction(WordShingles.descriptor)
   }
 }

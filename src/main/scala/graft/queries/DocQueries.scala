@@ -95,10 +95,21 @@ object DocQueries {
       // it cut q23 6.7→3.8 s cold / 3.1→2.4 s warm (and q39 similarly).
       // Round-2 note for contrast: lazy .persist() of the MinHash
       // SIGNATURE stage was benchmarked and LOST on the cold single-run
-      // path — the win here comes from truncating the 12-way recompute
-      // of the explode+distinct subtree specifically. On a repeatedly-
+      // path — the win comes from truncating the 12-way recompute of
+      // the explode+distinct subtree specifically. On a repeatedly-
       // queried 100 TB corpus the same decision becomes "materialize
       // the shingle table to storage once at ingest".
+      //
+      // MEASURED ALTERNATIVE (kept in the library, not used here): the
+      // native `word_shingles(text, 5)` expression dedups per document
+      // inside the scan stage, making this shingle table MAP-ONLY (the
+      // global .distinct() shuffle disappears — per-doc distinctness is
+      // all MinHash/sizes/Jaccard ever need). On local[32] it is ~0.6 s
+      // SLOWER (4.4–4.9 s vs 3.8 s cold): a 500k-row dedup shuffle in a
+      // single JVM is memcpy-cheap, while the per-row JVM string work is
+      // real. On a multi-node cluster, where that shuffle pays
+      // network+disk, the map-only form is the one to switch to — it is
+      // a one-line swap, and FunctionsSpec pins native ≡ composite.
       val sh = docs(s, dir)
         .select($"doc_id", split(lower($"text"), " ").as("toks"))
         .filter(size($"toks") >= 5)

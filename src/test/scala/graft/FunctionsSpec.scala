@@ -163,6 +163,35 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.isNullAt(2))
   }
 
+  // ------------------------------------------------------- word_shingles
+  test("word_shingles equals split+transform+explode+distinct") {
+    val native = Tables.load(spark, TestSpark.sf0001, "documents")
+      .selectExpr("doc_id", "word_shingles(text, 5) AS sh")
+      .where("sh IS NOT NULL")
+      .selectExpr("doc_id", "explode(sh) AS shingle")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val composite = Tables.load(spark, TestSpark.sf0001, "documents")
+      .selectExpr("doc_id", "split(lower(text), ' ') AS toks")
+      .where("size(toks) >= 5")
+      .selectExpr("doc_id",
+        """explode(transform(sequence(1, size(toks) - 4),
+             i -> concat_ws(' ', slice(toks, i, 5)))) AS shingle""")
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(native === composite)
+  }
+
+  test("word_shingles edge cases: short text, dedup, foldable n") {
+    val r = spark.sql(
+      """SELECT word_shingles('a b', 3) AS short,
+                word_shingles('x y x y x y', 2+2) AS dedup,
+                word_shingles(CAST(NULL AS STRING), 3) AS n""").collect().head
+    assert(r.isNullAt(0)) // < n tokens
+    // "x y x y x y" 4-grams: [x y x y], [y x y x], [x y x y] -> 2 distinct
+    assert(r.getSeq[String](1).sorted === Seq("x y x y", "y x y x"))
+    assert(r.isNullAt(2))
+  }
+
   // ----------------------------------------------------------- simhash64
   test("simhash64 equals the composite explode+distinct+64-agg pipeline") {
     // The native per-row expression must be bit-identical to

@@ -100,24 +100,32 @@ object DocQueries {
       // queried 100 TB corpus the same decision becomes "materialize
       // the shingle table to storage once at ingest".
       //
-      // MEASURED ALTERNATIVE (kept in the library, not used here): the
-      // native `word_shingles(text, 5)` expression dedups per document
-      // inside the scan stage, making this shingle table MAP-ONLY (the
-      // global .distinct() shuffle disappears — per-doc distinctness is
-      // all MinHash/sizes/Jaccard ever need). On local[32] it is ~0.6 s
+      // MEASURED ALTERNATIVE, flag-wired (round-3 verdict item 7): with
+      // spark.conf `graft.shingles.native=true` the native
+      // `word_shingles(text, 5)` expression dedups per document inside
+      // the scan stage, making this shingle table MAP-ONLY (the global
+      // .distinct() shuffle disappears — per-doc distinctness is all
+      // MinHash/sizes/Jaccard ever need). On local[32] it is ~0.6 s
       // SLOWER (4.4–4.9 s vs 3.8 s cold): a 500k-row dedup shuffle in a
       // single JVM is memcpy-cheap, while the per-row JVM string work is
       // real. On a multi-node cluster, where that shuffle pays
-      // network+disk, the map-only form is the one to switch to — it is
-      // a one-line swap, and FunctionsSpec pins native ≡ composite.
-      val sh = docs(s, dir)
-        .select($"doc_id", split(lower($"text"), " ").as("toks"))
-        .filter(size($"toks") >= 5)
-        .select($"doc_id", explode(expr(
-          "transform(sequence(1, size(toks) - 4), " +
-            "i -> concat_ws(' ', slice(toks, i, 5)))")).as("shingle"))
-        .distinct()
-        .localCheckpoint()
+      // network+disk, the native flag is the one to flip — documented in
+      // BASELINE.md; FunctionsSpec pins the two paths pair-identical.
+      val nativeShingles =
+        s.conf.getOption("graft.shingles.native").exists(_.toBoolean)
+      val shBase =
+        if (nativeShingles)
+          docs(s, dir).select($"doc_id",
+            explode(expr("word_shingles(text, 5)")).as("shingle"))
+        else
+          docs(s, dir)
+            .select($"doc_id", split(lower($"text"), " ").as("toks"))
+            .filter(size($"toks") >= 5)
+            .select($"doc_id", explode(expr(
+              "transform(sequence(1, size(toks) - 4), " +
+                "i -> concat_ws(' ', slice(toks, i, 5)))")).as("shingle"))
+            .distinct()
+      val sh = shBase.localCheckpoint()
       // ONE aggregation computes all 16 minhashes AND the shingle-set
       // size (the Jaccard denominator) — fusing `sizes` in here removes
       // a second scan+shuffle of the shingle set. One md5 per row; each
@@ -259,8 +267,18 @@ object DocQueries {
       // size under Heaps' law, so it is NOT fixed-size at 100 TB — AQE
       // broadcasts it when the runtime size allows and shuffles when it
       // doesn't (same reasoning as dropping the q09 part-table hint).
-      val scored = toks
-        .join(model, $"token" === $"m_token")
+      // Hot-token skew hardening (round-3 verdict item 6): the join key
+      // is the raw token, and stopword-scale tokens are classic 100×-hot
+      // keys — when this join DOES shuffle at 100 TB, one reducer would
+      // own each stopword's entire probe side. SaltedJoin spreads every
+      // token's rows over 8 salts derived deterministically from the
+      // (doc_id, lang) payload and replicates the bounded model side 8×;
+      // the result is EXACTLY the plain inner join (law-tested in
+      // SaltedJoinSpec, including a planted-100×-hot-token case), so the
+      // oracle hash is unchanged.
+      val scored = graft.operators.SaltedJoin.inner(
+          toks, model.withColumnRenamed("m_token", "token"), "token",
+          saltFactor = 8)
         .groupBy($"doc_id", $"lang", $"m_lang")
         .agg(sum($"cnt").as("score"))
       val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"m_lang")

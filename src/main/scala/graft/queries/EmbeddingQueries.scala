@@ -104,33 +104,75 @@ object EmbeddingQueries {
       FROM ranked WHERE rk <= 5 ORDER BY q_id, rk"""))
 
   // --------------------------------------------------------------- Q24b
-  // LSH-bucketed ANN — the 100 TB scale path. 8 random hyperplanes
-  // (deterministic pseudo-random weights from Murmur3 of (plane, dim)),
-  // each vector gets an 8-bit sign signature; query vectors only score
-  // candidates in the same bucket (expected corpus/256 per bucket).
-  // Approximate output (bucket may miss true neighbors) → no DuckDB
+  // LSH-bucketed ANN — the 100 TB scale path, BANDED MULTI-TABLE form
+  // (round-3 verdict items 2+3): 4 hash tables × 16 sign bits. A vector
+  // is a candidate for a query iff ALL 16 bits of SOME table agree —
+  // the same b-tables×r-rows S-curve as q23's MinHash banding. Two
+  // fixes over the round-3 single-8-bit-table shape:
+  //   1. The hyperplane weights are LITERAL array<float> constants
+  //      computed once driver-side (deterministic seeded PRNG per
+  //      plane); each sign bit is one codegen'd `dotq` against a
+  //      broadcast literal — the old form re-derived the constant
+  //      weights per row through interpreted sequence/hash/zip_with
+  //      HOFs (~512 lambda+hash evals per vector).
+  //   2. 2^16 buckets per table instead of 2^8: expected bucket size is
+  //      corpus/65536 per table, and recall is recovered by the 4-table
+  //      union (a near-copy flips ~0-1 of 64 sign bits, so ≥3 tables
+  //      still match exactly — AnnRecallSpec asserts rank-1 recall, and
+  //      its bucket-stats test asserts candidate sublinearity).
+  // Approximate output (buckets may miss true neighbors) → no DuckDB
   // oracle; recall vs q24 is asserted in AnnRecallSpec.
+  private val nTables = 4
+  private val bitsPerTable = 16
+
+  /** Deterministic hyperplane weights, plane p dim d ∈ [-0.5, 0.5):
+    * fixed at plan time, shipped as literals (they are query constants —
+    * per-row derivation was round-3 verdict item 2). */
+  private[graft] val hyperplanes: IndexedSeq[Array[Float]] =
+    (0 until nTables * bitsPerTable).map { p =>
+      val rnd = new scala.util.Random(1000003L * p + 17)
+      Array.fill(64)(rnd.nextFloat() - 0.5f)
+    }
+
+  /** (vec_id, table_idx, sig): one 16-bit signature per table per vector.
+    * 64 codegen'd dotq calls per row (the quantized-sign of dot(v, w_p));
+    * map-only — no shuffle until the candidate join. Exposed
+    * private[graft] for AnnRecallSpec's bucket-statistics assertions. */
+  private[graft] def lshBands(df: DataFrame): DataFrame = {
+    val sigs = (0 until nTables).map { t =>
+      val bits = (0 until bitsPerTable).map { k =>
+        when(call_function("dotq", col("embedding"),
+          typedLit(hyperplanes(t * bitsPerTable + k))) >= 0, lit(1L << k))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(t).as("table_idx"), bits.as("sig"))
+    }
+    df.select(col("vec_id"), explode(array(sigs: _*)).as("b"))
+      .select(col("vec_id"), col("b.table_idx").as("table_idx"),
+        col("b.sig").as("sig"))
+  }
+
   private val q24b = QueryDef(
     "q24b_ann_lsh",
     (s, dir) => {
       import s.implicits._
-      // plane p, dim d weight ∈ [-0.5, 0.5): (hash(p:d) mod 1000)/1000
-      // — hash() is fine here (Spark-side determinism only, no oracle).
-      val sigExpr = expr(
-        "concat_ws('', transform(sequence(0, 7), p -> " +
-          "CASE WHEN aggregate(zip_with(embedding, " +
-          "transform(sequence(0, 63), d -> " +
-          "(pmod(hash(concat(CAST(p AS STRING), ':', CAST(d AS STRING))), 1000) - 500) / 1000.0), " +
-          "(x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v) >= 0 " +
-          "THEN '1' ELSE '0' END))")
       val base = emb(s, dir)
-        .withColumn("sig", sigExpr)
         .withColumn("n2", dotQ("embedding", "embedding"))
+      val bands = lshBands(emb(s, dir))
+      val qBands = bands.filter($"vec_id".isin(queryIds: _*))
+        .select($"vec_id".as("q_id"), $"table_idx", $"sig")
+      // Candidates: equi-join on (table_idx, sig) against the broadcast
+      // query bands — map-side; distinct dedups vectors found by
+      // multiple tables. Only candidates are ever scored.
+      val cand = bands.join(broadcast(qBands), Seq("table_idx", "sig"))
+        .filter($"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id").distinct()
       val qv = base.filter($"vec_id".isin(queryIds: _*))
         .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
-          $"n2".as("q_n2"), $"sig".as("q_sig"))
-      val scored = base.join(broadcast(qv),
-          $"sig" === $"q_sig" && $"vec_id" =!= $"q_id")
+          $"n2".as("q_n2"))
+      val scored = cand
+        .join(base.select($"vec_id", $"embedding", $"n2"), Seq("vec_id"))
+        .join(broadcast(qv), Seq("q_id"))
         .withColumn("dot", dotQ("q_emb", "embedding"))
         .withColumn("cosine",
           $"dot".cast(DoubleType) /

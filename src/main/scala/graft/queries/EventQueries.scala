@@ -152,5 +152,46 @@ object EventQueries {
         ON ev.user_id = o.o_custkey AND ev.ts >= o.o_orderdate
       ORDER BY event_id"""))
 
-  val all: Seq[QueryDef] = Seq(q20, q21, q37)
+  // ---------------------------------------------------------------- Q44
+  // STREAMING under the driver's correctness gate (round-3 verdict
+  // missing #2): the events table is replayed as a file stream through
+  // StreamingJobs.hourlyCounts (the S1 job) with Trigger.AvailableNow
+  // into a memory sink, and the sink's contents are returned as the
+  // query result. This runs IncrementalExecution — stateful streaming
+  // aggregation, micro-batch planning, state store — not the batch
+  // planner; the DuckDB oracle is the same hourly aggregation computed
+  // relationally, so stream ≡ batch is now oracle-graded, not only
+  // test-asserted. The replay write is ingest (idempotent per JVM via
+  // replayDirFor); ts round-trips NTZ→LTZ under the UTC session so the
+  // window starts equal date_trunc('hour') wall-times exactly.
+  private val memCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val q44 = QueryDef(
+    "q44_stream_hourly",
+    (s, dir) => {
+      import s.implicits._
+      import graft.streaming.StreamingJobs
+      val replay = StreamingJobs.replayDirFor(s, dir)
+      // memory-sink query names are session-global — make each run's
+      // unique so Bench's repeated executions don't collide.
+      val qname = s"q44_mem_${memCounter.incrementAndGet()}"
+      val stream = StreamingJobs.hourlyCounts(
+        StreamingJobs.readReplayStream(s, replay))
+      val q = stream.writeStream
+        .format("memory").queryName(qname)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qname)
+        .select(date_format($"hour", "yyyy-MM-dd HH:mm:ss").as("hour"),
+          $"event_type", $"n_events", $"sum_value")
+        .orderBy($"hour", $"event_type")
+    },
+    Some(s"""$EventsUs
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        event_type, COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      FROM ev GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  val all: Seq[QueryDef] = Seq(q20, q21, q37, q44)
 }

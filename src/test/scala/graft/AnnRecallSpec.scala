@@ -57,4 +57,36 @@ class AnnRecallSpec extends AnyFunSuite {
         s"planted near-copy of $q not recalled: $top")
     }
   }
+
+  test("q24b bucket sizes stay sublinear in corpus size (4 tables x 2^16)") {
+    // Round-3 verdict item 3: the old single 8-bit table had 256 fixed
+    // buckets, so bucket size grew LINEARLY (corpus/256). The banded
+    // form hashes into 2^16 buckets per table: on a 10x larger random
+    // corpus the largest bucket must stay far below the old design's
+    // EXPECTED load and grow sublinearly. Corpora are seeded —
+    // deterministic, not a flaky statistical assertion.
+    def bucketStats(n: Int): (Long, Double) = {
+      val rnd = new scala.util.Random(n)
+      val schema = StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType))))
+      val rows = (0 until n).map(i =>
+        Row(i.toLong, Array.fill(64)(rnd.nextFloat() - 0.5f).toSeq))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 8), schema)
+      val sizes = graft.queries.EmbeddingQueries.lshBands(df)
+        .groupBy("table_idx", "sig").count()
+        .agg(org.apache.spark.sql.functions.max("count"),
+          org.apache.spark.sql.functions.avg("count"))
+        .collect().head
+      (sizes.getLong(0), sizes.getDouble(1))
+    }
+    val (maxSmall, _) = bucketStats(2000)
+    val (maxBig, meanBig) = bucketStats(20000)
+    assert(maxBig < 20000 / 256,
+      s"largest bucket $maxBig not below the old design's expected load")
+    assert(meanBig < 3.0, s"mean bucket size $meanBig too high")
+    assert(maxBig <= maxSmall * 5,
+      s"bucket growth $maxSmall -> $maxBig is ~linear in corpus size")
+  }
 }

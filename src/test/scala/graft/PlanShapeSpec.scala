@@ -41,15 +41,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan("q05_customers_no_orders").contains("LeftAnti"))
   }
 
-  test("no query plans a cartesian/nested-loop join (except q34's bounded grid)") {
+  test("no query plans a cartesian/nested-loop join (except bounded exemptions)") {
     // Intentional exemptions: q34 crosses two tiny distinct-value sets;
     // q24 broadcast-nested-loops the 3-row query-vector set against the
     // corpus — a map-side scan with a bounded broadcast side, which is
     // the correct "score every corpus row against k queries" plan (the
     // LSH variant q24b shows the pruned alternative and stays equi-keyed
-    // on the bucket signature). Everything else must stay equi-keyed.
+    // on the bucket signature); q43 is the DELIBERATE non-equi bracket
+    // join whose 4-row broadcast dim makes BNLJ the right plan (asserted
+    // below). Everything else must stay equi-keyed.
     val offenders = Registry.all
-      .filterNot(q => Set("q34_priority_grid", "q24_cosine_topk")(q.name))
+      .filterNot(q => Set("q34_priority_grid", "q24_cosine_topk",
+        "q43_price_bracket_theta")(q.name))
       .flatMap { q =>
         val p = plan(q.name)
         if (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
@@ -90,6 +93,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(joinIdx >= 0, s"bucketed join did not plan as SMJ:\n$p")
     assert(!p.substring(joinIdx).contains("Exchange"),
       s"bucketed join still shuffles an input:\n$p")
+  }
+
+  test("q43: the non-equi bracket join plans as BroadcastNestedLoopJoin") {
+    // The §2.B theta-join row must EXECUTE the BNLJ path, not merely be
+    // arguable: a 4-row broadcast dim with a pure range predicate has no
+    // equi key, so anything else in the plan means the join degenerated
+    // (e.g. to a cartesian with post-filter, which would not be the
+    // bounded O(4n) map-side shape the query exists to demonstrate).
+    val p = plan("q43_price_bracket_theta")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q24b: LSH signature uses literal hyperplanes, not per-row derivation") {
+    // Round-3 verdict item 2: the signature must be codegen'd dotq calls
+    // against broadcast literal weight arrays — a plan that re-derives
+    // the constant weights per row shows up as interpreted sequence/
+    // transform/hash HOF machinery in the projection.
+    val p = plan("q24b_ann_lsh")
+    assert(p.contains("dotq"), p)
+    assert(!p.contains("sequence(0, 63"), p)
+    assert(!p.contains("transform("), p)
   }
 
   test("q32: the 64-aggregate vote pass stays inside whole-stage codegen") {

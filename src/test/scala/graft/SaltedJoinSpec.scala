@@ -41,6 +41,34 @@ class SaltedJoinSpec extends AnyFunSuite {
     assert(salts > 1, "salting failed to split the hot key")
   }
 
+  test("q26-shaped token join survives a planted 100x-hot token") {
+    // The exact shape q26 wires SaltedJoin into: (doc_id, lang, token)
+    // probe rows joined to a (token, m_lang, cnt) model on the raw
+    // token, with one token planted ~100x hotter than every other key.
+    import spark.implicits._
+    val toks = spark.range(5000).select(
+      ($"id" % 50).as("doc_id"), lit("en").as("lang"),
+      when($"id" % 100 =!= 0, lit("the"))
+        .otherwise(concat(lit("w"), $"id" % 37)).as("token"))
+    val model = toks.groupBy($"token")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("m_lang", lit("en"))
+    def scores(joined: org.apache.spark.sql.DataFrame) = joined
+      .groupBy("doc_id", "lang", "m_lang")
+      .agg(sum("cnt").as("score")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sorted
+    val plain = scores(toks.join(model, Seq("token")))
+    val salted = scores(SaltedJoin.inner(toks, model, "token", saltFactor = 8))
+    assert(salted === plain)
+    // The hot token's probe rows must land in >1 salt bucket — i.e. no
+    // single reducer owns the hot key's whole join.
+    val salts = toks.filter($"token" === "the")
+      .withColumn("__salt", pmod(hash($"doc_id", $"lang"), lit(8)))
+      .select("__salt").distinct().count()
+    assert(salts > 1, "hot token was not spread across salt buckets")
+  }
+
   test("salted two-phase distinct count equals the direct count") {
     val direct = skewed.groupBy("k")
       .agg(countDistinct("v").as("n_distinct_v"))

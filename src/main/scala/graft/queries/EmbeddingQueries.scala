@@ -105,44 +105,64 @@ object EmbeddingQueries {
 
   // --------------------------------------------------------------- Q24b
   // LSH-bucketed ANN — the 100 TB scale path, BANDED MULTI-TABLE form
-  // (round-3 verdict items 2+3): 4 hash tables × 16 sign bits. A vector
-  // is a candidate for a query iff ALL 16 bits of SOME table agree —
-  // the same b-tables×r-rows S-curve as q23's MinHash banding. Two
-  // fixes over the round-3 single-8-bit-table shape:
+  // (round-3 verdict items 2+3): 4 hash tables × r sign bits. A vector
+  // is a candidate for a query iff all r bits of SOME table agree with
+  // one of the query's probe signatures — the same b-tables×r-rows
+  // S-curve as q23's MinHash banding. Three design points:
   //   1. The hyperplane weights are LITERAL array<float> constants
   //      computed once driver-side (deterministic seeded PRNG per
   //      plane); each sign bit is one codegen'd `dotq` against a
   //      broadcast literal — the old form re-derived the constant
   //      weights per row through interpreted sequence/hash/zip_with
   //      HOFs (~512 lambda+hash evals per vector).
-  //   2. 2^16 buckets per table instead of 2^8: expected bucket size is
-  //      corpus/65536 per table, and recall is recovered by the 4-table
-  //      union (a near-copy flips ~0-1 of 64 sign bits, so ≥3 tables
-  //      still match exactly — AnnRecallSpec asserts rank-1 recall, and
-  //      its bucket-stats test asserts candidate sublinearity).
+  //   2. r IS SIZED FROM THE CORPUS at index-build time, the standard
+  //      LSH parameterization: r = clamp(ceil(log2 n), 8, 16) keeps the
+  //      expected number of random same-bucket collisions per query,
+  //      n·2^-r, at O(1) — at the round-3 fixed r=16 the 500–2000-row
+  //      fixtures produced ZERO candidates (n·4/65536 ≈ 0.1, the round-4
+  //      0-rows regression), while a fixed small r degenerates to
+  //      corpus/2^r linear buckets at 10^9 rows. The one driver-side
+  //      count() that sizes r is parquet-footer cheap and is exactly
+  //      what a real ANN index build does (IVF trains centroids on a
+  //      sample the same way).
+  //   3. MULTI-PROBE on the query side (Lv et al., VLDB'07): each query
+  //      probes its own signature plus all r Hamming-distance-1 flips
+  //      per table. A near-copy whose sig differs by one bit in every
+  //      table is still recalled; probe fan-out is (r+1)·b ≈ 50
+  //      broadcast rows per query — free at any scale, and the corpus
+  //      side still stores ONE sig per table (no index blow-up).
   // Approximate output (buckets may miss true neighbors) → no DuckDB
-  // oracle; recall vs q24 is asserted in AnnRecallSpec.
+  // oracle; recall vs q24 is asserted in AnnRecallSpec (planted
+  // near-copies), bucket sublinearity in its bucket-stats test.
   private val nTables = 4
-  private val bitsPerTable = 16
+  private val maxBitsPerTable = 16
+
+  /** Index-build-time band width: keeps E[random collisions/query] =
+    * n/2^r ≈ O(1). Capped at 16 by the precomputed 64-plane budget; a
+    * >65536-bucket deployment raises nTables·maxBits together. */
+  private[graft] def bandBits(n: Long): Int =
+    math.min(maxBitsPerTable,
+      math.max(8, 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1)).toInt))
 
   /** Deterministic hyperplane weights, plane p dim d ∈ [-0.5, 0.5):
     * fixed at plan time, shipped as literals (they are query constants —
-    * per-row derivation was round-3 verdict item 2). */
+    * per-row derivation was round-3 verdict item 2). Table t uses planes
+    * t·16 … t·16+r-1, so signatures are stable prefixes as r varies. */
   private[graft] val hyperplanes: IndexedSeq[Array[Float]] =
-    (0 until nTables * bitsPerTable).map { p =>
+    (0 until nTables * maxBitsPerTable).map { p =>
       val rnd = new scala.util.Random(1000003L * p + 17)
       Array.fill(64)(rnd.nextFloat() - 0.5f)
     }
 
-  /** (vec_id, table_idx, sig): one 16-bit signature per table per vector.
-    * 64 codegen'd dotq calls per row (the quantized-sign of dot(v, w_p));
+  /** (vec_id, table_idx, sig): one r-bit signature per table per vector.
+    * 4·r codegen'd dotq calls per row (the quantized-sign of dot(v,w_p));
     * map-only — no shuffle until the candidate join. Exposed
     * private[graft] for AnnRecallSpec's bucket-statistics assertions. */
-  private[graft] def lshBands(df: DataFrame): DataFrame = {
+  private[graft] def lshBands(df: DataFrame, r: Int): DataFrame = {
     val sigs = (0 until nTables).map { t =>
-      val bits = (0 until bitsPerTable).map { k =>
+      val bits = (0 until r).map { k =>
         when(call_function("dotq", col("embedding"),
-          typedLit(hyperplanes(t * bitsPerTable + k))) >= 0, lit(1L << k))
+          typedLit(hyperplanes(t * maxBitsPerTable + k))) >= 0, lit(1L << k))
           .otherwise(lit(0L))
       }.reduce(_ + _)
       struct(lit(t).as("table_idx"), bits.as("sig"))
@@ -152,18 +172,30 @@ object EmbeddingQueries {
         col("b.sig").as("sig"))
   }
 
+  /** Corpus-sized banding (spec entry point): r from a footer-cheap
+    * count of the corpus being indexed. */
+  private[graft] def lshBands(df: DataFrame): DataFrame =
+    lshBands(df, bandBits(df.count()))
+
   private val q24b = QueryDef(
     "q24b_ann_lsh",
     (s, dir) => {
       import s.implicits._
       val base = emb(s, dir)
         .withColumn("n2", dotQ("embedding", "embedding"))
-      val bands = lshBands(emb(s, dir))
+      val r = bandBits(emb(s, dir).count())
+      val bands = lshBands(emb(s, dir), r)
+      // Multi-probe expansion of the query signatures: the exact sig
+      // plus its r one-bit flips, per table (still a ≤ 4·(r+1)-row
+      // broadcast per query vector).
+      val probeFlips = (-1 until r).map(i =>
+        if (i < 0) col("sig") else col("sig").bitwiseXOR(lit(1L << i)))
       val qBands = bands.filter($"vec_id".isin(queryIds: _*))
-        .select($"vec_id".as("q_id"), $"table_idx", $"sig")
+        .select($"vec_id".as("q_id"), $"table_idx",
+          explode(array(probeFlips: _*)).as("sig"))
       // Candidates: equi-join on (table_idx, sig) against the broadcast
-      // query bands — map-side; distinct dedups vectors found by
-      // multiple tables. Only candidates are ever scored.
+      // query probes — map-side; distinct dedups vectors found by
+      // multiple tables/probes. Only candidates are ever scored.
       val cand = bands.join(broadcast(qBands), Seq("table_idx", "sig"))
         .filter($"vec_id" =!= $"q_id")
         .select($"q_id", $"vec_id").distinct()

@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `runMain graft.Bench` as
+// JSON; "parsed" came back null in rounds 1-4 because (a) sbt appended
+// a "[success] Total time: ..." trailer and (b) forked stdout is piped
+// through sbt's logger, which prefixes every line with "[info] ".
+// Disable the trailer and let the forked JVM inherit stdout directly.
+Global / showSuccess := false
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

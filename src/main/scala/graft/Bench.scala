@@ -4,15 +4,37 @@ package graft
   * "failed" and excluded from timings/total (a -1 s "timing" would
   * corrupt the total — round-1 verdict item 6).
   *
-  * Steal-resistance (round-3 verdict item 1): the shared box's co-tenant
-  * CPU steal produced 6-12x spikes on unchanged code, so a single timed
-  * execution per query is a dice roll, not a measurement. Each query now
-  * runs REPS (3) times back-to-back and the reported time is the MEDIAN;
-  * per-query min/max go out under "spread" for transparency. This is the
-  * same procedure BASELINE.md's recorded medians used — the two sides of
-  * the 2x gate are now measured identically. */
+  * Steal-resistance (round-3 verdict item 1, round-4 ADVICE items 1+3):
+  * the shared box's co-tenant CPU steal produces 6-100x spikes lasting
+  * tens of seconds (round-4 artifact: q22 spread 0.37-41.7 s on
+  * unchanged code). Three defenses:
+  *   1. ROUND-ROBIN passes, not back-to-back reps: the corpus runs end
+  *      to end PASSES (3) times, so one steal burst inflates a single
+  *      pass of many queries instead of every rep of one query (round 4
+  *      timed q03b's 3 back-to-back reps inside one burst: all 23-29 s).
+  *      This is the same procedure BASELINE.md §3's medians were
+  *      recorded with (3 full runs) — the two sides of the 2x gate are
+  *      measured identically. Reported per-query time = MEDIAN of
+  *      successful passes; min/max go out under "spread".
+  *   2. Per-pass failure isolation: one throwing pass no longer discards
+  *      the other passes' valid timings; a query is "failed" only when
+  *      EVERY pass failed. "reps_ok" records how many passes succeeded.
+  *   3. The one-time bucketed-table ingest q03b depends on runs UNTIMED
+  *      before the passes, and its outcome is recorded IN the JSON
+  *      ("ingest_ok", "ingest_secs") so a failed/ineffective prewarm is
+  *      visible to the gate, not just on stderr.
+  *
+  * "value" = sum of per-query medians (comparable to BASELINE.md §3);
+  * "value_min" = sum of per-query mins — the steal-floor statistic (a
+  * co-tenant can only ADD time, so the min is the cleanest observed
+  * steady state on a noisy box).
+  *
+  * GRAFT_BENCH_ONLY=q01_...,q23_... restricts the corpus (local
+  * iteration); the driver sets only SPARK_GRAFT_SF_DIR.
+  */
 object Bench {
-  private val Reps = 3
+  private val Passes =
+    sys.env.get("GRAFT_BENCH_REPS").map(_.toInt).getOrElse(3)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -39,16 +61,20 @@ object Bench {
     // saveAsTable under co-tenant load in round 3, vs the ~1 s steady-
     // state join the query exists to demonstrate). Same (table, key,
     // cols) as CoreQueries.q03b; Tables.bucketed is idempotent per
-    // session, so q03b's own call becomes a catalog lookup.
-    try {
+    // session, so q03b's own call becomes a catalog lookup. Outcome and
+    // duration are reported in the output JSON (round-4 ADVICE item 1).
+    val ingestT0 = System.nanoTime()
+    val ingestOk = try {
       Tables.bucketed(spark, sfDir, "lineitem", "l_orderkey",
         Seq("l_orderkey", "l_extendedprice", "l_discount"))
       Tables.bucketed(spark, sfDir, "orders", "o_orderkey",
         Seq("o_orderkey", "o_custkey"))
-      ()
+      true
     } catch { case e: Throwable =>
       System.err.println(s"[bench] bucketed ingest failed: ${e.getMessage}")
+      false
     }
+    val ingestSecs = (System.nanoTime() - ingestT0) / 1e9
     // Per-leaf scanned-row metric, best-effort (descends into the AQE
     // final plan) — the reference's one-metrics-line-per-stage ethos
     // (DoublePsramBuffer480x480.cpp:209-214) applied per query.
@@ -60,55 +86,63 @@ object Bench {
       case o if o.children.isEmpty => Seq(o)
       case o => o.children.flatMap(leaves)
     }
-    val runs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // Execute the query's OWN physical plan via toRdd, not count() and
-      // not a write: a count() action lets Catalyst prune the measured
-      // work (it only needs row counts), and df.write re-plans in a fresh
-      // QueryExecution whose metrics are invisible here. toRdd.count()
-      // materializes every output column through the full plan AND leaves
-      // the scan metrics readable on df.queryExecution.
-      // Capture elapsed ONCE, immediately after the action — the metric
-      // collection and stderr print below must not inflate the reported
-      // time (round-2 ADVICE: the JSON and stderr numbers disagreed).
-      try {
-        var scanned = -1L
-        val times = (1 to Reps).map { _ =>
+    val only = sys.env.get("GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+    val times = scala.collection.mutable.Map
+      .empty[String, Vector[Double]].withDefaultValue(Vector.empty)
+    val scanned = scala.collection.mutable.Map.empty[String, Long]
+    (1 to Passes).foreach { pass =>
+      names.foreach { name =>
+        // Execute the query's OWN physical plan via toRdd, not count()
+        // and not a write: a count() action lets Catalyst prune the
+        // measured work, and df.write re-plans in a fresh QueryExecution
+        // whose metrics are invisible here. toRdd.count() materializes
+        // every output column through the full plan AND leaves the scan
+        // metrics readable on df.queryExecution. Elapsed is captured
+        // ONCE, immediately after the action — metric collection below
+        // must not inflate the reported time.
+        try {
           val t0 = System.nanoTime()
-          val df = fn(spark, sfDir)
+          val df = SparkEntry.queries(name)(spark, sfDir)
           df.queryExecution.toRdd.count()
           val secs = (System.nanoTime() - t0) / 1e9
-          scanned = try {
+          times(name) = times(name) :+ secs
+          scanned(name) = try {
             leaves(df.queryExecution.executedPlan)
               .flatMap(_.metrics.get("numOutputRows")).map(_.value).sum
           } catch { case _: Throwable => -1L }
-          secs
-        }.sorted
-        val med = times(Reps / 2)
-        System.err.println(
-          f"[bench] $name%-28s median=$med%8.3f s  (min=${times.head}%.3f max=${times.last}%.3f)  scanned=$scanned%,12d rows")
-        (name, med, times.head, times.last, true)
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        (name, -1.0, -1.0, -1.0, false)
+          System.err.println(
+            f"[bench] pass $pass $name%-28s ${secs}%8.3f s  scanned=${scanned(name)}%,12d rows")
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] pass $pass $name failed: ${e.getMessage}")
+        }
       }
     }
-    val good = runs.filter(_._5)
-    val qs = good.map { case (k, v, _, _, _) => "\"" + k + "\":" + f"$v%.3f" }
+    val good = names.filter(times(_).nonEmpty).map { name =>
+      val ts = times(name).sorted
+      (name, ts(ts.size / 2), ts.head, ts.last, ts.size)
+    }
+    val qs = good.map { case (k, med, _, _, _) => "\"" + k + "\":" + f"$med%.3f" }
       .mkString("{", ",", "}")
     val spread = good.map { case (k, _, mn, mx, _) =>
       "\"" + k + "\":[" + f"$mn%.3f" + "," + f"$mx%.3f" + "]"
     }.mkString("{", ",", "}")
-    val failed = runs.filterNot(_._5).map("\"" + _._1 + "\"")
+    val repsOk = good.map { case (k, _, _, _, n) => "\"" + k + "\":" + n }
+      .mkString("{", ",", "}")
+    val failed = names.filter(times(_).isEmpty).map("\"" + _ + "\"")
       .mkString("[", ",", "]")
     val total = good.map(_._2).sum
+    val totalMin = good.map(_._3).sum
     val qps = if (total > 0) good.size / total else 0.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"reps":$Reps,"failed":$failed,"qps":${f"$qps%.3f"},"sf":"$sfDir"}"""
-    println(json)
-    // Greppable stderr copy too: sbt wraps stdout in [info] noise and the
-    // driver's "parsed" came back null in rounds 1-3.
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","value_min":${f"$totalMin%.3f"},"queries":$qs,"spread":$spread,"reps":$Passes,"reps_ok":$repsOk,"failed":$failed,"ingest_ok":$ingestOk,"ingest_secs":${f"$ingestSecs%.3f"},"qps":${f"$qps%.3f"},"sf":"$sfDir"}"""
+    // Greppable stderr copy + JSON files FIRST, then the bare stdout
+    // line LAST: if the driver merges streams and parses the final line,
+    // that line must be the naked JSON (build.sbt routes forked stdout
+    // past sbt's [info] logger and suppresses the [success] trailer).
     System.err.println("GRAFT_BENCH_JSON " + json)
-    // ALSO write the bare JSON to files the driver (or anyone) can read.
     for (p <- Seq("bench_out.json", "/tmp/graft-bench.json")) {
       try {
         java.nio.file.Files.write(java.nio.file.Paths.get(p),
@@ -116,5 +150,6 @@ object Bench {
       } catch { case _: Throwable => () }
     }
     spark.stop()
+    println(json)
   }
 }

@@ -77,8 +77,13 @@ object Tables {
         f.delete(): Unit
       }
       if (loc.exists()) rm(loc)
+      // stderr breadcrumb: a bucketed WRITE inside a timed bench rep
+      // would be invisible otherwise (round-4 ADVICE item 1 post-mortem)
+      val t0 = System.nanoTime()
       load(spark, dir, name).select(cols.map(col): _*)
         .write.bucketBy(buckets, key).sortBy(key).saveAsTable(tbl)
+      System.err.println(
+        f"[tables] wrote bucketed $tbl in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
     spark.table(tbl)
   }

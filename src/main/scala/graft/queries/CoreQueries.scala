@@ -861,7 +861,10 @@ object CoreQueries {
         ("b1_under_50k", 0.0, 50000.0),
         ("b2_50k_150k", 50000.0, 150000.0),
         ("b3_150k_300k", 150000.0, 300000.0),
-        ("b4_300k_plus", 300000.0, 600000.0)).toDF("bracket", "lo", "hi")
+        // open-ended top bracket: an effectively unbounded hi so the
+        // bracket dim covers the full o_totalprice domain (round-4
+        // ADVICE: a 600k bound silently dropped any larger order)
+        ("b4_300k_plus", 300000.0, 1.0e12)).toDF("bracket", "lo", "hi")
       t(s, dir, "orders")
         .join(broadcast(brackets),
           $"o_totalprice" >= $"lo" && $"o_totalprice" < $"hi")
@@ -876,7 +879,7 @@ object CoreQueries {
           ('b1_under_50k', 0, 50000),
           ('b2_50k_150k', 50000, 150000),
           ('b3_150k_300k', 150000, 300000),
-          ('b4_300k_plus', 300000, 600000)) b(bracket, lo, hi)
+          ('b4_300k_plus', 300000, 1000000000000)) b(bracket, lo, hi)
         ON o_totalprice >= b.lo AND o_totalprice < b.hi
       GROUP BY 1 ORDER BY 1"""))
 

@@ -164,6 +164,15 @@ object EventQueries {
   // test-asserted. The replay write is ingest (idempotent per JVM via
   // replayDirFor); ts round-trips NTZ→LTZ under the UTC session so the
   // window starts equal date_trunc('hour') wall-times exactly.
+  //
+  // PLAN-CONSUMER CAVEAT: the DataFrame this fn returns is the MEMORY-
+  // SINK table scan — the streaming work already happened inside the fn
+  // (IncrementalExecution is only observable on the StreamingQuery's
+  // lastExecution). Bench therefore times the full replay (honest) but
+  // its "scanned" metric and any executedPlan inspection see only the
+  // sink read; PlanShapeSpec excludes q44 from its registry-wide plan
+  // sweep for exactly this reason (streaming plan shape is asserted in
+  // StreamingSpec on the streaming side).
   private val memCounter = new java.util.concurrent.atomic.AtomicInteger(0)
   private val q44 = QueryDef(
     "q44_stream_hourly",

@@ -50,9 +50,15 @@ class PlanShapeSpec extends AnyFunSuite {
     // on the bucket signature); q43 is the DELIBERATE non-equi bracket
     // join whose 4-row broadcast dim makes BNLJ the right plan (asserted
     // below). Everything else must stay equi-keyed.
+    // q44 is excluded for a different reason: its fn RUNS the full
+    // stream replay as a side effect of building the DataFrame, and the
+    // batch plan the sweep would inspect is only the memory-sink scan —
+    // a trivially-green check bought with a full IncrementalExecution
+    // (round-4 ADVICE item 4). Its streaming plan is asserted in
+    // StreamingSpec instead.
     val offenders = Registry.all
       .filterNot(q => Set("q34_priority_grid", "q24_cosine_topk",
-        "q43_price_bracket_theta")(q.name))
+        "q43_price_bracket_theta", "q44_stream_hourly")(q.name))
       .flatMap { q =>
         val p = plan(q.name)
         if (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))

@@ -31,6 +31,11 @@ package graft
   *
   * GRAFT_BENCH_ONLY=q01_...,q23_... restricts the corpus (local
   * iteration); the driver sets only SPARK_GRAFT_SF_DIR.
+  *
+  * Output: the ONE stdout line is the COMPACT JSON (fits the driver's
+  * 2000-char stdout-tail capture); the FULL JSON with per-query
+  * spread/reps_ok diagnostics goes to bench_out.json,
+  * /tmp/graft-bench.json and a GRAFT_BENCH_JSON-prefixed stderr line.
   */
 object Bench {
   private val Passes =
@@ -136,8 +141,24 @@ object Bench {
     val total = good.map(_._2).sum
     val totalMin = good.map(_._3).sum
     val qps = if (total > 0) good.size / total else 0.0
+    // Two renderings of the same measurement:
+    //  - FULL (spread + reps_ok diagnostics) → bench_out.json,
+    //    /tmp/graft-bench.json and a greppable stderr line;
+    //  - COMPACT (no spread/reps_ok; reps_min = min passes any query
+    //    survived, so a partially-failed query is still detectable) →
+    //    the single stdout line. The driver stores only the last 2000
+    //    chars of stdout and round-5's 3.4 KB full line overflowed that
+    //    window, leaving "parsed": null — the compact line is ~1.6 KB
+    //    for the 50-query corpus, so the gate can parse it again.
+    val repsMin = if (good.isEmpty) 0 else good.map(_._5).min
+    val common =
+      s""""unit":"sec","value_min":${f"$totalMin%.3f"},"queries":$qs"""
+    val tailCommon =
+      s""""reps":$Passes,"failed":$failed,"ingest_ok":$ingestOk,"ingest_secs":${f"$ingestSecs%.3f"},"qps":${f"$qps%.3f"},"sf":"$sfDir""""
     val json =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","value_min":${f"$totalMin%.3f"},"queries":$qs,"spread":$spread,"reps":$Passes,"reps_ok":$repsOk,"failed":$failed,"ingest_ok":$ingestOk,"ingest_secs":${f"$ingestSecs%.3f"},"qps":${f"$qps%.3f"},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},$common,"spread":$spread,"reps_ok":$repsOk,$tailCommon}"""
+    val compact =
+      s"""{"metric":"total","value":${f"$total%.3f"},$common,"reps_min":$repsMin,$tailCommon}"""
     // Greppable stderr copy + JSON files FIRST, then the bare stdout
     // line LAST: if the driver merges streams and parses the final line,
     // that line must be the naked JSON (build.sbt routes forked stdout
@@ -150,6 +171,6 @@ object Bench {
       } catch { case _: Throwable => () }
     }
     spark.stop()
-    println(json)
+    println(compact)
   }
 }

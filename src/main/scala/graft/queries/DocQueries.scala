@@ -666,6 +666,110 @@ object DocQueries {
         AND (lang LIKE '_e' OR lang LIKE 'e%')
       GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  // ---------------------------------------------------------------- Q45
+  // n-gram Jaccard similarity join, EXACT — the fourth dedup family
+  // (exact=q25, MinHash-LSH=q23, SimHash=q32). Where q23 trades recall
+  // for scale via banding, this query returns EVERY pair with
+  // J(3-gram sets) ≥ 0.5, yet never goes all-pairs: candidate
+  // generation is PREFIX FILTERING (Bayardo/Ma/Srikant, "Scaling Up
+  // All Pairs Similarity Search", WWW'07; the PPJoin family):
+  //   - impose one global total order on shingles — ascending document
+  //     frequency, tie-broken by the shingle text (rarest first);
+  //   - a doc's PREFIX is its first |S| − ⌈τ|S|⌉ + 1 shingles in that
+  //     order. THEOREM (no false negatives): J(S1,S2) ≥ τ ⟹ the two
+  //     prefixes share a shingle. Proof: let x be the smallest common
+  //     shingle; if x is past prefix1 then all |S1∩S2| common shingles
+  //     sit among suffix1's ⌈τ·n1⌉ − 1 elements, so
+  //     J ≤ (⌈τ·n1⌉−1)/n1 < τ — contradiction (symmetric for prefix2).
+  //   - join ONLY on prefix shingles; verify candidates with the exact
+  //     intersection count. τ = 0.5 makes every threshold integer-exact:
+  //     prefix length = n − (n+1) DIV 2 + 1 and the final test is
+  //     2·|∩| ≥ n1 + n2 − |∩| — no float comparisons anywhere, so the
+  //     DuckDB oracle reproduces the result bit-for-bit.
+  // Scale shape: rarest-first ordering means hot shingles (stopword
+  // 3-grams) almost never land in a prefix — prefix-join bucket sizes
+  // track RARE-shingle frequencies, not vocabulary skew; the size
+  // filter 2·n2 ≥ n1 ∧ 2·n1 ≥ n2 (sound: τ ≤ min/max sizes) prunes
+  // cross-length candidates before the verify join. The verify join is
+  // q23's candidate-verification shape — linear in candidate count.
+  private val q45 = QueryDef(
+    "q45_ngram_jaccard",
+    (s, dir) => {
+      import s.implicits._
+      // Distinct 3-gram shingles feed 5 plan branches (freq, sizes,
+      // ranked, both verify sides) — materialize once, as in q23.
+      val sh = docs(s, dir)
+        .select($"doc_id", split(lower($"text"), " ").as("tk"))
+        .filter(size($"tk") >= 3)
+        .select($"doc_id", explode(expr(
+          "transform(sequence(1, size(tk) - 2), " +
+            "i -> concat_ws(' ', slice(tk, i, 3)))")).as("shingle"))
+        .distinct()
+        .localCheckpoint()
+      val freq = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
+      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val ranked = sh.join(freq, "shingle").join(sizes, "doc_id")
+        .withColumn("r", row_number().over(
+          Window.partitionBy($"doc_id").orderBy($"df", $"shingle"))
+          .cast(LongType))
+      val pref = ranked
+        .filter(expr("r <= n - (n + 1) DIV 2 + 1"))
+        .select($"doc_id", $"shingle", $"n")
+      val cand = pref.toDF("doc1", "shingle", "n1")
+        .join(pref.toDF("doc2", "shingle", "n2"), "shingle")
+        .filter($"doc1" < $"doc2" &&
+          $"n2" * 2 >= $"n1" && $"n1" * 2 >= $"n2")
+        .select($"doc1", $"doc2").distinct()
+      val inter = cand
+        .join(sh.toDF("doc1", "shingle"), "doc1")
+        .join(sh.toDF("doc2", "shingle"), Seq("doc2", "shingle"))
+        .groupBy($"doc1", $"doc2")
+        .agg(count(lit(1)).as("n_shared"))
+      inter
+        .join(sizes.toDF("doc1", "n1"), "doc1")
+        .join(sizes.toDF("doc2", "n2"), "doc2")
+        .filter($"n_shared" * 2 >= $"n1" + $"n2" - $"n_shared")
+        .select($"doc1", $"doc2", $"n_shared", $"n1", $"n2",
+          ($"n_shared".cast(DoubleType) / ($"n1" + $"n2" - $"n_shared"))
+            .as("jaccard"))
+        .orderBy($"doc1", $"doc2")
+    },
+    Some("""WITH tk AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id,
+          unnest(list_transform(generate_series(1, len(t) - 2),
+            i -> array_to_string(t[i:i+2], ' '))) AS shingle
+        FROM tk WHERE len(t) >= 3),
+      freq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      ranked AS (
+        SELECT s.doc_id, s.shingle, z.n,
+          ROW_NUMBER() OVER (PARTITION BY s.doc_id
+            ORDER BY f.df, s.shingle) AS r
+        FROM sh s JOIN freq f USING (shingle) JOIN sizes z USING (doc_id)),
+      pref AS (
+        SELECT doc_id, shingle, n FROM ranked
+        WHERE r <= n - (n + 1) // 2 + 1),
+      cand AS (
+        SELECT DISTINCT p1.doc_id AS doc1, p2.doc_id AS doc2
+        FROM pref p1 JOIN pref p2 USING (shingle)
+        WHERE p1.doc_id < p2.doc_id
+          AND p2.n * 2 >= p1.n AND p1.n * 2 >= p2.n),
+      inter AS (
+        SELECT doc1, doc2, COUNT(*) AS n_shared
+        FROM cand
+        JOIN sh x1 ON x1.doc_id = doc1
+        JOIN sh x2 ON x2.doc_id = doc2 AND x2.shingle = x1.shingle
+        GROUP BY 1, 2)
+      SELECT doc1, doc2, n_shared, z1.n AS n1, z2.n AS n2,
+        CAST(n_shared AS DOUBLE) / (z1.n + z2.n - n_shared) AS jaccard
+      FROM inter
+      JOIN sizes z1 ON z1.doc_id = doc1
+      JOIN sizes z2 ON z2.doc_id = doc2
+      WHERE n_shared * 2 >= z1.n + z2.n - n_shared
+      ORDER BY doc1, doc2"""))
+
   val all: Seq[QueryDef] =
-    Seq(q22, q23, q25, q26, q27, q28, q29, q32, q39, q42)
+    Seq(q22, q23, q25, q26, q27, q28, q29, q32, q39, q42, q45)
 }

@@ -269,5 +269,134 @@ object EmbeddingQueries {
       SELECT label, rk, id1, id2, cosine
       FROM ranked WHERE rk <= 3 ORDER BY label, rk"""))
 
-  val all: Seq[QueryDef] = Seq(q24, q24b, q24c)
+  // --------------------------------------------------------------- Q24d
+  // IVF-style ANN — the OTHER production index family next to q24b's
+  // LSH (FAISS's IVF-Flat shape): a coarse quantizer partitions the
+  // corpus into K inverted lists; a query probes only its nProbe
+  // nearest lists and scores those candidates exactly.
+  //   - K = ⌈√n⌉ lists, the standard IVF sizing (E[list] = √n rows, and
+  //     probe cost nProbe·√n ≪ n). n comes from one footer-cheap count,
+  //     exactly like q24b's band sizing.
+  //   - "Training": real IVF k-means a sample; here the centroids ARE a
+  //     deterministic pseudo-random sample of K corpus vectors (ordered
+  //     by md5 of the id — a seeded sample expressible identically in
+  //     both engines). Same plumbing, no iterative trainer; q26 shows a
+  //     trained model pipeline elsewhere.
+  //   - Assignment = argmax cosine over the broadcast centroid set: a
+  //     bounded-broadcast cross join (K ≈ √n rows) scored by codegen'd
+  //     dotq, then a per-vec_id window (millions of tiny partitions at
+  //     scale — the q26 argmax shape). This is the index-BUILD pass a
+  //     real deployment pays once at ingest.
+  //   - Probe = the same scored ranking, top-nProbe cells per query;
+  //     candidates = equi-join probes ⋈ assignments on the cell id.
+  // UNLIKE q24b, every step is deterministic (integer dots, IEEE
+  // divisions on identical inputs, id tie-breaks) — so this ANN variant
+  // carries a full DuckDB oracle: the approximation is in WHICH
+  // neighbors are considered, not in any nondeterministic hash. Recall
+  // on planted near-copies is asserted in AnnRecallSpec (a near-copy's
+  // cosines against every centroid are within ~1e-3 of the query's, so
+  // its argmax cell is one of the query's top probes).
+  private val nProbe = 4
+
+  private val q24d = QueryDef(
+    "q24d_ann_ivf",
+    (s, dir) => {
+      import s.implicits._
+      val base = emb(s, dir)
+        .withColumn("n2", dotQ("embedding", "embedding"))
+      val k = math.ceil(math.sqrt(emb(s, dir).count().toDouble)).toInt
+      // TakeOrderedAndProject — distributed top-K by the md5 sample
+      // order, not a global sort.
+      val cent = base
+        .orderBy(md5($"vec_id".cast(StringType).cast(BinaryType)), $"vec_id")
+        .limit(k)
+        .select($"vec_id".as("c_id"), $"embedding".as("c_emb"),
+          $"n2".as("c_n2"))
+      val ascore = base.select($"vec_id", $"embedding", $"n2")
+        .crossJoin(broadcast(cent))
+        .withColumn("acos",
+          dotQ("embedding", "c_emb").cast(DoubleType) /
+            (sqrt($"n2".cast(DoubleType)) * sqrt($"c_n2".cast(DoubleType))))
+      val aw = Window.partitionBy($"vec_id").orderBy($"acos".desc, $"c_id")
+      val arank = ascore.select($"vec_id", $"c_id",
+        row_number().over(aw).as("ar"))
+      val assign = arank.filter($"ar" === 1).select($"vec_id", $"c_id")
+      val probes = arank.filter($"vec_id".isin(queryIds: _*) &&
+          $"ar" <= nProbe)
+        .select($"vec_id".as("q_id"), $"c_id")
+      // One assigned cell per vector ⇒ probes ⋈ assign is dup-free.
+      val cand = assign.join(broadcast(probes), "c_id")
+        .filter($"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id")
+      val qv = base.filter($"vec_id".isin(queryIds: _*))
+        .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
+          $"n2".as("q_n2"))
+      val scored = cand
+        .join(base.select($"vec_id", $"embedding", $"n2"), Seq("vec_id"))
+        .join(broadcast(qv), Seq("q_id"))
+        .withColumn("cosine",
+          dotQ("q_emb", "embedding").cast(DoubleType) /
+            (sqrt($"q_n2".cast(DoubleType)) * sqrt($"n2".cast(DoubleType))))
+      val top = scored.groupBy($"q_id")
+        .agg(expr("topk_by_score(cosine, vec_id, 5)").as("top"))
+        .select($"q_id", posexplode($"top"))
+        .select($"q_id", ($"pos" + 1).cast(LongType).as("rk"),
+          $"col.id".as("vec_id"), $"col.score".as("cosine"))
+      top.join(emb(s, dir).select($"vec_id", $"label"), Seq("vec_id"))
+        .select($"q_id", $"rk", $"vec_id", $"label", $"cosine")
+        .orderBy($"q_id", $"rk")
+    },
+    Some(s"""WITH norms AS (
+        SELECT vec_id, embedding, label,
+          ${oDot("embedding", "embedding")} AS n2
+        FROM embeddings),
+      cnt AS (SELECT COUNT(*) AS n FROM embeddings),
+      rankedc AS (
+        SELECT vec_id, embedding, n2,
+          ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+            AS cr
+        FROM norms),
+      cent AS (
+        SELECT vec_id AS c_id, embedding AS c_emb, n2 AS c_n2
+        FROM rankedc, cnt
+        WHERE cr <= CAST(ceil(sqrt(CAST(n AS DOUBLE))) AS BIGINT)),
+      ascore AS (
+        SELECT e.vec_id, c.c_id,
+          CAST(${oDot("e.embedding", "c.c_emb")} AS DOUBLE)
+            / (sqrt(CAST(e.n2 AS DOUBLE)) * sqrt(CAST(c.c_n2 AS DOUBLE)))
+            AS acos
+        FROM norms e CROSS JOIN cent c),
+      arank AS (
+        SELECT vec_id, c_id,
+          ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY acos DESC, c_id) AS ar
+        FROM ascore),
+      assign AS (SELECT vec_id, c_id FROM arank WHERE ar = 1),
+      probes AS (
+        SELECT vec_id AS q_id, c_id FROM arank
+        WHERE vec_id IN (${queryIds.mkString(", ")}) AND ar <= $nProbe),
+      cand AS (
+        SELECT p.q_id, a.vec_id
+        FROM probes p JOIN assign a ON a.c_id = p.c_id
+        WHERE a.vec_id <> p.q_id),
+      q AS (
+        SELECT vec_id AS q_id, embedding AS q_emb, n2 AS q_n2
+        FROM norms WHERE vec_id IN (${queryIds.mkString(", ")})),
+      scored AS (
+        SELECT cd.q_id, e.vec_id, e.label,
+          CAST(${oDot("q.q_emb", "e.embedding")} AS DOUBLE)
+            / (sqrt(CAST(q.q_n2 AS DOUBLE)) * sqrt(CAST(e.n2 AS DOUBLE)))
+            AS cosine
+        FROM cand cd
+        JOIN norms e ON e.vec_id = cd.vec_id
+        JOIN q ON q.q_id = cd.q_id),
+      ranked AS (
+        SELECT q_id, vec_id, label, cosine,
+          CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY cosine DESC, vec_id) AS BIGINT) AS rk
+        FROM scored)
+      SELECT q_id, rk, vec_id, label, cosine
+      FROM ranked WHERE rk <= 5 ORDER BY q_id, rk"""))
+
+  val all: Seq[QueryDef] = Seq(q24, q24b, q24c, q24d)
 }

@@ -58,6 +58,18 @@ class AnnRecallSpec extends AnyFunSuite {
     }
   }
 
+  test("q24d IVF ANN recalls each planted near-copy at rank 1") {
+    // A near-copy's cosine against every centroid is within ~1e-3 of
+    // the query's own, so its argmax cell is (almost surely) the
+    // query's top-1 probed cell; nProbe=4 gives further slack. The
+    // corpus is seeded — deterministic, not statistical.
+    val top = rank1("q24d_ann_ivf")
+    (0 until 3).foreach { q =>
+      assert(top.get(q.toLong).contains(1000L + q),
+        s"planted near-copy of $q not recalled: $top")
+    }
+  }
+
   test("q24b bucket sizes stay sublinear in corpus size (4 tables x 2^16)") {
     // Round-3 verdict item 3: the old single 8-bit table had 256 fixed
     // buckets, so bucket size grew LINEARLY (corpus/256). The banded

@@ -714,20 +714,43 @@ object DocQueries {
           .cast(LongType))
       val pref = ranked
         .filter(expr("r <= n - (n + 1) DIV 2 + 1"))
-        .select($"doc_id", $"shingle", $"n")
-      val cand = pref.toDF("doc1", "shingle", "n1")
-        .join(pref.toDF("doc2", "shingle", "n2"), "shingle")
+        .select($"doc_id", $"shingle", $"n", $"r")
+      // PPJoin POSITIONAL filter on top of the prefix filter: a match at
+      // prefix ranks (r1, r2) can certify at most
+      // 1 + min(n1−r1, n2−r2) common shingles (every other common
+      // shingle ranks AFTER the matched one in both docs), and J ≥ 1/2
+      // needs |∩| ≥ (n1+n2)/3 — so matches violating
+      // 3·(min(n1−r1, n2−r2)+1) ≥ n1+n2 cannot certify a qualifying
+      // pair. Sound for the pair because the pair's SMALLEST common
+      // shingle match carries the weakest restriction and always
+      // survives for a true pair (NgramJaccardSpec re-proves
+      // completeness). Measured: 310k → 125k candidates at sf0.1.
+      val cand = pref.toDF("doc1", "shingle", "n1", "r1")
+        .join(pref.toDF("doc2", "shingle", "n2", "r2"), "shingle")
         .filter($"doc1" < $"doc2" &&
-          $"n2" * 2 >= $"n1" && $"n1" * 2 >= $"n2")
+          $"n2" * 2 >= $"n1" && $"n1" * 2 >= $"n2" &&
+          (least($"n1" - $"r1", $"n2" - $"r2") + 1) * 3 >= $"n1" + $"n2")
         .select($"doc1", $"doc2").distinct()
-      val inter = cand
-        .join(sh.toDF("doc1", "shingle"), "doc1")
-        .join(sh.toDF("doc2", "shingle"), Seq("doc2", "shingle"))
-        .groupBy($"doc1", $"doc2")
-        .agg(count(lit(1)).as("n_shared"))
-      inter
-        .join(sizes.toDF("doc1", "n1"), "doc1")
-        .join(sizes.toDF("doc2", "n2"), "doc2")
+      // Verification: join each candidate to the two docs' WHOLE shingle
+      // sets as single array rows and intersect per candidate row
+      // (codegen'd array_intersect on distinct sets), NOT
+      // cand ⋈ shingles ⋈ shingles + count: the row-level form shuffles
+      // |cand|·|S| rows (~16M at sf0.1 — measured 9.1 s); this form
+      // moves |docs| array rows + |cand| pairs through two equi-joins
+      // (AQE broadcasts the array table when it fits, shuffles keyed on
+      // doc id when it doesn't) and was measured ~3× faster. n1/n2 fall
+      // out as size(set) — the separate `sizes` joins disappear.
+      val docSets = sh.groupBy($"doc_id")
+        .agg(collect_set($"shingle").as("ss"))
+      val verified = cand
+        .join(docSets.toDF("doc1", "ss1"), "doc1")
+        .join(docSets.toDF("doc2", "ss2"), "doc2")
+        .select($"doc1", $"doc2",
+          size(array_intersect($"ss1", $"ss2")).cast(LongType)
+            .as("n_shared"),
+          size($"ss1").cast(LongType).as("n1"),
+          size($"ss2").cast(LongType).as("n2"))
+      verified
         .filter($"n_shared" * 2 >= $"n1" + $"n2" - $"n_shared")
         .select($"doc1", $"doc2", $"n_shared", $"n1", $"n2",
           ($"n_shared".cast(DoubleType) / ($"n1" + $"n2" - $"n_shared"))
@@ -749,13 +772,14 @@ object DocQueries {
             ORDER BY f.df, s.shingle) AS r
         FROM sh s JOIN freq f USING (shingle) JOIN sizes z USING (doc_id)),
       pref AS (
-        SELECT doc_id, shingle, n FROM ranked
+        SELECT doc_id, shingle, n, r FROM ranked
         WHERE r <= n - (n + 1) // 2 + 1),
       cand AS (
         SELECT DISTINCT p1.doc_id AS doc1, p2.doc_id AS doc2
         FROM pref p1 JOIN pref p2 USING (shingle)
         WHERE p1.doc_id < p2.doc_id
-          AND p2.n * 2 >= p1.n AND p1.n * 2 >= p2.n),
+          AND p2.n * 2 >= p1.n AND p1.n * 2 >= p2.n
+          AND 3 * (least(p1.n - p1.r, p2.n - p2.r) + 1) >= p1.n + p2.n),
       inter AS (
         SELECT doc1, doc2, COUNT(*) AS n_shared
         FROM cand

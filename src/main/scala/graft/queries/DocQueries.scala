@@ -794,6 +794,106 @@ object DocQueries {
       WHERE n_shared * 2 >= z1.n + z2.n - n_shared
       ORDER BY doc1, doc2"""))
 
+  // ---------------------------------------------------------------- Q46
+  // Deterministic train/val/test split — the assignment step of every
+  // training-data pipeline. Membership is a pure function of the
+  // DOCUMENT ID's md5 (first hex digit: 0-b → train = 12/16, c-d → val,
+  // e-f → test = 2/16 each), so the split is reproducible across runs,
+  // engines, and partitionings, new documents never reshuffle old ones,
+  // and the whole assignment is a per-row scan-stage expression — no
+  // shuffle until the tiny (split × lang) aggregate. share_within_lang
+  // is computed over the AGGREGATED rows (|splits|·|langs| ≈ tens) via
+  // a window — bounded at any corpus size.
+  private val q46 = QueryDef(
+    "q46_train_split",
+    (s, dir) => {
+      import s.implicits._
+      val d1 = substring(
+        md5($"doc_id".cast(StringType).cast(BinaryType)), 1, 1)
+      val split = when(d1 < "c", "train")
+        .when(d1 < "e", "val").otherwise("test")
+      val perDoc = docs(s, dir).select(
+        split.as("split"), $"lang",
+        expr("size(filter(split(lower(text), ' '), t -> length(t) > 0))")
+          .cast(LongType).as("n_tok"))
+      val agg = perDoc.groupBy($"split", $"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("sum_tokens"))
+      agg.withColumn("share_within_lang",
+          $"n_docs".cast(DoubleType) /
+            sum($"n_docs").over(Window.partitionBy($"lang")))
+        .orderBy($"split", $"lang")
+    },
+    Some("""WITH per_doc AS (
+        SELECT CASE
+            WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+              THEN 'train'
+            WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e'
+              THEN 'val'
+            ELSE 'test' END AS split,
+          lang,
+          CAST(len(list_filter(string_split(lower(text), ' '),
+            t -> length(t) > 0)) AS BIGINT) AS n_tok
+        FROM documents),
+      agg AS (
+        SELECT split, lang, COUNT(*) AS n_docs,
+          CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
+        FROM per_doc GROUP BY 1, 2)
+      SELECT split, lang, n_docs, sum_tokens,
+        CAST(n_docs AS DOUBLE)
+          / SUM(n_docs) OVER (PARTITION BY lang) AS share_within_lang
+      FROM agg ORDER BY split, lang"""))
+
+  // ---------------------------------------------------------------- Q47
+  // Context-window packing ("concat and chunk"): stream each source's
+  // documents in doc_id order into 2048-token windows; a document's bin
+  // is the window its FIRST token lands in (documents may straddle a
+  // boundary — the sequence-packing convention). One running-total
+  // window per source plus integer division; per-bin stats are the
+  // aggregate a packing job reports (how many docs per context, how
+  // full the windows run).
+  // Scale note: packing is inherently ORDER-SENSITIVE, so the prefix
+  // sum must be computed within whatever unit owns the order. Here that
+  // unit is `source` (tens of partitions, each bounded); a 100 TB
+  // deployment packs per (source, shard) — doc_id ranges assigned at
+  // ingest — which turns this same window into millions of bounded
+  // partitions. The convention and stats are unchanged; only the
+  // partition key widens.
+  private val q47 = QueryDef(
+    "q47_context_packing",
+    (s, dir) => {
+      import s.implicits._
+      val perDoc = docs(s, dir).select($"source", $"doc_id",
+        expr("size(filter(split(lower(text), ' '), t -> length(t) > 0))")
+          .cast(LongType).as("n_tok"))
+      val w = Window.partitionBy($"source").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val binned = perDoc
+        .withColumn("cum", sum($"n_tok").over(w))
+        .withColumn("bin", expr("(cum - n_tok) DIV 2048"))
+      binned.groupBy($"source", $"bin")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tok").as("sum_tokens"),
+          min($"doc_id").as("first_doc"),
+          max($"doc_id").as("last_doc"))
+        .withColumn("fill_ratio", $"sum_tokens".cast(DoubleType) / 2048)
+        .orderBy($"source", $"bin")
+    },
+    Some("""WITH per_doc AS (
+        SELECT source, doc_id,
+          CAST(len(list_filter(string_split(lower(text), ' '),
+            t -> length(t) > 0)) AS BIGINT) AS n_tok
+        FROM documents),
+      binned AS (
+        SELECT source, doc_id, n_tok,
+          (SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS UNBOUNDED PRECEDING) - n_tok) // 2048 AS bin
+        FROM per_doc)
+      SELECT source, bin, COUNT(*) AS n_docs,
+        CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+        MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+        CAST(CAST(SUM(n_tok) AS BIGINT) AS DOUBLE) / 2048 AS fill_ratio
+      FROM binned GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[QueryDef] =
-    Seq(q22, q23, q25, q26, q27, q28, q29, q32, q39, q42, q45)
+    Seq(q22, q23, q25, q26, q27, q28, q29, q32, q39, q42, q45, q46, q47)
 }

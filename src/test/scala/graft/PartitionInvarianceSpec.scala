@@ -15,11 +15,15 @@ class PartitionInvarianceSpec extends AnyFunSuite {
   private val dir = TestSpark.sf0001
 
   // Queries chosen to cover: decimal agg, window, set ops, LSH join,
-  // integer-quantized cosine, UDAF, as-of composite, simhash votes.
+  // integer-quantized cosine, UDAF, as-of composite, simhash votes,
+  // prefix-filtered similarity join, IVF argmax assignment, hash split,
+  // running-prefix-sum packing.
   private val names = Seq(
     "q01_pricing_summary", "q08_segment_share", "q13_running_revenue",
     "q18_value_intersect", "q23_near_dup_minhash", "q24_cosine_topk",
-    "q30_weighted_avg_price", "q37_asof_last_order", "q32_simhash_near_dup")
+    "q30_weighted_avg_price", "q37_asof_last_order", "q32_simhash_near_dup",
+    "q45_ngram_jaccard", "q24d_ann_ivf", "q46_train_split",
+    "q47_context_packing")
 
   private def canonical(name: String): Seq[String] = {
     val df = Registry.byName(name).run(spark, dir)

@@ -600,19 +600,22 @@ object DocQueries {
       // label. The changed-count join compares two localCheckpointed
       // tables of ≤ |dup docs| rows — negligible next to the rounds it
       // saves (8 fixed rounds → ~2-3 here).
-      var changed = 1L
+      var changed = true
       var round = 0
-      while (changed > 0 && round < 8) {
+      while (changed && round < 8) {
         round += 1
         val prop = und.join(labels, $"src" === $"doc_id")
           .select($"dst".as("doc_id"), $"label")
         val next = labels.unionAll(prop)
           .groupBy($"doc_id").agg(min($"label").as("label"))
           .localCheckpoint()
-        changed = next.as("n")
+        // ANY-row existence (limit-1 under the hood), not a full count:
+        // the loop only needs "did something change", and isEmpty stops
+        // at the first differing label instead of scanning them all.
+        changed = !next.as("n")
           .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
           .filter(col("n.label") =!= col("o.label"))
-          .count()
+          .isEmpty
         labels = next
       }
       System.err.println(s"[q39] converged after $round rounds")

@@ -709,6 +709,14 @@ object DocQueries {
             "i -> concat_ws(' ', slice(tk, i, 3)))")).as("shingle"))
         .distinct()
         .localCheckpoint()
+      // MEASURED ALTERNATIVE, rejected: computing df/n as
+      // count-over-partition windows stacked on the row_number window
+      // (two exchanges, no joins) benched 5.46 s vs 4.31 s for this
+      // groupBy+join form in a back-to-back 5-rep A/B — whole-partition
+      // count windows SORT their 260k input twice, while these hash
+      // aggregates don't sort at all; the join probes are cheaper than
+      // the sorts. (Same lesson as q23's native-shingles flag: shapes
+      // that delete operators don't automatically win — measure.)
       val freq = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
       val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
       val ranked = sh.join(freq, "shingle").join(sizes, "doc_id")

@@ -883,8 +883,71 @@ object CoreQueries {
         ON o_totalprice >= b.lo AND o_totalprice < b.hi
       GROUP BY 1 ORDER BY 1"""))
 
+  // ---------------------------------------------------------------- Q48
+  // Table profiling — the ANALYZE/statistics surface every engine
+  // exposes: per-column row count, null count, exact distinct count and
+  // min/max, unpivoted to one row per column. Built as a UNION ALL of
+  // per-column aggregates so EACH branch's parquet scan is pruned to
+  // its one column (4 parallel 1-column scans; the single-pass
+  // alternative — one aggregate with 4 countDistincts — plans an
+  // Expand that duplicates every row 4×, trading scan count for
+  // shuffle volume; per-column scans win when columns ≫ profiled
+  // columns, which is the pruning argument itself). min/max are
+  // computed on the NATIVE type (so the ordering is numeric/temporal,
+  // not lexicographic) and rendered to strings only in the final
+  // projection; exact countDistinct is the oracle-matchable choice —
+  // at 100 TB swap in approx_count_distinct exactly as q15/q15b pair
+  // the two.
+  private val q48 = QueryDef(
+    "q48_table_profile",
+    (s, dir) => {
+      import s.implicits._
+      def prof(c: String, render: Column => Column): DataFrame =
+        t(s, dir, "lineitem").agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+          countDistinct(col(c)).as("n_distinct"),
+          render(min(col(c))).as("min_value"),
+          render(max(col(c))).as("max_value"))
+          .select(lit(c).as("col_name"), $"n_rows", $"n_nulls",
+            $"n_distinct", $"min_value", $"max_value")
+      prof("l_orderkey", _.cast(StringType))
+        .unionAll(prof("l_linenumber", _.cast(StringType)))
+        .unionAll(prof("l_returnflag", identity))
+        .unionAll(prof("l_shipdate",
+          date_format(_, "yyyy-MM-dd HH:mm:ss")))
+        .orderBy($"col_name")
+    },
+    Some("""SELECT 'l_orderkey' AS col_name, COUNT(*) AS n_rows,
+        CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_nulls,
+        COUNT(DISTINCT l_orderkey) AS n_distinct,
+        CAST(MIN(l_orderkey) AS VARCHAR) AS min_value,
+        CAST(MAX(l_orderkey) AS VARCHAR) AS max_value
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_linenumber', COUNT(*),
+        CAST(SUM(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        COUNT(DISTINCT l_linenumber),
+        CAST(MIN(l_linenumber) AS VARCHAR), CAST(MAX(l_linenumber) AS VARCHAR)
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_returnflag', COUNT(*),
+        CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        COUNT(DISTINCT l_returnflag),
+        MIN(l_returnflag), MAX(l_returnflag)
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_shipdate', COUNT(*),
+        CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        COUNT(DISTINCT l_shipdate),
+        strftime(MIN(l_shipdate), '%Y-%m-%d %H:%M:%S'),
+        strftime(MAX(l_shipdate), '%Y-%m-%d %H:%M:%S')
+      FROM lineitem
+      ORDER BY col_name"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q03b, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q15b, q16, q17, q18a, q18b, q19,
-    q30, q33, q34, q35, q35b, q36, q38, q40, q41, q43)
+    q30, q33, q34, q35, q35b, q36, q38, q40, q41, q43, q48)
 }

@@ -202,5 +202,65 @@ object EventQueries {
         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
       FROM ev GROUP BY 1, 2 ORDER BY 1, 2"""))
 
-  val all: Seq[QueryDef] = Seq(q20, q21, q37, q44)
+  // ---------------------------------------------------------------- Q49
+  // SECOND streaming entry under the oracle gate: stateful SESSION
+  // WINDOWS (the S3 job) replayed with Trigger.AvailableNow into a
+  // memory sink in complete mode — unlike q44's tumbling windows this
+  // exercises the variable-length merging-session state path of
+  // IncrementalExecution. The oracle computes the identical sessions
+  // relationally in DuckDB (gaps-and-islands), with Spark's EXACT merge
+  // rule: two events share a session iff their gap is STRICTLY under
+  // 30 min (session_window's [ts, ts+gap) interval overlap), and
+  // session_end = last event + gap — both written into the oracle SQL
+  // (q21's batch sessionization uses "> gap starts new", a deliberately
+  // different boundary convention; the two queries document both).
+  // Same plan-consumer caveat as q44: the returned DataFrame is the
+  // memory-sink scan; PlanShapeSpec excludes q49 from the plan sweep.
+  private val q49 = QueryDef(
+    "q49_stream_sessions",
+    (s, dir) => {
+      import s.implicits._
+      import graft.streaming.StreamingJobs
+      val replay = StreamingJobs.replayDirFor(s, dir)
+      val qname = s"q49_mem_${memCounter.incrementAndGet()}"
+      val stream = StreamingJobs.sessions(
+        StreamingJobs.readReplayStream(s, replay))
+      val q = stream.writeStream
+        .format("memory").queryName(qname)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qname)
+        .select($"user_id",
+          date_format($"session_start", "yyyy-MM-dd HH:mm:ss")
+            .as("session_start"),
+          date_format($"session_end", "yyyy-MM-dd HH:mm:ss")
+            .as("session_end"),
+          $"n_events")
+        .orderBy($"user_id", $"session_start")
+    },
+    Some(s"""$EventsUs,
+      flagged AS (
+        SELECT user_id, ts,
+          CASE WHEN lag(ts, 1) OVER w IS NULL
+                 OR epoch_us(ts) - epoch_us(lag(ts, 1) OVER w)
+                    >= 30*60*1000000
+               THEN 1 ELSE 0 END AS new_session
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      with_sid AS (
+        SELECT user_id, ts,
+          SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged)
+      SELECT user_id,
+        strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+          AS session_end,
+        COUNT(*) AS n_events
+      FROM with_sid GROUP BY user_id, session_id
+      ORDER BY user_id, session_start"""))
+
+  val all: Seq[QueryDef] = Seq(q20, q21, q37, q44, q49)
 }

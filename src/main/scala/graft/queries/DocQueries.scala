@@ -905,6 +905,252 @@ object DocQueries {
         CAST(CAST(SUM(n_tok) AS BIGINT) AS DOUBLE) / 2048 AS fill_ratio
       FROM binned GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  // ------------------------------------------------- Q50 / Q53 shared
+  // Per-document repetition metrics, computed ENTIRELY inside the scan
+  // stage with array functions — no explode, no shuffle until the final
+  // bounded aggregate. `word_shingles(text, 2)` (the q23 expression)
+  // yields the per-row DISTINCT bigram set directly, so the classic
+  // "duplicate n-gram fraction" repetition signal (Rae et al., Gopher
+  // §A.1.1-style text filters, arXiv:2112.11446) costs one array pass
+  // per row. All metrics are integers; every downstream threshold is
+  // phrased integer-exactly (k*x <= y), so the oracle comparison never
+  // meets a float rounding edge. At 100 TB this shape is ideal: the
+  // heavy work is map-only and the aggregate state is |langs| rows.
+  private def repMetrics(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .withColumn("toks", split(lower($"text"), " "))
+      .withColumn("n_tokens", size($"toks").cast(LongType))
+      .withColumn("n_grams",
+        greatest(size($"toks") - 1, lit(0)).cast(LongType))
+      .withColumn("n_distinct",
+        when($"n_grams" === 0, lit(0L))
+          .otherwise(size(expr("word_shingles(text, 2)")).cast(LongType)))
+      .withColumn("top_cnt",
+        array_max(transform(array_distinct($"toks"),
+          w => size(filter($"toks", t => t === w)))).cast(LongType))
+      .withColumn("n_utoks", size(array_distinct($"toks")).cast(LongType))
+  }
+
+  /** DuckDB twin of [[repMetrics]]: bigrams via zip(ts, ts[2:]) — the
+    * independent formulation (no shared shingle code path). */
+  private val oracleRepMetrics: String =
+    """WITH t AS (
+        SELECT doc_id, lang, source,
+          string_split(lower(text), ' ') AS ts FROM documents),
+      m AS (
+        SELECT doc_id, lang, source,
+          len(ts) AS n_tokens,
+          greatest(len(ts) - 1, 0) AS n_grams,
+          CASE WHEN len(ts) >= 2 THEN len(list_distinct(
+            list_transform(list_zip(ts[:len(ts)-1], ts[2:]),
+                           x -> x[1] || ' ' || x[2])))
+          ELSE 0 END AS n_distinct,
+          list_max(list_transform(list_distinct(ts),
+            w -> len(list_filter(ts, y -> y = w)))) AS top_cnt,
+          len(list_distinct(ts)) AS n_utoks
+        FROM t)"""
+
+  // ---------------------------------------------------------------- Q50
+  // Repetition profile per language: how many documents are repetitive
+  // (duplicate-bigram fraction > 10%) or top-token-heavy (most frequent
+  // token > 20% of the text), plus the worst duplicate-bigram rate in
+  // basis points (integer DIV — exact in both engines). The per-lang
+  // report a corpus-curation run uses to pick its repetition cutoffs.
+  private val q50 = QueryDef(
+    "q50_repetition_profile",
+    (s, dir) => {
+      import s.implicits._
+      repMetrics(s, dir)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          count_if(($"n_grams" - $"n_distinct") * 10 > $"n_grams")
+            .as("n_repetitive"),
+          count_if($"top_cnt" * 5 > $"n_tokens").as("n_top_heavy"),
+          max(expr("(10000 * (n_grams - n_distinct)) DIV greatest(n_grams, 1)"))
+            .as("max_dup_bp"),
+          sum($"n_tokens").as("sum_tokens"))
+        .orderBy($"lang")
+    },
+    Some(s"""$oracleRepMetrics
+      SELECT lang, COUNT(*) AS n_docs,
+        CAST(SUM(CASE WHEN 10*(n_grams - n_distinct) > n_grams
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+        CAST(SUM(CASE WHEN 5*top_cnt > n_tokens
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_top_heavy,
+        CAST(MAX((10000*(n_grams - n_distinct)) // GREATEST(n_grams, 1))
+             AS BIGINT) AS max_dup_bp,
+        CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+      FROM m GROUP BY 1 ORDER BY 1"""))
+
+  // ---------------------------------------------------------------- Q53
+  // Quality-filter FUNNEL: the attrition report of a sequential filter
+  // chain (the standard way curation pipelines are tuned — each rule's
+  // marginal drop, in order). Four Gopher-style gates, each an
+  // integer-exact predicate over the scan-stage metrics:
+  //   1 min_length        n_tokens >= 20
+  //   2 dup_bigrams       duplicate-bigram fraction <= 10%
+  //   3 top_token         most frequent token <= 10% of tokens
+  //   4 type_token_ratio  distinct/total tokens >= 50%
+  // One single-row aggregate computes the whole cascade (sums of
+  // running conjunctions — no per-rule passes, no shuffle of doc rows),
+  // then unpivots to one row per stage. At 100 TB: still one map-only
+  // pass + a 1-row aggregate.
+  private val q53 = QueryDef(
+    "q53_filter_funnel",
+    (s, dir) => {
+      import s.implicits._
+      val f = repMetrics(s, dir)
+        .withColumn("r1", $"n_tokens" >= 20)
+        .withColumn("r2", ($"n_grams" - $"n_distinct") * 10 <= $"n_grams")
+        .withColumn("r3", $"top_cnt" * 10 <= $"n_tokens")
+        .withColumn("r4", $"n_utoks" * 2 >= $"n_tokens")
+      val c = f.agg(
+        count(lit(1)).as("n0"),
+        count_if($"r1").as("n1"),
+        count_if($"r1" && $"r2").as("n2"),
+        count_if($"r1" && $"r2" && $"r3").as("n3"),
+        count_if($"r1" && $"r2" && $"r3" && $"r4").as("n4"))
+      c.selectExpr(
+        """stack(4,
+             1L, 'min_length',       n0, n1,
+             2L, 'dup_bigrams',      n1, n2,
+             3L, 'top_token',        n2, n3,
+             4L, 'type_token_ratio', n3, n4)
+           AS (stage, rule, n_in, n_out)""")
+        .withColumn("n_dropped", $"n_in" - $"n_out")
+        .select($"stage", $"rule", $"n_in", $"n_dropped", $"n_out")
+        .orderBy($"stage")
+    },
+    Some(s"""$oracleRepMetrics,
+      f AS (
+        SELECT n_tokens >= 20 AS r1,
+          10*(n_grams - n_distinct) <= n_grams AS r2,
+          10*top_cnt <= n_tokens AS r3,
+          2*n_utoks >= n_tokens AS r4
+        FROM m),
+      c AS (
+        SELECT COUNT(*) AS n0,
+          CAST(SUM(CASE WHEN r1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+          CAST(SUM(CASE WHEN r1 AND r2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+          CAST(SUM(CASE WHEN r1 AND r2 AND r3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+          CAST(SUM(CASE WHEN r1 AND r2 AND r3 AND r4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+        FROM f)
+      SELECT stage, rule, n_in, n_in - n_out AS n_dropped, n_out FROM (
+        SELECT CAST(1 AS BIGINT) AS stage, 'min_length' AS rule,
+               n0 AS n_in, n1 AS n_out FROM c
+        UNION ALL SELECT 2, 'dup_bigrams', n1, n2 FROM c
+        UNION ALL SELECT 3, 'top_token', n2, n3 FROM c
+        UNION ALL SELECT 4, 'type_token_ratio', n3, n4 FROM c)
+      ORDER BY stage"""))
+
+  // ---------------------------------------------------------------- Q51
+  // PII redaction: scrub emails and long digit runs, prove the scrub
+  // byte-identically across engines (md5 of every redacted document).
+  // The fixture corpus is letters-and-spaces only, so the query PLANTS
+  // deterministic PII first (doc_id-derived — both engines build the
+  // identical augmented text) and then redacts it; n_emails/n_nums are
+  // counted on the pre-redaction text. The regex subset is chosen to
+  // mean the same thing in Java regex (Spark) and RE2 (DuckDB): plain
+  // character classes + bounded repetition, no lookaround, no refs.
+  // Scale shape: pure map-only scan (regexp_count + regexp_replace are
+  // codegen'd), output one row per document — a 100 TB redaction pass
+  // is exactly this plan plus a parquet sink.
+  private val piiEmailRe = "[a-z0-9.]+@[a-z0-9.]+"
+  private val piiNumRe = "[0-9]{7,}"
+
+  private val q51 = QueryDef(
+    "q51_pii_redaction",
+    (s, dir) => {
+      import s.implicits._
+      docs(s, dir)
+        .withColumn("aug",
+          concat($"text",
+            when($"doc_id" % 3 === 0,
+              concat(lit(" contact user"), $"doc_id".cast(StringType),
+                lit("@mail.example now"))).otherwise(""),
+            when($"doc_id" % 5 === 0,
+              concat(lit(" call "),
+                ($"doc_id" * 7919 + 1000000).cast(StringType),
+                lit(" today"))).otherwise("")))
+        .select($"doc_id",
+          regexp_count($"aug", lit(piiEmailRe)).cast(LongType)
+            .as("n_emails"),
+          regexp_count($"aug", lit(piiNumRe)).cast(LongType).as("n_nums"),
+          md5(regexp_replace(
+            regexp_replace($"aug", piiEmailRe, "<EMAIL>"),
+            piiNumRe, "<NUM>").cast(BinaryType)).as("redacted_md5"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH aug AS (
+        SELECT doc_id,
+          text
+          || CASE WHEN doc_id % 3 = 0
+               THEN ' contact user' || doc_id::VARCHAR || '@mail.example now'
+               ELSE '' END
+          || CASE WHEN doc_id % 5 = 0
+               THEN ' call ' || (doc_id*7919 + 1000000)::VARCHAR || ' today'
+               ELSE '' END AS t
+        FROM documents)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(t, '$piiEmailRe')) AS BIGINT) AS n_emails,
+        CAST(len(regexp_extract_all(t, '$piiNumRe')) AS BIGINT) AS n_nums,
+        md5(regexp_replace(regexp_replace(t, '$piiEmailRe', '<EMAIL>', 'g'),
+            '$piiNumRe', '<NUM>', 'g')) AS redacted_md5
+      FROM aug ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- Q52
+  // Benchmark DECONTAMINATION: flag corpus documents sharing any 5-gram
+  // with a held-out "benchmark" set (doc_id % 97 = 0 — ~1% of docs,
+  // standing in for an eval suite). The canonical pre-training hygiene
+  // join (n-gram overlap decontamination; 5 words here because fixture
+  // docs are 16-100 tokens — production uses 8-13-gram windows, same
+  // plan). Scale shape: the benchmark side is SMALL BY CONSTRUCTION
+  // (an eval suite, not the corpus), so its distinct grams broadcast;
+  // the corpus side is a map-only explode of per-row DISTINCT grams
+  // (`word_shingles` again) into a broadcast LEFT SEMI join — no
+  // corpus-side shuffle at any scale. The contaminated-id set (tiny)
+  // broadcasts back for the per-lang report.
+  private val q52 = QueryDef(
+    "q52_decontamination",
+    (s, dir) => {
+      import s.implicits._
+      val grams = docs(s, dir)
+        .select($"doc_id", $"lang", ($"doc_id" % 97 === 0).as("is_bench"),
+          explode(expr("word_shingles(text, 5)")).as("gram"))
+      val benchGrams = grams.filter($"is_bench").select($"gram").distinct()
+      val contaminated = grams.filter(!$"is_bench")
+        .join(broadcast(benchGrams), Seq("gram"), "left_semi")
+        .select($"doc_id").distinct()
+      docs(s, dir).filter($"doc_id" % 97 =!= 0)
+        .join(broadcast(contaminated.withColumn("hit", lit(1L))),
+          Seq("doc_id"), "left")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          count_if($"hit".isNotNull).as("n_contaminated"))
+        .orderBy($"lang")
+    },
+    Some("""WITH t AS (
+        SELECT doc_id, lang, string_split(lower(text), ' ') AS ts
+        FROM documents),
+      g AS (
+        SELECT doc_id, lang,
+          array_to_string(ts[s.i:s.i+4], ' ') AS gram
+        FROM t CROSS JOIN unnest(
+          CASE WHEN len(ts) >= 5 THEN generate_series(1, len(ts)-4)
+               ELSE [] END) AS s(i)),
+      bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+      hits AS (
+        SELECT DISTINCT g.doc_id FROM g JOIN bench USING (gram)
+        WHERE g.doc_id % 97 <> 0)
+      SELECT d.lang, COUNT(*) AS n_docs,
+        CAST(SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_contaminated
+      FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+      WHERE d.doc_id % 97 <> 0
+      GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QueryDef] =
-    Seq(q22, q23, q25, q26, q27, q28, q29, q32, q39, q42, q45, q46, q47)
+    Seq(q22, q23, q25, q26, q27, q28, q29, q32, q39, q42, q45, q46, q47,
+      q50, q51, q52, q53)
 }

@@ -152,6 +152,41 @@ object EventQueries {
         ON ev.user_id = o.o_custkey AND ev.ts >= o.o_orderdate
       ORDER BY event_id"""))
 
+  // --------------------------------------------------------------- Q37b
+  // The SAME as-of semantics as q37, through the NATIVE operator
+  // (graft.plans.AsOfJoinPlan → AsOfJoinStrategy → AsOfJoinExec): one
+  // sorted merge per key-clustered partition instead of q37's
+  // union + ordered window. Identical DuckDB ASOF JOIN oracle — three
+  // independent implementations (window composite, sorted-merge exec,
+  // DuckDB native) must agree row-for-row. Plan-asserted in
+  // PlanShapeSpec: physical plan contains AsOfJoinExec with exactly one
+  // exchange per side below it.
+  private val q37b = QueryDef(
+    "q37b_asof_native",
+    (s, dir) => {
+      import s.implicits._
+      val od = Tables.load(s, dir, "orders")
+        .groupBy($"o_custkey", $"o_orderdate")
+        .agg(max($"o_orderkey").as("o_orderkey"))
+      val e = ev(s, dir).select($"event_id", $"user_id", $"ts")
+      graft.plans.AsOf.joinBackward(e, od,
+          e("user_id"), od("o_custkey"), e("ts"), od("o_orderdate"))
+        .select($"event_id", $"user_id", $"o_orderkey",
+          datediff($"ts".cast(DateType), $"o_orderdate".cast(DateType))
+            .cast(LongType).as("age_days"))
+        .orderBy($"event_id")
+    },
+    Some(s"""$EventsUs,
+      od AS (
+        SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+        FROM orders GROUP BY 1, 2)
+      SELECT ev.event_id, ev.user_id, o.o_orderkey,
+        CAST(date_diff('day', CAST(o.o_orderdate AS DATE), CAST(ev.ts AS DATE))
+             AS BIGINT) AS age_days
+      FROM ev ASOF LEFT JOIN od o
+        ON ev.user_id = o.o_custkey AND ev.ts >= o.o_orderdate
+      ORDER BY event_id"""))
+
   // ---------------------------------------------------------------- Q44
   // STREAMING under the driver's correctness gate (round-3 verdict
   // missing #2): the events table is replayed as a file stream through
@@ -262,5 +297,5 @@ object EventQueries {
       FROM with_sid GROUP BY user_id, session_id
       ORDER BY user_id, session_start"""))
 
-  val all: Seq[QueryDef] = Seq(q20, q21, q37, q44, q49)
+  val all: Seq[QueryDef] = Seq(q20, q21, q37, q37b, q44, q49)
 }

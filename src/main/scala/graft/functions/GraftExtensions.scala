@@ -18,5 +18,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(WordShingles.descriptor)
     // Whole-operator exemplar (§7.3(c)): native backward as-of join.
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // Optimizer-rule exemplar (§7.3(b)): custom nodes are pushdown
+    // barriers by default; restore left-side predicate pushdown.
+    e.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOfJoin)
   }
 }

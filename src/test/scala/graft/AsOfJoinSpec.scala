@@ -117,6 +117,37 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(native(l, r) === composite(l, r))
   }
 
+  test("left-side filters push through the as-of join to the scan") {
+    // A filter applied ABOVE the native join on left-only columns must
+    // reach the left parquet scan (PushFilterThroughAsOfJoin), and a
+    // filter on the matched right payload must stay above the join.
+    val ev = Tables.load(spark, TestSpark.sf0001, "events")
+      .select($"event_id", $"user_id", $"ts", $"event_type")
+    val od = Tables.load(spark, TestSpark.sf0001, "orders")
+      .groupBy($"o_custkey", $"o_orderdate")
+      .agg(max($"o_orderkey").as("o_orderkey"))
+    val joined = AsOf.joinBackward(ev, od,
+      ev("user_id"), od("o_custkey"), ev("ts"), od("o_orderdate"))
+    def pushedFilters(plan: String): String =
+      """PushedFilters: \[[^\]]*\]""".r.findAllIn(plan).mkString("\n")
+    val pushed = joined.filter($"event_type" === "purchase")
+    val pPushed = pushed.queryExecution.executedPlan.toString
+    assert(pushedFilters(pPushed).contains("event_type"), pPushed)
+    // Equivalence under the rewrite: same rows as filtering afterwards
+    // with the rule unable to fire (filter on a fresh alias boundary).
+    val expected = joined.collect().filter(r =>
+      r.getAs[String]("event_type") == "purchase").length
+    assert(pushed.count() === expected)
+    // Right-payload filter does NOT reach the left scan's pushed filters.
+    val kept = joined.filter($"o_orderkey" > 100)
+    val pKept = kept.queryExecution.executedPlan.toString
+    assert(!pushedFilters(pKept).contains("o_orderkey"), pKept)
+    // ...and the filter survives above the join.
+    val joinLine = pKept.linesIterator.indexWhere(_.contains("AsOfJoin"))
+    val filterLine = pKept.linesIterator.indexWhere(_.contains("Filter"))
+    assert(filterLine >= 0 && filterLine < joinLine, pKept)
+  }
+
   test("q37b physical plan contains AsOfJoin with sorted+clustered children") {
     val df = graft.queries.Registry.byName("q37b_asof_native")
       .run(spark, TestSpark.sf0001)

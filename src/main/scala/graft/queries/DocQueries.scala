@@ -1150,7 +1150,69 @@ object DocQueries {
       WHERE d.doc_id % 97 <> 0
       GROUP BY 1 ORDER BY 1"""))
 
+  // ---------------------------------------------------------------- Q54
+  // Weighted MIXTURE SAMPLING to a token budget: down-sample each
+  // language stratum to ~2000 tokens with a deterministic per-document
+  // Bernoulli draw — keep iff  h(doc) · lang_tokens < budget · 2³²,
+  // where h is the first 32 bits of md5(doc_id) (uniform on [0, 2³²)).
+  // That inequality IS "uniform < budget/lang_tokens" with the division
+  // cleared: pure int64 arithmetic, so both engines agree exactly and
+  // the sampled set is reproducible across runs, engines, partitionings
+  // (same property as q46's split). Complements q46: split is
+  // assignment, this is RATE control — the "mix domains to a target
+  // token distribution" step of corpus assembly.
+  // Scale shape: per-doc metrics are scan-stage; lang totals are a
+  // |langs|-row aggregate joined back by BROADCAST; one more bounded
+  // aggregate reports the realized mix. The int64 product bounds the
+  // corpus at h·lang_tokens < 2⁶³ → lang_tokens < 2³¹ tokens per
+  // stratum; past that, rescale h to 16 bits (documented swap).
+  private val q54 = QueryDef(
+    "q54_mixture_sampling",
+    (s, dir) => {
+      import s.implicits._
+      val budget = 2000L
+      val m = docs(s, dir).select($"doc_id", $"lang",
+        expr("size(filter(split(lower(text), ' '), t -> length(t) > 0))")
+          .cast(LongType).as("n_tok"),
+        conv(substring(
+          md5($"doc_id".cast(StringType).cast(BinaryType)), 1, 8), 16, 10)
+          .cast(LongType).as("h"))
+      val tot = m.groupBy($"lang")
+        .agg(sum($"n_tok").as("lang_tokens"))
+      m.join(broadcast(tot), Seq("lang"))
+        .withColumn("keep", $"h" * $"lang_tokens" < lit(budget * 4294967296L))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          max($"lang_tokens").as("lang_tokens"),
+          count_if($"keep").as("n_sampled"),
+          sum(when($"keep", $"n_tok").otherwise(0L)).as("sampled_tokens"),
+          expr(s"(10000 * least(${budget}L, max(lang_tokens))) DIV max(lang_tokens)")
+            .as("target_rate_bp"))
+        .orderBy($"lang")
+    },
+    Some("""WITH m AS (
+        SELECT doc_id, lang,
+          CAST(len(list_filter(string_split(lower(text), ' '),
+            t -> length(t) > 0)) AS BIGINT) AS n_tok,
+          ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS h
+        FROM documents),
+      tot AS (
+        SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS lang_tokens
+        FROM m GROUP BY 1),
+      s AS (
+        SELECT m.lang, m.n_tok, t.lang_tokens,
+          (m.h * t.lang_tokens < 2000 * 4294967296) AS keep
+        FROM m JOIN tot t USING (lang))
+      SELECT lang, COUNT(*) AS n_docs,
+        MAX(lang_tokens) AS lang_tokens,
+        CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+        CAST(SUM(CASE WHEN keep THEN n_tok ELSE 0 END) AS BIGINT)
+          AS sampled_tokens,
+        (10000 * LEAST(CAST(2000 AS BIGINT), MAX(lang_tokens)))
+          // MAX(lang_tokens) AS target_rate_bp
+      FROM s GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QueryDef] =
     Seq(q22, q23, q25, q26, q27, q28, q29, q32, q39, q42, q45, q46, q47,
-      q50, q51, q52, q53)
+      q50, q51, q52, q53, q54)
 }

@@ -17,13 +17,16 @@ class PartitionInvarianceSpec extends AnyFunSuite {
   // Queries chosen to cover: decimal agg, window, set ops, LSH join,
   // integer-quantized cosine, UDAF, as-of composite, simhash votes,
   // prefix-filtered similarity join, IVF argmax assignment, hash split,
-  // running-prefix-sum packing.
+  // running-prefix-sum packing, native sorted-merge as-of (round 6 —
+  // the merge must not depend on how keys fall into partitions),
+  // broadcast-semi decontamination, md5-Bernoulli mixture sampling.
   private val names = Seq(
     "q01_pricing_summary", "q08_segment_share", "q13_running_revenue",
     "q18_value_intersect", "q23_near_dup_minhash", "q24_cosine_topk",
     "q30_weighted_avg_price", "q37_asof_last_order", "q32_simhash_near_dup",
     "q45_ngram_jaccard", "q24d_ann_ivf", "q46_train_split",
-    "q47_context_packing")
+    "q47_context_packing", "q37b_asof_native", "q52_decontamination",
+    "q54_mixture_sampling")
 
   private def canonical(name: String): Seq[String] = {
     val df = Registry.byName(name).run(spark, dir)

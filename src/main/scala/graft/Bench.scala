@@ -74,6 +74,9 @@ object Bench {
         Seq("l_orderkey", "l_extendedprice", "l_discount"))
       Tables.bucketed(spark, sfDir, "orders", "o_orderkey",
         Seq("o_orderkey", "o_custkey"))
+      // the hive-partitioned orders layout q55/q56 prune against —
+      // like bucketing, a write-once ingest decision, so untimed
+      Tables.datePartitioned(spark, sfDir)
       true
     } catch { case e: Throwable =>
       System.err.println(s"[bench] bucketed ingest failed: ${e.getMessage}")
@@ -131,6 +134,13 @@ object Bench {
     }
     val qs = good.map { case (k, med, _, _, _) => "\"" + k + "\":" + f"$med%.3f" }
       .mkString("{", ",", "}")
+    // 2-decimal twin for the compact stdout line: at 64 queries the
+    // 3-decimal map pushes the line to ~1.94 KB — inside the driver's
+    // 2000-char tail window with only ~60 chars to spare. Two decimals
+    // buy ~120 chars of margin; the gate compares against BASELINE.md
+    // medians, themselves recorded at 2 decimals.
+    val qs2 = good.map { case (k, med, _, _, _) => "\"" + k + "\":" + f"$med%.2f" }
+      .mkString("{", ",", "}")
     val spread = good.map { case (k, _, mn, mx, _) =>
       "\"" + k + "\":[" + f"$mn%.3f" + "," + f"$mx%.3f" + "]"
     }.mkString("{", ",", "}")
@@ -151,14 +161,12 @@ object Bench {
     //    window, leaving "parsed": null — the compact line is ~1.6 KB
     //    for the 50-query corpus, so the gate can parse it again.
     val repsMin = if (good.isEmpty) 0 else good.map(_._5).min
-    val common =
-      s""""unit":"sec","value_min":${f"$totalMin%.3f"},"queries":$qs"""
     val tailCommon =
       s""""reps":$Passes,"failed":$failed,"ingest_ok":$ingestOk,"ingest_secs":${f"$ingestSecs%.3f"},"qps":${f"$qps%.3f"},"sf":"$sfDir""""
     val json =
-      s"""{"metric":"total","value":${f"$total%.3f"},$common,"spread":$spread,"reps_ok":$repsOk,$tailCommon}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","value_min":${f"$totalMin%.3f"},"queries":$qs,"spread":$spread,"reps_ok":$repsOk,$tailCommon}"""
     val compact =
-      s"""{"metric":"total","value":${f"$total%.3f"},$common,"reps_min":$repsMin,$tailCommon}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","value_min":${f"$totalMin%.3f"},"queries":$qs2,"reps_min":$repsMin,$tailCommon}"""
     // Greppable stderr copy + JSON files FIRST, then the bare stdout
     // line LAST: if the driver merges streams and parses the final line,
     // that line must be the naked JSON (build.sbt routes forked stdout

@@ -87,6 +87,60 @@ object Tables {
     }
     spark.table(tbl)
   }
+
+  /** Hive-PARTITIONED copy of `orders`, laid out by `o_year` — the
+    * directory-layout half of the data-skipping story (q55/q56;
+    * pruning properties proven in PartitionPruningSpec). Partitioning
+    * by a coarse time column is THE load-bearing 100 TB technique: a
+    * year/month predicate (q55) or a filtered dim joined on the
+    * partition column (q56, dynamic partition pruning) eliminates
+    * whole directories before a single byte of IO. Like bucketing,
+    * it is a write-once ingest decision: materialized lazily per
+    * sfDir into the session warehouse, idempotent via the _SUCCESS
+    * marker, untimed in Bench's ingest phase.
+    *
+    * Read back through a bare parquet scan so partition DISCOVERY
+    * supplies `o_year` (IntegerType) and FileSourceScanExec keeps
+    * `PartitionFilters` — catalog registration is not required for
+    * either static pruning or DPP. */
+  def datePartitioned(spark: SparkSession, dir: String): DataFrame = synchronized {
+    val slug = "orders_part_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), slug)
+    if (!new java.io.File(loc, "_SUCCESS").exists()) {
+      val t0 = System.nanoTime()
+      load(spark, dir, "orders")
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("o_year")
+        .parquet(loc.toString)
+      System.err.println(
+        f"[tables] wrote partitioned $slug in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    spark.read.parquet(loc.toString)
+  }
+
+  /** Tiny year→era dimension, materialized ONCE as parquet (the
+    * date-dim every warehouse keeps as a real table). It must be a
+    * file-backed scan, not a literal LocalRelation: q56's point is
+    * DYNAMIC partition pruning, and Catalyst constant-folds a literal
+    * dim's filter away (ConvertToLocalRelation) or — if the filter
+    * column is derivable from the join key — propagates it into a
+    * STATIC partition filter. A scan dim with an era column the
+    * optimizer cannot invert is the shape that actually exercises the
+    * runtime DynamicPruningSubquery path used at warehouse scale. */
+  def eraDim(spark: SparkSession): DataFrame = synchronized {
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+      "era_dim")
+    if (!new java.io.File(loc, "_SUCCESS").exists()) {
+      import spark.implicits._
+      Seq((1995, "early"), (1996, "early"), (1997, "mid"), (1998, "mid"),
+        (1999, "late"), (2000, "late"), (2001, "late"))
+        .toDF("d_year", "era")
+        .coalesce(1).write.mode("overwrite").parquet(loc.toString)
+    }
+    spark.read.parquet(loc.toString)
+  }
 }
 
 /** Cross-engine determinism policy (SURVEY.md §5.B, FIXTURES.md §2).

@@ -946,8 +946,80 @@ object CoreQueries {
       FROM lineitem
       ORDER BY col_name"""))
 
+  // ---------------------------------------------------------------- Q55
+  // STATIC partition pruning under the oracle gate: monthly order
+  // totals for one year, read from the hive-partitioned-by-o_year copy
+  // (Tables.datePartitioned). The o_year predicate is resolved against
+  // the DIRECTORY listing — FileSourceScanExec's PartitionFilters — so
+  // 6 of 7 year directories are never opened (partition-count assert in
+  // PartitionPruningSpec). At 100 TB this is the difference between
+  // scanning a year and scanning the lake; the oracle runs the same
+  // aggregation over the ORIGINAL un-partitioned parquet, proving the
+  // layout copy value-faithful end to end (the q03b pattern).
+  private val q55 = QueryDef(
+    "q55_pruned_year_revenue",
+    (s, dir) => {
+      import s.implicits._
+      Tables.datePartitioned(s, dir)
+        .filter($"o_year" === 1997)
+        .groupBy(month($"o_orderdate").cast(LongType).as("o_month"))
+        .agg(count(lit(1)).as("n_orders"),
+          sumDbl($"o_totalprice").as("total_price"))
+        .orderBy($"o_month")
+    },
+    Some(s"""SELECT month(o_orderdate) AS o_month, COUNT(*) AS n_orders,
+        ${oSum("o_totalprice")} AS total_price
+      FROM orders WHERE year(o_orderdate) = 1997
+      GROUP BY 1 ORDER BY 1"""))
+
+  // ---------------------------------------------------------------- Q56
+  // DYNAMIC partition pruning (DPP) under the oracle gate: the
+  // TPC-DS-shaped "fact partitioned by date key ⋈ filtered dim" join.
+  // The era dim is a real FILE-BACKED table (Tables.eraDim — the
+  // date-dim every warehouse keeps), because the optimizer defeats the
+  // two cheaper formulations: a literal LocalRelation dim has its
+  // filter constant-folded away (ConvertToLocalRelation) before the
+  // pruning rule runs, and an era derived as an expression of d_year
+  // gets propagated through the join constraint into a STATIC
+  // partition filter (measured both ways in round 6 — the CASE
+  // expression showed up verbatim in PartitionFilters). With a scan
+  // dim whose era column the optimizer cannot invert, Catalyst plants
+  // a DynamicPruningSubquery in the fact scan's PartitionFilters,
+  // reusing the join's broadcast — the runtime path that makes
+  // "JOIN date_dim WHERE d_year IN (...)" read 2 of 2,500
+  // day-partitions at warehouse scale. The join key stays a bare
+  // attribute on both sides (DPP's lineage-tracking shape); the
+  // BIGINT cast the oracle needs happens after the aggregate. Plan
+  // property (dynamicpruning filter present + only 2 of 7 partition
+  // dirs read) asserted in PartitionPruningSpec; oracle re-derives
+  // the join with an inline VALUES dim over the original parquet.
+  private val q56 = QueryDef(
+    "q56_dpp_era_revenue",
+    (s, dir) => {
+      import s.implicits._
+      Tables.datePartitioned(s, dir)
+        .join(broadcast(Tables.eraDim(s).filter($"era" === "mid")),
+          $"o_year" === $"d_year")
+        .groupBy($"d_year", $"era")
+        .agg(count(lit(1)).as("n_orders"),
+          sumDbl($"o_totalprice").as("total_price"))
+        .select($"d_year".cast(LongType).as("d_year"), $"era",
+          $"n_orders", $"total_price")
+        .orderBy($"d_year")
+    },
+    Some(s"""WITH dim AS (
+        SELECT y AS d_year, era FROM (VALUES
+            (1995, 'early'), (1996, 'early'), (1997, 'mid'),
+            (1998, 'mid'), (1999, 'late'), (2000, 'late'),
+            (2001, 'late')) v(y, era)
+        WHERE era = 'mid')
+      SELECT CAST(d_year AS BIGINT) AS d_year, era, COUNT(*) AS n_orders,
+        ${oSum("o_totalprice")} AS total_price
+      FROM orders JOIN dim ON year(o_orderdate) = d_year
+      GROUP BY 1, 2 ORDER BY 1"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q03b, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q15b, q16, q17, q18a, q18b, q19,
-    q30, q33, q34, q35, q35b, q36, q38, q40, q41, q43, q48)
+    q30, q33, q34, q35, q35b, q36, q38, q40, q41, q43, q48, q55, q56)
 }

@@ -64,4 +64,48 @@ class PartitionPruningSpec extends AnyFunSuite {
     }
     assert(parts.length >= 2)
   }
+
+  // ---- the registered layout queries (q55 static / q56 dynamic) ------
+
+  import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+  import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+
+  /** All plan nodes, descending through AQE wrappers (whose `children`
+    * is empty — the Bench.leaves lesson). */
+  private def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => a +: nodes(a.executedPlan)
+    case q: QueryStageExec        => q +: nodes(q.plan)
+    case o                        => o +: o.children.flatMap(nodes)
+  }
+
+  /** The scan over the o_year-partitioned orders copy, from the FINAL
+    * (post-AQE) plan; numPartitions is its partitions-read metric. */
+  private def factScan(df: org.apache.spark.sql.DataFrame): FileSourceScanExec =
+    nodes(df.queryExecution.executedPlan).collectFirst {
+      case f: FileSourceScanExec
+          if f.relation.partitionSchema.fieldNames.contains("o_year") => f
+    }.getOrElse(fail(df.queryExecution.executedPlan.toString))
+
+  test("q55: the o_year predicate reads exactly one partition directory") {
+    val df = graft.queries.Registry.byName("q55_pruned_year_revenue")
+      .run(spark, TestSpark.sf0001)
+    df.collect()
+    val scan = factScan(df)
+    assert(scan.partitionFilters.nonEmpty, scan.toString)
+    assert(scan.metrics("numPartitions").value === 1,
+      s"expected 1 of 7 year dirs read, got ${scan.metrics("numPartitions").value}")
+  }
+
+  test("q56: scan carries a dynamic pruning filter and reads only 'mid' years") {
+    val df = graft.queries.Registry.byName("q56_dpp_era_revenue")
+      .run(spark, TestSpark.sf0001)
+    df.collect()
+    val scan = factScan(df)
+    val pf = scan.partitionFilters
+    assert(pf.exists(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruningExpression])),
+      s"expected a dynamic pruning filter on the fact scan, got: ${pf.mkString("; ")}")
+    assert(scan.metrics("numPartitions").value === 2,
+      s"expected DPP to read 2 of 7 year dirs, got ${scan.metrics("numPartitions").value}")
+  }
 }

@@ -64,9 +64,15 @@ object Tables {
     * Bucket info lives in the catalog, so the copy must be read back via
     * spark.table, not a bare parquet path. Synchronized: test suites
     * share one session. */
+  /** Catalog name of the bucketed copy of (dir, name) — one place, so
+    * ANALYZE/metadata consumers (CboStatsSpec) address the same table
+    * the queries join. */
+  def bucketedTableName(dir: String, name: String): String =
+    s"${name}_bkt_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+
   def bucketed(spark: SparkSession, dir: String, name: String, key: String,
       cols: Seq[String], buckets: Int = 32): DataFrame = synchronized {
-    val tbl = s"${name}_bkt_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val tbl = bucketedTableName(dir, name)
     if (!spark.catalog.tableExists(tbl)) {
       // a previous JVM can leave the managed dir behind (in-memory
       // catalog, persistent warehouse) — clear it or saveAsTable refuses
@@ -117,6 +123,33 @@ object Tables {
         f"[tables] wrote partitioned $slug in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
     spark.read.parquet(loc.toString)
+  }
+
+  /** CSV / JSON copy of the events table (sans ts/props — the four
+    * columns whose text round-trip is exact: longs, strings without
+    * delimiters, and doubles, which Java renders shortest-round-trip).
+    * The write is once-per (codec, sfDir) ingest like the other
+    * layouts; the read-back uses an EXPLICIT schema — schema inference
+    * over text at 100 TB is a full extra pass and an availability
+    * hazard, so production text scans always pin their schema. Backs
+    * q57, which upgrades the §2.B "CSV/JSON aux scans" row from
+    * test-asserted to oracle-gated. */
+  def codecEvents(spark: SparkSession, dir: String, codec: String): DataFrame = synchronized {
+    require(codec == "csv" || codec == "json", codec)
+    val slug = s"events_${codec}_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), slug)
+    if (!new java.io.File(loc, "_SUCCESS").exists()) {
+      val t0 = System.nanoTime()
+      load(spark, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+        .write.mode("overwrite").format(codec).save(loc.toString)
+      System.err.println(
+        f"[tables] wrote $slug in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    spark.read
+      .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE")
+      .format(codec).load(loc.toString)
   }
 
   /** Tiny year→era dimension, materialized ONCE as parquet (the

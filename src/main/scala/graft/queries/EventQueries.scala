@@ -260,12 +260,16 @@ object EventQueries {
       val qname = s"q49_mem_${memCounter.incrementAndGet()}"
       val stream = StreamingJobs.sessions(
         StreamingJobs.readReplayStream(s, replay))
-      val q = stream.writeStream
-        .format("memory").queryName(qname)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      // session state sized to the job, like q58 (see
+      // StreamingJobs.withStatePartitions)
+      StreamingJobs.withStatePartitions(s, 8) {
+        val q = stream.writeStream
+          .format("memory").queryName(qname)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.table(qname)
         .select($"user_id",
           date_format($"session_start", "yyyy-MM-dd HH:mm:ss")
@@ -297,5 +301,89 @@ object EventQueries {
       FROM with_sid GROUP BY user_id, session_id
       ORDER BY user_id, session_start"""))
 
-  val all: Seq[QueryDef] = Seq(q20, q21, q37, q37b, q44, q49)
+  // ---------------------------------------------------------------- Q57
+  // CSV + JSON source scans under the oracle gate (§2.B aux-scan row,
+  // previously only test-asserted). The same per-type aggregate runs
+  // over a CSV copy and a JSON copy of events (Tables.codecEvents,
+  // written once in the untimed ingest phase; explicit read schema —
+  // text inference at 100 TB is an extra full pass). Both codecs must
+  // reproduce the PARQUET-derived oracle numbers exactly, proving the
+  // text round-trip lossless for longs, strings and doubles (Java
+  // emits shortest-round-trip decimal for doubles, so parse(print(x))
+  // == x bit-for-bit; the decimal-sum Policy then makes the aggregate
+  // order-independent as usual). One output row per (codec, type).
+  private val q57 = QueryDef(
+    "q57_codec_parity",
+    (s, dir) => {
+      import s.implicits._
+      def one(codec: String): DataFrame =
+        Tables.codecEvents(s, dir, codec)
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sumDbl($"value").as("total_value"))
+          .select(lit(codec).as("codec"), $"event_type",
+            $"n_events", $"total_value")
+      one("csv").unionAll(one("json")).orderBy($"codec", $"event_type")
+    },
+    Some("""WITH a AS (
+        SELECT event_type, COUNT(*) AS n_events,
+          CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        FROM events GROUP BY 1)
+      SELECT 'csv' AS codec, event_type, n_events, total_value FROM a
+      UNION ALL
+      SELECT 'json' AS codec, event_type, n_events, total_value FROM a
+      ORDER BY 1, 2"""))
+
+  // ---------------------------------------------------------------- Q58
+  // THIRD streaming entry under the oracle gate: a stream-STREAM
+  // interval join (StreamingJobs.clickPurchaseFunnel — S10), the last
+  // stateful-operator class not yet covered by a CORRECTNESS row
+  // (q44 = tumbling agg, q49 = merging session state, q58 = symmetric
+  // join state with watermark-derived eviction). Two independent
+  // replay readers (not a self-join of one streaming DF) feed the
+  // join; AvailableNow drains it into a memory sink in append mode —
+  // inner interval matches emit eagerly, so the sink holds every pair
+  // when the trigger completes. The oracle is the identical relational
+  // interval join over the µs-truncated events. Like q44/q49, the
+  // returned DataFrame is the memory-sink scan (PlanShapeSpec excludes
+  // it from the registry-wide plan sweep).
+  private val q58 = QueryDef(
+    "q58_stream_funnel",
+    (s, dir) => {
+      import s.implicits._
+      import graft.streaming.StreamingJobs
+      val replay = StreamingJobs.replayDirFor(s, dir)
+      val qname = s"q58_mem_${memCounter.incrementAndGet()}"
+      def side(t: String) = StreamingJobs
+        .readReplayStream(s, replay).filter($"event_type" === t)
+      // state partitioning sized to the job (see withStatePartitions):
+      // ~20k state rows across 4 stores per side — 8 partitions, not
+      // the relational 32 (measured 8.7 → 3.4 s at sf0.1)
+      StreamingJobs.withStatePartitions(s, 8) {
+        val q = StreamingJobs
+          .clickPurchaseFunnel(side("click"), side("purchase"))
+          .writeStream.format("memory").queryName(qname)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.table(qname)
+        .select($"c_user".as("user_id"), $"click_id",
+          date_format($"click_ts", "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+          $"purchase_id",
+          date_format($"purchase_ts", "yyyy-MM-dd HH:mm:ss").as("purchase_ts"))
+        .orderBy($"user_id", $"click_id", $"purchase_id")
+    },
+    Some(s"""$EventsUs
+      SELECT c.user_id AS user_id, c.event_id AS click_id,
+        strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+        p.event_id AS purchase_id,
+        strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+      FROM ev c JOIN ev p ON c.user_id = p.user_id
+        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+      WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+      ORDER BY 1, 2, 4"""))
+
+  val all: Seq[QueryDef] = Seq(q20, q21, q37, q37b, q44, q49, q57, q58)
 }

@@ -62,7 +62,8 @@ class PlanShapeSpec extends AnyFunSuite {
     val offenders = Registry.all
       .filterNot(q => Set("q34_priority_grid", "q24_cosine_topk",
         "q24d_ann_ivf", "q43_price_bracket_theta",
-        "q44_stream_hourly", "q49_stream_sessions")(q.name))
+        "q44_stream_hourly", "q49_stream_sessions",
+        "q58_stream_funnel")(q.name))
       .flatMap { q =>
         val p = plan(q.name)
         if (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))

@@ -123,6 +123,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.count() > 0)
   }
 
+  test("S10: stream-stream interval join equals the batch join and is non-empty") {
+    def side(df: DataFrame, t: String) = df.filter(col("event_type") === t)
+    val streamed = runToTable(
+      clickPurchaseFunnel(
+        side(readReplayStream(spark, replayDir), "click"),
+        side(readReplayStream(spark, replayDir), "purchase")),
+      "s10", "append")
+    val base = spark.read.parquet(replayDir)
+    val batch = clickPurchaseFunnel(side(base, "click"), side(base, "purchase"))
+    assert(canon(streamed) === canon(batch))
+    assert(streamed.count() > 0)
+  }
+
   test("S6: streaming dropDuplicates removes an exact replay of the input") {
     // Same file twice: every event_id arrives twice; dedup must collapse
     // the stream back to the original counts.

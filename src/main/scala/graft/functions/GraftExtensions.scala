@@ -16,6 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(RollingMinMd5.descriptor)
     e.injectFunction(SimHash64.descriptor)
     e.injectFunction(WordShingles.descriptor)
+    e.injectFunction(FreqSketch.descriptor)
     // Whole-operator exemplar (§7.3(c)): native backward as-of join.
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     // Optimizer-rule exemplar (§7.3(b)): custom nodes are pushdown

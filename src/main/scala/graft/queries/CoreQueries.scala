@@ -1018,8 +1018,58 @@ object CoreQueries {
       FROM orders JOIN dim ON year(o_orderdate) = d_year
       GROUP BY 1, 2 ORDER BY 1"""))
 
+  // ---------------------------------------------------------------- Q61
+  // Window-function surface completion: first_value / nth_value /
+  // last_value (explicit full frame) / percent_rank / cume_dist — the
+  // value-navigation and distribution families q11/q12 don't cover.
+  // Both orderings carry o_orderkey as the tie-break, so every window
+  // value is a deterministic function of the data (percent_rank and
+  // cume_dist are single double divisions of exact ranks — identical
+  // IEEE results both engines). last_value gets the explicit
+  // UNBOUNDED FOLLOWING frame; with the default frame it degenerates to
+  // "current row" (the classic SQL footgun — pinned here as the
+  // documented contrast with first_value's default-frame correctness).
+  // Scale: one shuffle per distinct partitioning (Catalyst groups the
+  // two o_custkey windows into one exchange); partitions are per-
+  // customer, bounded.
+  private val q61 = QueryDef(
+    "q61_window_surface",
+    (s, dir) => {
+      import s.implicits._
+      val wSeq = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey")
+      val wFull = wSeq
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val wPrice = Window.partitionBy($"o_custkey")
+        .orderBy($"o_totalprice", $"o_orderkey")
+      t(s, dir, "orders")
+        .select($"o_custkey", $"o_orderkey",
+          first($"o_totalprice").over(wSeq).as("first_price"),
+          nth_value($"o_totalprice", 2).over(wSeq).as("second_price"),
+          last($"o_totalprice").over(wFull).as("last_price"),
+          percent_rank().over(wPrice).as("price_pct_rank"),
+          cume_dist().over(wPrice).as("price_cume_dist"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+      FIRST_VALUE(o_totalprice) OVER wseq AS first_price,
+      NTH_VALUE(o_totalprice, 2) OVER wseq AS second_price,
+      LAST_VALUE(o_totalprice) OVER (PARTITION BY o_custkey
+        ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        AS last_price,
+      PERCENT_RANK() OVER wprice AS price_pct_rank,
+      CUME_DIST() OVER wprice AS price_cume_dist
+      FROM orders
+      WINDOW wseq AS (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey),
+             wprice AS (PARTITION BY o_custkey
+                        ORDER BY o_totalprice, o_orderkey)
+      ORDER BY o_custkey, o_orderkey"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q03b, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q15b, q16, q17, q18a, q18b, q19,
-    q30, q33, q34, q35, q35b, q36, q38, q40, q41, q43, q48, q55, q56)
+    q30, q33, q34, q35, q35b, q36, q38, q40, q41, q43, q48, q55, q56,
+    q61)
 }

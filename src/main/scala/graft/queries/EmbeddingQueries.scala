@@ -398,5 +398,45 @@ object EmbeddingQueries {
       SELECT q_id, rk, vec_id, label, cosine
       FROM ranked WHERE rk <= 5 ORDER BY q_id, rk"""))
 
-  val all: Seq[QueryDef] = Seq(q24, q24b, q24c, q24d)
+  // ---------------------------------------------------------------- Q62
+  // Per-label centroids — the vector-AGGREGATION operator (class
+  // prototypes for balancing/clustering; q24d's IVF centroids are the
+  // sampled cousin). posexplode flattens (label, dim, element); the
+  // per-(label, dim) mean is an exact int64 sum of quantized elements
+  // (the file-header determinism scheme) divided ONCE as double.
+  // Output is LONG-FORM (label, dim, n, centroid_micro): |labels|×64
+  // rows — array reassembly is presentation, not computation, and
+  // long-form hashes engine-portably. Scale shape: explode is map-only
+  // (64 rows per vector), partial agg collapses to |labels|×64 keys
+  // map-side, so the shuffle is bounded by the output size, not the
+  // corpus. At 100 TB the int64 sum bounds n·10⁶ < 2⁵³ per cell ⇒
+  // n < 9e9 vectors per label; past that, swap the sum to DECIMAL(38,0)
+  // (documented, same plan shape).
+  private val q62 = QueryDef(
+    "q62_label_centroids",
+    (s, dir) => {
+      import s.implicits._
+      emb(s, dir)
+        .select($"label", posexplode($"embedding").as(Seq("dim0", "x")))
+        .select($"label", ($"dim0" + 1).cast(LongType).as("dim"),
+          expr("CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)")
+            .as("xq"))
+        .groupBy($"label", $"dim")
+        .agg(count(lit(1)).as("n"), sum($"xq").as("sum_q"))
+        .select($"label", $"dim", $"n",
+          ($"sum_q".cast(DoubleType) / $"n").as("centroid_micro"))
+        .orderBy($"label", $"dim")
+    },
+    Some("""WITH e AS (
+        SELECT label,
+          CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+          CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+               AS BIGINT) AS xq
+        FROM embeddings)
+      SELECT label, dim, COUNT(*) AS n,
+        CAST(CAST(SUM(xq) AS BIGINT) AS DOUBLE) / COUNT(*)
+          AS centroid_micro
+      FROM e GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  val all: Seq[QueryDef] = Seq(q24, q24b, q24c, q24d, q62)
 }

@@ -125,17 +125,21 @@ object Tables {
     spark.read.parquet(loc.toString)
   }
 
-  /** CSV / JSON copy of the events table (sans ts/props — the four
-    * columns whose text round-trip is exact: longs, strings without
-    * delimiters, and doubles, which Java renders shortest-round-trip).
-    * The write is once-per (codec, sfDir) ingest like the other
-    * layouts; the read-back uses an EXPLICIT schema — schema inference
-    * over text at 100 TB is a full extra pass and an availability
-    * hazard, so production text scans always pin their schema. Backs
-    * q57, which upgrades the §2.B "CSV/JSON aux scans" row from
-    * test-asserted to oracle-gated. */
+  /** CSV / JSON / ORC copy of the events table (sans ts/props — the
+    * four columns whose text round-trip is exact: longs, strings
+    * without delimiters, and doubles, which Java renders
+    * shortest-round-trip; ORC is binary-typed, so its round-trip is
+    * trivially exact and it stands in for "the second columnar
+    * format" alongside parquet). The write is once-per (codec, sfDir)
+    * ingest like the other layouts; the read-back uses an EXPLICIT
+    * schema — schema inference over text at 100 TB is a full extra
+    * pass and an availability hazard, so production text scans always
+    * pin their schema (for ORC the schema is in the footer, but
+    * pinning it keeps the reader contract uniform). Backs q57, which
+    * upgrades the §2.B "CSV/JSON aux scans" row from test-asserted to
+    * oracle-gated. */
   def codecEvents(spark: SparkSession, dir: String, codec: String): DataFrame = synchronized {
-    require(codec == "csv" || codec == "json", codec)
+    require(codec == "csv" || codec == "json" || codec == "orc", codec)
     val slug = s"events_${codec}_" + dir.replaceAll("[^A-Za-z0-9]", "_")
     val loc = new java.io.File(
       spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), slug)

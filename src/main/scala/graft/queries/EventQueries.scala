@@ -323,7 +323,8 @@ object EventQueries {
             sumDbl($"value").as("total_value"))
           .select(lit(codec).as("codec"), $"event_type",
             $"n_events", $"total_value")
-      one("csv").unionAll(one("json")).orderBy($"codec", $"event_type")
+      one("csv").unionAll(one("json")).unionAll(one("orc"))
+        .orderBy($"codec", $"event_type")
     },
     Some("""WITH a AS (
         SELECT event_type, COUNT(*) AS n_events,
@@ -332,6 +333,8 @@ object EventQueries {
       SELECT 'csv' AS codec, event_type, n_events, total_value FROM a
       UNION ALL
       SELECT 'json' AS codec, event_type, n_events, total_value FROM a
+      UNION ALL
+      SELECT 'orc' AS codec, event_type, n_events, total_value FROM a
       ORDER BY 1, 2"""))
 
   // ---------------------------------------------------------------- Q58

@@ -150,7 +150,25 @@ object StreamingJobs {
     * (append mode), so results stream out with no watermark latency.
     * Works identically on batch inputs (watermark is a no-op there),
     * which is what the S10 parity test and q58's oracle lean on. */
-  def clickPurchaseFunnel(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+  def clickPurchaseFunnel(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    funnelJoin(clicks, purchases, "inner")
+
+  // ----------------------------------------------------------------- S11
+  /** LEFT OUTER funnel: every click, with its purchase or nulls. The
+    * outer side makes the watermark semantics VISIBLE in the output:
+    * an unmatched click can only be emitted once the watermark has
+    * passed the end of its join window (click_ts + 30 min) — before
+    * that a matching purchase could still arrive, so the row sits in
+    * state. Consequence under AvailableNow replay: the terminal
+    * watermark is max(event_ts) − 1 h, so unmatched clicks in the last
+    * 1.5 h of the stream are NOT emitted (still pending, by design —
+    * a restarted stream would emit them as data arrives). The S11 spec
+    * asserts this boundary exactly instead of hand-waving "subset". */
+  def clickPurchaseFunnelOuter(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    funnelJoin(clicks, purchases, "leftOuter")
+
+  private def funnelJoin(clicks: DataFrame, purchases: DataFrame,
+      joinType: String): DataFrame = {
     val c = clicks
       .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
         col("event_id").as("click_id"))
@@ -162,7 +180,8 @@ object StreamingJobs {
     c.join(p,
       col("c_user") === col("p_user") &&
         col("purchase_ts") >= col("click_ts") &&
-        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"),
+      joinType)
   }
 
   // ------------------------------------------------------------------ S4

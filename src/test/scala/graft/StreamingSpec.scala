@@ -136,6 +136,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.count() > 0)
   }
 
+  test("S11: stream-stream LEFT OUTER join emits matches plus watermark-finalized nulls") {
+    def side(df: DataFrame, t: String) = df.filter(col("event_type") === t)
+    val q = clickPurchaseFunnelOuter(
+        side(readReplayStream(spark, replayDir), "click"),
+        side(readReplayStream(spark, replayDir), "purchase"))
+      .writeStream.format("memory").queryName("s11")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("s11")
+    // The ACTUAL terminal watermark, from the final progress event —
+    // re-deriving it by hand (per-side max − delay, min across sides,
+    // ms truncation) is exactly the arithmetic the engine owns.
+    val wm = java.time.Instant.parse(
+      q.lastProgress.eventTime.get("watermark"))
+    val wmUs = wm.getEpochSecond * 1000000L + wm.getNano / 1000L
+
+    val base = spark.read.parquet(replayDir)
+    val batch = clickPurchaseFunnelOuter(
+      side(base, "click"), side(base, "purchase"))
+
+    // Matched rows must be EXACTLY the inner-join result (outerness
+    // changes nothing for matches).
+    assert(canon(streamed.filter(col("purchase_id").isNotNull)) ===
+      canon(batch.filter(col("purchase_id").isNotNull)))
+
+    // Null rows: a click is emitted unmatched exactly when the terminal
+    // watermark passed the end of its join window (click_ts + 30 min) —
+    // before that a matching purchase could still arrive. Set EQUALITY
+    // against the batch nulls filtered by that boundary: the
+    // state-eviction rule itself, not just subset-ness.
+    val expectedNulls = batch.filter(col("purchase_id").isNull)
+      .filter(unix_micros(col("click_ts")) +
+        lit(30L * 60 * 1000 * 1000) < lit(wmUs))
+    val gotNulls = streamed.filter(col("purchase_id").isNull)
+    assert(canon(gotNulls) === canon(expectedNulls),
+      "watermark-finalized unmatched clicks must match the derived boundary")
+    assert(gotNulls.count() > 0, "fixture must exercise the null path")
+  }
+
   test("S6: streaming dropDuplicates removes an exact replay of the input") {
     // Same file twice: every event_id arrives twice; dedup must collapse
     // the stream back to the original counts.

@@ -1240,15 +1240,16 @@ object DocQueries {
       val toks = docs(s, dir)
         .select($"lang", explode(split(lower($"text"), " ")).as("token"))
         .filter(length($"token") > 0)
+      // ONE aggregate computes sketch AND stream length per lang — the
+      // exact pass is the only other scan of the token stream (2 total).
       val cand = toks.groupBy($"lang")
-        .agg(expr("mg_sketch(token, 128)").as("sk"))
-        .select($"lang", explode($"sk").as("c"))
-        .select($"lang", $"c.item".as("token"))
-      val totals = toks.groupBy($"lang").agg(count(lit(1)).as("n_lang"))
+        .agg(expr("mg_sketch(token, 128)").as("sk"),
+          count(lit(1)).as("n_lang"))
+        .select($"lang", $"n_lang", explode($"sk").as("c"))
+        .select($"lang", $"n_lang", $"c.item".as("token"))
       toks.join(broadcast(cand), Seq("lang", "token"))
-        .groupBy($"lang", $"token")
+        .groupBy($"lang", $"token", $"n_lang")
         .agg(count(lit(1)).as("cnt"))
-        .join(broadcast(totals), Seq("lang"))
         .filter($"cnt" * 100 >= $"n_lang")
         .select($"lang", $"token", $"cnt",
           ($"cnt".cast(DoubleType) / $"n_lang").as("share"))

@@ -1067,9 +1067,189 @@ object CoreQueries {
                         ORDER BY o_totalprice, o_orderkey)
       ORDER BY o_custkey, o_orderkey"""))
 
+  // ---------------------------------------------------------------- Q63
+  // Correlated SCALAR subqueries in both the predicate and the output
+  // list ("orders priced above 1.5x their customer's average"). Runs
+  // through the SQL entry path so Catalyst's decorrelation
+  // (RewriteCorrelatedScalarSubquery) turns each correlated aggregate
+  // into a per-key aggregate + equi-join — the only shape that works at
+  // 100 TB, where per-row re-execution of the subquery is impossible.
+  // The 1.5x threshold is compared multiplicatively in exact decimals
+  // (2*price*cnt > 3*sum) so no division participates in the predicate;
+  // the displayed average follows the Policy rule (exact-decimal-derived
+  // double / exact count, one IEEE division).
+  private val q63 = QueryDef(
+    "q63_above_avg_orders",
+    (s, dir) => {
+      Tables.load(s, dir, "orders").createOrReplaceTempView("orders_v63")
+      s.sql("""SELECT o.o_orderkey, o.o_custkey,
+          CAST(o.o_totalprice AS DOUBLE) AS price,
+          CAST(CAST((SELECT SUM(CAST(o2.o_totalprice AS DECIMAL(18,4)))
+                     FROM orders_v63 o2
+                     WHERE o2.o_custkey = o.o_custkey) AS DOUBLE) /
+               (SELECT COUNT(*) FROM orders_v63 o2
+                WHERE o2.o_custkey = o.o_custkey) AS DOUBLE) AS cust_avg
+        FROM orders_v63 o
+        WHERE CAST(o.o_totalprice AS DECIMAL(18,4)) * 2 *
+              (SELECT COUNT(*) FROM orders_v63 o2
+               WHERE o2.o_custkey = o.o_custkey)
+            > 3 * (SELECT SUM(CAST(o2.o_totalprice AS DECIMAL(18,4)))
+                   FROM orders_v63 o2 WHERE o2.o_custkey = o.o_custkey)
+        ORDER BY o.o_orderkey""")
+    },
+    Some("""SELECT o.o_orderkey, o.o_custkey,
+        CAST(o.o_totalprice AS DOUBLE) AS price,
+        CAST(CAST((SELECT SUM(CAST(o2.o_totalprice AS DECIMAL(18,4)))
+                   FROM orders o2
+                   WHERE o2.o_custkey = o.o_custkey) AS DOUBLE) /
+             (SELECT COUNT(*) FROM orders o2
+              WHERE o2.o_custkey = o.o_custkey) AS DOUBLE) AS cust_avg
+      FROM orders o
+      WHERE CAST(o.o_totalprice AS DECIMAL(18,4)) * 2 *
+            (SELECT COUNT(*) FROM orders o2
+             WHERE o2.o_custkey = o.o_custkey)
+          > 3 * (SELECT SUM(CAST(o2.o_totalprice AS DECIMAL(18,4)))
+                 FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      ORDER BY o.o_orderkey"""))
+
+  // ---------------------------------------------------------------- Q64
+  // Time-series GAP FILL: daily revenue with missing calendar days
+  // zero-filled. The day spine is sequence(min_d, max_d) exploded from
+  // the single-row bounds aggregate — a bounded generator (a few
+  // thousand days regardless of fact rows), then a left equi-join back
+  // to the per-day aggregate. At 100 TB the heavy side (the per-day
+  // aggregate) has already been reduced to |days| rows before the spine
+  // join, so the generator never multiplies fact-table data.
+  private val q64 = QueryDef(
+    "q64_gap_fill_daily",
+    (s, dir) => {
+      import s.implicits._
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date($"o_orderdate").as("d"))
+        .agg(sum(dec($"o_totalprice")).as("rev"))
+      val days = daily.agg(min($"d").as("lo"), max($"d").as("hi"))
+        .select(explode(sequence($"lo", $"hi")).as("d"))
+      days.join(daily, Seq("d"), "left")
+        .select($"d",
+          dbl(coalesce($"rev".cast(Dec4), lit(0).cast(Dec4))).as("revenue"),
+          when($"rev".isNull, lit(1L)).otherwise(lit(0L)).as("is_filled"))
+        .orderBy($"d")
+    },
+    Some("""WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+        FROM orders GROUP BY 1),
+      b AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM daily),
+      days AS (SELECT CAST(unnest(generate_series(b.lo, b.hi,
+                 INTERVAL 1 DAY)) AS DATE) AS d FROM b)
+      SELECT days.d AS d,
+        CAST(CAST(COALESCE(daily.rev, 0) AS DECIMAL(18,4)) AS DOUBLE)
+          AS revenue,
+        CAST(CASE WHEN daily.rev IS NULL THEN 1 ELSE 0 END AS BIGINT)
+          AS is_filled
+      FROM days LEFT JOIN daily ON days.d = daily.d
+      ORDER BY d"""))
+
+  // ---------------------------------------------------------------- Q68
+  // Data-integrity AUDIT: one long-form report row per constraint class
+  // (referential orphans via left-anti joins, duplicate primary keys,
+  // domain violations). Each check is an independent global aggregate —
+  // the anti-joins shuffle on their key like any join and the domain
+  // scans are map-side counts, so the report costs a handful of
+  // reduced-to-one-row passes at any scale. This is the profiling twin
+  // of q48: q48 describes columns, q68 enforces cross-table contracts.
+  private val q68 = QueryDef(
+    "q68_integrity_audit",
+    (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+      val customer = t(s, dir, "customer")
+      val lineitem = t(s, dir, "lineitem")
+      def report(name: String, cnt: DataFrame): DataFrame =
+        cnt.select(lit(name).as("check_name"), $"cnt".as("violations"))
+      val orphanOrders = orders
+        .join(customer, orders("o_custkey") === customer("c_custkey"),
+          "left_anti")
+        .agg(count(lit(1)).as("cnt"))
+      val orphanLines = lineitem
+        .join(orders, lineitem("l_orderkey") === orders("o_orderkey"),
+          "left_anti")
+        .agg(count(lit(1)).as("cnt"))
+      val dupCust = customer.groupBy($"c_custkey").count()
+        .filter($"count" > 1).agg(count(lit(1)).as("cnt"))
+      val badQty = lineitem.filter($"l_quantity" <= 0)
+        .agg(count(lit(1)).as("cnt"))
+      val badDisc = lineitem
+        .filter($"l_discount" < 0 || $"l_discount" > 1)
+        .agg(count(lit(1)).as("cnt"))
+      val badPrice = orders.filter($"o_totalprice" < 0)
+        .agg(count(lit(1)).as("cnt"))
+      report("customer_dup_key", dupCust)
+        .unionAll(report("lineitem_bad_discount", badDisc))
+        .unionAll(report("lineitem_nonpositive_qty", badQty))
+        .unionAll(report("lineitem_orphan_order", orphanLines))
+        .unionAll(report("orders_negative_total", badPrice))
+        .unionAll(report("orders_orphan_customer", orphanOrders))
+        .orderBy($"check_name")
+    },
+    Some("""SELECT * FROM (
+        SELECT 'customer_dup_key' AS check_name, COUNT(*) AS violations
+        FROM (SELECT c_custkey FROM customer GROUP BY 1 HAVING COUNT(*) > 1)
+        UNION ALL
+        SELECT 'lineitem_bad_discount', COUNT(*) FROM lineitem
+        WHERE l_discount < 0 OR l_discount > 1
+        UNION ALL
+        SELECT 'lineitem_nonpositive_qty', COUNT(*) FROM lineitem
+        WHERE l_quantity <= 0
+        UNION ALL
+        SELECT 'lineitem_orphan_order', COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)
+        UNION ALL
+        SELECT 'orders_negative_total', COUNT(*) FROM orders
+        WHERE o_totalprice < 0
+        UNION ALL
+        SELECT 'orders_orphan_customer', COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey))
+      ORDER BY check_name"""))
+
+  // ---------------------------------------------------------------- Q69
+  // Calendar/date-function surface: add_months (month-end clamped in
+  // both engines), last_day, datediff, quarter, dayofweek (Spark is
+  // 1=Sunday; DuckDB dow is 0=Sunday, hence the +1 in the oracle) and
+  // ISO weekofyear. Pure per-row projection — map-only at any scale;
+  // the point is cross-engine semantic parity of the date family.
+  private val q69 = QueryDef(
+    "q69_date_surface",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .select($"o_orderkey", to_date($"o_orderdate").as("d"))
+        .select($"o_orderkey", $"d",
+          add_months($"d", 2).as("plus2m"),
+          last_day($"d").as("month_end"),
+          datediff(lit("1998-12-31").cast(DateType), $"d").cast(LongType)
+            .as("days_to_end"),
+          quarter($"d").cast(LongType).as("qtr"),
+          dayofweek($"d").cast(LongType).as("dow"),
+          weekofyear($"d").cast(LongType).as("iso_week"))
+        .orderBy($"o_orderkey")
+    },
+    Some("""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+        CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE)
+          AS plus2m,
+        last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31')
+          AS BIGINT) AS days_to_end,
+        CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+        CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS BIGINT) AS dow,
+        CAST(weekofyear(CAST(o_orderdate AS DATE)) AS BIGINT) AS iso_week
+      FROM orders ORDER BY o_orderkey"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q03b, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q15b, q16, q17, q18a, q18b, q19,
     q30, q33, q34, q35, q35b, q36, q38, q40, q41, q43, q48, q55, q56,
-    q61)
+    q61, q63, q64, q68, q69)
 }

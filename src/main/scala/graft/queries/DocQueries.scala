@@ -1308,7 +1308,53 @@ object DocQueries {
       FROM toks WHERE pos <= 10 AND length(token) > 0
       GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  // ---------------------------------------------------------------- Q65
+  // Sixth dedup family: EDIT-DISTANCE fuzzy matching with size blocking
+  // (Ed-Join-style). Candidate generation is an EQUI-join: each probe
+  // doc fans out to the 5 admissible length keys (levenshtein <= 4
+  // implies |len1 - len2| <= 4 on full strings), so pairs only form
+  // inside (lang, length-within-4) blocks — never all-pairs. Each pair
+  // then pays one codegen'd levenshtein over the 60-char prefixes.
+  // Asymmetric fan-out (probe side emits len1..len1+4, candidate side
+  // keeps its exact length) yields each cross-length pair exactly once;
+  // equal-length pairs are halved by the id order. At 100 TB the block
+  // key is the shuffle key and the fan-out constant is 5 — linear in
+  // the corpus, like q23/q32/q45's banded families.
+  private val q65 = QueryDef(
+    "q65_fuzzy_edit_dedup",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .select($"doc_id", $"lang", $"n_chars",
+          substring($"text", 1, 60).as("prefix"))
+      // distinct column names on the two sides: self-join column refs
+      // from one parent resolve to the same attribute (Spark warns
+      // "trivially true"), which would silently drop the lang equality
+      val probe = docs
+        .select($"doc_id".as("id1"), $"lang".as("lang1"),
+          $"n_chars".as("len1"), $"prefix".as("p1"),
+          explode(sequence($"n_chars", $"n_chars" + 4)).as("len_key"))
+      val cand = docs
+        .select($"doc_id".as("id2"), $"lang".as("lang2"),
+          $"n_chars".as("len2"), $"prefix".as("p2"))
+      probe.join(cand, $"lang1" === $"lang2" && $"len_key" === $"len2")
+        .filter($"len2" > $"len1" || $"id1" < $"id2")
+        .withColumn("dist", levenshtein($"p1", $"p2"))
+        .filter($"dist" <= 4)
+        .select($"id1", $"id2", $"dist".cast(LongType).as("dist"))
+        .orderBy($"id1", $"id2")
+    },
+    Some("""SELECT a.doc_id AS id1, b.doc_id AS id2,
+        CAST(levenshtein(substr(a.text, 1, 60), substr(b.text, 1, 60))
+          AS BIGINT) AS dist
+      FROM documents a JOIN documents b
+        ON a.lang = b.lang
+        AND b.n_chars BETWEEN a.n_chars AND a.n_chars + 4
+        AND (b.n_chars > a.n_chars OR a.doc_id < b.doc_id)
+      WHERE levenshtein(substr(a.text, 1, 60), substr(b.text, 1, 60)) <= 4
+      ORDER BY id1, id2"""))
+
   val all: Seq[QueryDef] =
     Seq(q22, q23, q25, q26, q27, q28, q29, q32, q39, q42, q45, q46, q47,
-      q50, q51, q52, q53, q54, q59, q60)
+      q50, q51, q52, q53, q54, q59, q60, q65)
 }

@@ -388,5 +388,76 @@ object EventQueries {
       WHERE c.event_type = 'click' AND p.event_type = 'purchase'
       ORDER BY 1, 2, 4"""))
 
-  val all: Seq[QueryDef] = Seq(q20, q21, q37, q37b, q44, q49, q57, q58)
+  // ---------------------------------------------------------------- Q66
+  // Incremental DELTA-MERGE aggregation — the batch form of the
+  // reference's incremental-clear value (SURVEY §2.A A9: update only
+  // what changed instead of recomputing the world). The pre-cutoff
+  // "base" aggregate and the post-cutoff "delta" aggregate are computed
+  // independently, then merged with a full-outer join + coalesced
+  // partial sums. Because the partials are exact decimals, the merge is
+  // associative — the identity merged(base, delta) = aggregate(all) that
+  // the oracle checks is precisely what lets a 100 TB pipeline maintain
+  // a standing aggregate by folding in daily deltas instead of
+  // rescanning history. The merge join runs over |event_type| keyed
+  // rows, not events.
+  private val q66 = QueryDef(
+    "q66_delta_merge",
+    (s, dir) => {
+      import s.implicits._
+      val cutoff = lit("2024-02-01 00:00:00").cast(TimestampNTZType)
+      def agg(df: DataFrame, suffix: String): DataFrame =
+        df.groupBy($"event_type")
+          .agg(count(lit(1)).as(s"cnt_$suffix"),
+            sum(dec($"value")).as(s"sum_$suffix"))
+      val base = agg(ev(s, dir).filter($"ts" < cutoff), "b")
+      val delta = agg(ev(s, dir).filter($"ts" >= cutoff), "d")
+      base.join(delta, Seq("event_type"), "full_outer")
+        .select($"event_type",
+          (coalesce($"cnt_b", lit(0L)) + coalesce($"cnt_d", lit(0L)))
+            .as("n_events"),
+          dbl((coalesce($"sum_b".cast(Dec4), lit(0).cast(Dec4)) +
+            coalesce($"sum_d".cast(Dec4), lit(0).cast(Dec4))).cast(Dec4))
+            .as("sum_value"))
+        .orderBy($"event_type")
+    },
+    Some(s"""$EventsUs
+      SELECT event_type, COUNT(*) AS n_events,
+        CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4))
+          AS DOUBLE) AS sum_value
+      FROM ev GROUP BY 1 ORDER BY 1"""))
+
+  // ---------------------------------------------------------------- Q67
+  // Batch FUNNEL conversion: for each user take the FIRST 'signup'
+  // event, then count distinct users reaching each other event type
+  // within 30 minutes of it. The anchor aggregate reduces events to one
+  // row per signed-up user before the join, so the join input is keyed
+  // and bounded by |users|, and the follow-up scan joins against it on
+  // user_id — a shuffled equi-join at scale, never a time-range join
+  // (the window bound is a post-join filter on the keyed pair).
+  // S10/q58 is the streaming twin of this shape.
+  private val q67 = QueryDef(
+    "q67_funnel_conversion",
+    (s, dir) => {
+      import s.implicits._
+      val anchors = ev(s, dir).filter($"event_type" === "signup")
+        .groupBy($"user_id").agg(min($"ts").as("t0"))
+      ev(s, dir)
+        .join(anchors, Seq("user_id"))
+        .filter($"event_type" =!= "signup" &&
+          $"ts" > $"t0" && $"ts" <= $"t0" + expr("INTERVAL 30 MINUTES"))
+        .groupBy($"event_type")
+        .agg(countDistinct($"user_id").as("users"))
+        .orderBy($"event_type")
+    },
+    Some(s"""$EventsUs, anchors AS (
+        SELECT user_id, MIN(ts) AS t0 FROM ev
+        WHERE event_type = 'signup' GROUP BY 1)
+      SELECT e.event_type, COUNT(DISTINCT e.user_id) AS users
+      FROM ev e JOIN anchors a ON e.user_id = a.user_id
+      WHERE e.event_type <> 'signup'
+        AND e.ts > a.t0 AND e.ts <= a.t0 + INTERVAL 30 MINUTE
+      GROUP BY 1 ORDER BY 1"""))
+
+  val all: Seq[QueryDef] =
+    Seq(q20, q21, q37, q37b, q44, q49, q57, q58, q66, q67)
 }

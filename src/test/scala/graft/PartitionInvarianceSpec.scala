@@ -26,7 +26,11 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q30_weighted_avg_price", "q37_asof_last_order", "q32_simhash_near_dup",
     "q45_ngram_jaccard", "q24d_ann_ivf", "q46_train_split",
     "q47_context_packing", "q37b_asof_native", "q52_decontamination",
-    "q54_mixture_sampling")
+    "q54_mixture_sampling",
+    // round-6 second wave: decorrelated scalar subqueries (the rewrite
+    // must not leak partition-dependent agg order), delta-merge partial
+    // sums, size-blocked levenshtein join
+    "q63_above_avg_orders", "q66_delta_merge", "q65_fuzzy_edit_dedup")
 
   private def canonical(name: String): Seq[String] = {
     val df = Registry.byName(name).run(spark, dir)

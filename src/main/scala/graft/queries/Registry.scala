@@ -8,7 +8,7 @@ package graft.queries
 object Registry {
   def all: Seq[QueryDef] =
     CoreQueries.all ++ EventQueries.all ++ DocQueries.all ++
-      EmbeddingQueries.all ++ MediaQueries.all
+      EmbeddingQueries.all ++ MediaQueries.all ++ SurfaceQueries.all
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

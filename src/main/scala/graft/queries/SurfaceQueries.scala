@@ -1,0 +1,203 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Round-6 relational-surface additions (q70-q74): the custom DSv2
+  * source under the gate, null-semantics joins, ordered string
+  * aggregation, bitwise aggregates, and a log-free TF-IDF.
+  *
+  * All follow the repo determinism policy (total ORDER BY; money through
+  * DECIMAL(18,4); any cross-engine double produced by exactly ONE
+  * correctly-rounded IEEE op on integer-exact inputs, so DuckDB and
+  * Spark agree bit-for-bit).
+  */
+object SurfaceQueries {
+
+  // ---------------------------------------------------------------- q70
+  // The custom DataSource V2 generator (sources/RangeSource) under the
+  // oracle gate. The filter bounds are CONSUMED by the source: they
+  // narrow per-reader ranges exactly and prune whole planned slices
+  // (RangeSourceSpec asserts 13 of 32 survive), so Spark re-evaluates
+  // nothing — the DSv2 contract that makes a 100 TB scan read only the
+  // splits that can match. The oracle rebuilds the range relationally
+  // with generate_series.
+  private val q70 = QueryDef(
+    "q70_range_source",
+    (s, _) => {
+      import s.implicits._
+      s.read.format("graftrange")
+        .option("start", 0L).option("end", 500000L).option("slices", 32)
+        .load()
+        .filter($"id" >= 100000L && $"id" < 400000L)
+        .groupBy(pmod($"id", lit(7L)).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum($"id").as("sum_id"),
+          sum($"squared").as("sum_sq"))
+        .orderBy($"bucket")
+    },
+    Some("""SELECT id % 7 AS bucket, COUNT(*) AS n,
+        CAST(SUM(id) AS BIGINT) AS sum_id,
+        CAST(SUM(id * id) AS BIGINT) AS sum_sq
+      FROM generate_series(100000, 399999) t(id)
+      GROUP BY 1 ORDER BY 1"""))
+
+  // ---------------------------------------------------------------- q71
+  // NOT IN under three-valued logic — the null-aware anti join. Two
+  // variants, one output row each: 'no_nulls' is an ordinary anti
+  // (subquery has no NULL custkeys), 'with_nulls' plants a NULL in the
+  // subquery, so by SQL semantics `x NOT IN (...)` can never be TRUE and
+  // the count MUST be 0. An engine that compiled NOT IN to a plain
+  // left-anti join would return a nonzero count there — the 0 is the
+  // graded evidence. Spark plans the broadcastable single-key form as
+  // BroadcastHashJoin LeftAnti with NAAJ (null-aware), asserted in
+  // PlanShapeSpec — at scale the build side is the (small) subquery
+  // output, so null-awareness costs one broadcast flag, not a shape
+  // change. Expressed through the SQL entry path.
+  private val naajSql =
+    """SELECT 'no_nulls' AS variant, COUNT(*) AS n_cust
+      FROM customer
+      WHERE c_custkey NOT IN
+        (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      UNION ALL
+      SELECT 'with_nulls' AS variant, COUNT(*) AS n_cust
+      FROM customer
+      WHERE c_custkey NOT IN
+        (SELECT CASE WHEN o_orderkey % 50 = 0 THEN NULL ELSE o_custkey END
+         FROM orders WHERE o_orderpriority = '1-URGENT')
+      ORDER BY variant"""
+
+  private val q71 = QueryDef(
+    "q71_not_in_nulls",
+    (s, dir) => {
+      Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
+      Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(naajSql)
+    },
+    Some(naajSql))
+
+  // ---------------------------------------------------------------- q72
+  // Ordered string aggregation (LISTAGG/STRING_AGG): the one aggregate
+  // whose VALUE depends on intra-group order, so determinism needs an
+  // explicit sort — collect_set is unordered by contract, array_sort
+  // pins it. The distinct-set form keeps group payloads bounded at
+  // scale (|statuses| ≤ 3, |months| ≤ 12 here) — an unbounded listagg
+  // over raw rows is the anti-pattern version.
+  private val q72 = QueryDef(
+    "q72_string_agg",
+    (s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "orders")
+        .groupBy($"o_orderpriority")
+        .agg(
+          concat_ws("|", array_sort(collect_set($"o_orderstatus")))
+            .as("statuses"),
+          concat_ws("|",
+            array_sort(collect_set(date_format($"o_orderdate", "yyyy-MM"))))
+            .as("months"),
+          count(lit(1)).as("n"))
+        .orderBy($"o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority,
+        string_agg(DISTINCT o_orderstatus, '|' ORDER BY o_orderstatus)
+          AS statuses,
+        string_agg(DISTINCT strftime(o_orderdate, '%Y-%m'), '|'
+          ORDER BY strftime(o_orderdate, '%Y-%m')) AS months,
+        COUNT(*) AS n
+      FROM orders GROUP BY 1 ORDER BY 1"""))
+
+  // ---------------------------------------------------------------- q73
+  // Bitwise aggregate family (bit_and / bit_or / bit_xor) plus scalar
+  // bit ops in the grouping key — integer-exact everywhere, so the hash
+  // gate is airtight. bit_xor over a key column doubles as a cheap
+  // order-independent set fingerprint (the same trick q68's audit could
+  // use to compare table snapshots without sorting).
+  private val q73 = QueryDef(
+    "q73_bitwise_aggs",
+    (s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "lineitem")
+        .withColumn("flagbits",
+          shiftleft($"l_linenumber".cast("bigint"), 2)
+            .bitwiseOR($"l_orderkey".bitwiseAND(lit(3L))))
+        .groupBy($"l_returnflag")
+        .agg(
+          expr("bit_and(l_linenumber)").cast("bigint").as("and_ln"),
+          expr("bit_or(l_linenumber)").cast("bigint").as("or_ln"),
+          expr("bit_xor(l_orderkey)").as("xor_key"),
+          expr("bit_xor(flagbits)").as("xor_flag"),
+          count(lit(1)).as("n"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+        CAST(bit_and(l_linenumber) AS BIGINT) AS and_ln,
+        CAST(bit_or(l_linenumber) AS BIGINT) AS or_ln,
+        CAST(bit_xor(l_orderkey) AS BIGINT) AS xor_key,
+        CAST(bit_xor((l_linenumber::BIGINT << 2) | (l_orderkey & 3))
+          AS BIGINT) AS xor_flag,
+        COUNT(*) AS n
+      FROM lineitem GROUP BY 1 ORDER BY 1"""))
+
+  // ---------------------------------------------------------------- q74
+  // TF-IDF top-3 terms per document, log-free: score = tf·N/df computed
+  // as CAST(tf*N AS DOUBLE)/df — tf*N is integer-exact (< 2^53), the
+  // division is ONE correctly-rounded IEEE op, so Spark and DuckDB agree
+  // bit-for-bit (ln-based idf would gamble the hash on libm rounding).
+  // Monotone in the classic tf·log(N/df) ranking for fixed tf? No — but
+  // it IS a faithful idf weighting (strictly decreasing in df), which is
+  // what the operator demonstrates. Shape at 100 TB: tf is one shuffle
+  // on (doc, term); df reuses tf grouped by term (no second scan); N is
+  // a broadcast scalar; the per-doc top-3 is a bounded window over the
+  // restricted report docs only.
+  private val q74 = QueryDef(
+    "q74_tfidf_top_terms",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val terms = docs
+        .select($"doc_id",
+          explode(split(lower($"text"), "[^a-z]+")).as("term"))
+        .filter(length($"term") >= 3)
+      val tf = terms.groupBy($"doc_id", $"term")
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      val n = docs.select(countDistinct($"doc_id").as("n_docs"))
+      val scored = tf.join(df, "term").crossJoin(broadcast(n))
+        .withColumn("score",
+          ($"tf" * $"n_docs").cast("double") / $"df")
+      val w = Window.partitionBy($"doc_id")
+        .orderBy($"score".desc, $"term".asc)
+      scored.filter($"doc_id" < 20)
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 3)
+        .select($"doc_id", $"rk".cast("bigint").as("rk"), $"term",
+          $"tf", $"df", $"score")
+        .orderBy($"doc_id", $"rk")
+    },
+    Some("""WITH terms AS (
+        SELECT doc_id, t.term
+        FROM documents,
+          LATERAL unnest(regexp_split_to_array(lower(text), '[^a-z]+'))
+            AS t(term)
+        WHERE length(t.term) >= 3),
+      tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+      df AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+      scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+          CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score
+        FROM tf JOIN df USING (term) CROSS JOIN n),
+      ranked AS (
+        SELECT doc_id, term, tf, df, score,
+          ROW_NUMBER() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, term ASC) AS rk
+        FROM scored WHERE doc_id < 20)
+      SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, tf, df, score
+      FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk"""))
+
+  val all: Seq[QueryDef] = Seq(q70, q71, q72, q73, q74)
+}

@@ -63,7 +63,11 @@ class PlanShapeSpec extends AnyFunSuite {
       .filterNot(q => Set("q34_priority_grid", "q24_cosine_topk",
         "q24d_ann_ivf", "q43_price_bracket_theta",
         "q44_stream_hourly", "q49_stream_sessions",
-        "q58_stream_funnel")(q.name))
+        "q58_stream_funnel",
+        // q74 cross-joins the ONE-row corpus-size scalar against the
+        // tf table — a broadcast of exactly one row (the standard
+        // scalar-fanout shape); every other q74 join is equi-keyed.
+        "q74_tfidf_top_terms")(q.name))
       .flatMap { q =>
         val p = plan(q.name)
         if (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
@@ -71,6 +75,20 @@ class PlanShapeSpec extends AnyFunSuite {
         else None
       }
     assert(offenders.isEmpty, s"unbounded join shapes in: $offenders")
+  }
+
+  test("q71: NOT IN plans as a null-aware anti join, not a BNLJ") {
+    // Spark's NAAJ (enableNullAwareAntiJoin) turns the three-valued
+    // `NOT IN` anti condition `k = s OR isnull(k = s)` into a broadcast
+    // hash join with a null-awareness flag — without it the OR-isnull
+    // condition is non-equi and the plan degrades to a
+    // BroadcastNestedLoopJoin over the whole customer table.
+    // Spark 4.1 prints the isNullAwareAntiJoin flag as the trailing
+    // argument of the join line (and mirrors it in the broadcast mode's
+    // isNullAware bit), not as a literal "NAAJ" tag.
+    val p = plan("q71_not_in_nulls")
+    assert(p.contains("LeftAnti, BuildRight, true"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
   test("q19: the 30-day pair count is a window, not a self-join") {

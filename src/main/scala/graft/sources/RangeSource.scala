@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -71,12 +72,15 @@ final class RangeTable(start: Long, end: Long, slices: Int)
   override def name(): String = s"graftrange[$start,$end)x$slices"
   override def schema(): StructType = RangeSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(
+      TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new RangeScanBuilder(start, end, slices)
+    new RangeScanBuilder(start, end, slices,
+      options.getLong("rowsPerBatch", 0L))
 }
 
-final class RangeScanBuilder(start: Long, end: Long, slices: Int)
+final class RangeScanBuilder(
+    start: Long, end: Long, slices: Int, rowsPerBatch: Long = 0L)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
@@ -117,14 +121,19 @@ final class RangeScanBuilder(start: Long, end: Long, slices: Int)
     required = requiredSchema
 
   override def build(): Scan =
-    new RangeScan(start, end, slices, lo, hi, required)
+    new RangeScan(start, end, slices, lo, hi, required, rowsPerBatch)
 }
 
 final class RangeScan(
     start: Long, end: Long, slices: Int,
-    lo: Long, hi: Long, required: StructType) extends Scan with Batch {
+    lo: Long, hi: Long, required: StructType,
+    rowsPerBatch: Long = 0L) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new RangeMicroBatchStream(lo, hi,
+      if (rowsPerBatch > 0) rowsPerBatch else math.max(1L, (hi - lo) / 4),
+      required.fieldNames)
   override def description(): String =
     s"GraftRange layout=[$start,$end)x$slices pruned=[$lo,$hi) " +
       s"cols=${required.fieldNames.mkString(",")}"
@@ -156,6 +165,56 @@ final class RangeReaderFactory(fields: Array[String])
     val rp = p.asInstanceOf[RangePartition]
     new RangeReader(rp.lo, rp.hi, fields)
   }
+}
+
+/** The streaming half of the source (S12): the same id range replayed
+  * as a deterministic micro-batch stream — `latestOffset` advances by
+  * `rowsPerBatch` ids per batch, each batch plans one partition over
+  * its [startOffset, endOffset) sub-range, and the REPLAY CONTRACT
+  * (same offset pair → identical rows, the property checkpoint recovery
+  * depends on) holds by construction because rows are a pure function
+  * of the id. The pushed bounds from the batch ScanBuilder carry over:
+  * a bounded streaming read replays only the pruned range. */
+final case class RangeOffset(id: Long) extends Offset {
+  override def json(): String = id.toString
+}
+
+final class RangeMicroBatchStream(
+    lo: Long, hi: Long, rowsPerBatch: Long, fields: Array[String])
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+  override def initialOffset(): Offset = RangeOffset(lo)
+  override def deserializeOffset(json: String): Offset =
+    RangeOffset(json.trim.toLong)
+  override def commit(end: Offset): Unit = {}
+  override def stop(): Unit = {}
+
+  // Admission control: each micro-batch admits at most rowsPerBatch ids,
+  // so AvailableNow replays the range as ceil((hi-lo)/rowsPerBatch)
+  // batches — real incremental execution, not one batch wearing a
+  // streaming trigger (RangeSourceSpec asserts the batch count).
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(rowsPerBatch)
+  override def prepareForTriggerAvailableNow(): Unit = {}
+  override def reportLatestOffset(): Offset = RangeOffset(hi)
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "rate-limited source: use latestOffset(start, limit)")
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    RangeOffset(
+      math.min(hi, start.asInstanceOf[RangeOffset].id + rowsPerBatch))
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[RangeOffset].id
+    val e = end.asInstanceOf[RangeOffset].id
+    // one partition per rowsPerBatch chunk, so executor parallelism
+    // inside a batch matches the batch-side slicing policy
+    if (e <= s) Array.empty
+    else Iterator.iterate(s)(_ + rowsPerBatch).takeWhile(_ < e)
+      .map(b => RangePartition(b, math.min(b + rowsPerBatch, e)))
+      .toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RangeReaderFactory(fields)
 }
 
 /** Emits only the pruned fields: an `id`-only projection never computes

@@ -62,6 +62,28 @@ class RangeSourceSpec extends AnyFunSuite {
       scan.schema.treeString)
   }
 
+  test("S12: micro-batch replay equals the batch read, in >1 batch") {
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-range-stream").toString
+    val q = spark.readStream.format("graftrange")
+      .option("start", 0L).option("end", 1000L)
+      .option("slices", 4).option("rowsPerBatch", 300L)
+      .load()
+      .writeStream.format("memory").queryName("range_stream")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("range_stream")
+      .agg(count(lit(1)), sum($"id"), sum($"squared"))
+      .as[(Long, Long, Long)].head()
+    val ids = 0L until 1000L
+    assert(got === ((1000L, ids.sum, ids.map(i => i * i).sum)))
+    // 1000 rows at 300/batch → 4 admission-controlled micro-batches
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length === 4, batches.map(_.numInputRows).toSeq)
+  }
+
   test("empty pruned range plans zero partitions") {
     val df = src(1000).filter($"id" > 5000L)
     assert(scanOf(df).inputRDD.getNumPartitions === 0)

@@ -199,5 +199,105 @@ object SurfaceQueries {
       SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, tf, df, score
       FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk"""))
 
-  val all: Seq[QueryDef] = Seq(q70, q71, q72, q73, q74)
+  // ---------------------------------------------------------------- q75
+  // Correlated LATERAL subquery with ORDER BY ... LIMIT — per-nation
+  // top-2 customers "for each row of the left table". Catalyst must
+  // DECORRELATE the limit (rewrite to a partitioned rank filter /
+  // aligned join) because executing the inner query per outer row is
+  // exactly the per-row re-execution that cannot exist at 100 TB; the
+  // SQL is the user-facing surface, the decorrelated plan is the scale
+  // story (same contract as q63's correlated scalar aggregates).
+  // Output columns are raw parquet values — no arithmetic, hash-safe.
+  private val lateralSql =
+    """SELECT n.n_name, c.c_name, c.c_acctbal
+      FROM nation n,
+        LATERAL (SELECT c_name, c_acctbal FROM customer
+                 WHERE c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+      ORDER BY n.n_name, c.c_acctbal DESC, c.c_name"""
+
+  private val q75 = QueryDef(
+    "q75_lateral_topn",
+    (s, dir) => {
+      Tables.load(s, dir, "nation").createOrReplaceTempView("nation")
+      Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
+      s.sql(lateralSql)
+    },
+    Some(lateralSql))
+
+  // ---------------------------------------------------------------- q76
+  // IGNORE NULLS window functions (first/last/nth_value) — the "carry
+  // forward the last observed value" primitive (gap-filling sensor
+  // reads, last-known-good config, sparse attributes). Nulls are
+  // planted deterministically (price visible only on 'F' orders); the
+  // explicit ROWS frame + unique o_orderkey ordering make every carried
+  // value unambiguous. Plain per-partition window — one shuffle on
+  // o_custkey, no global sort before the final ORDER BY.
+  private val q76 = QueryDef(
+    "q76_ignore_nulls",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(s, dir, "orders")
+        .withColumn("pf",
+          when($"o_orderstatus" === "F", $"o_totalprice"))
+        .select($"o_orderkey", $"o_custkey",
+          last($"pf", ignoreNulls = true).over(w).as("last_f_price"),
+          first($"pf", ignoreNulls = true).over(w).as("first_f_price"),
+          nth_value($"pf", 2, ignoreNulls = true).over(w)
+            .as("second_f_price"))
+        .orderBy($"o_orderkey")
+    },
+    // DuckDB spells IGNORE NULLS inside the call parens; Spark SQL
+    // spells it after them — one of the dialect gaps the oracle map
+    // exists for.
+    Some("""SELECT o_orderkey, o_custkey,
+        last_value(pf IGNORE NULLS) OVER w AS last_f_price,
+        first_value(pf IGNORE NULLS) OVER w AS first_f_price,
+        nth_value(pf, 2 IGNORE NULLS) OVER w AS second_f_price
+      FROM (SELECT o_orderkey, o_custkey,
+              CASE WHEN o_orderstatus = 'F' THEN o_totalprice END AS pf
+            FROM orders)
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ORDER BY o_orderkey"""))
+
+  // ---------------------------------------------------------------- q77
+  // regexp_extract_all: the one regexp function that returns a SET of
+  // matches per row (the scan-stage primitive under tokenizers and PII
+  // scanners like q51). Pattern kept in the Java/RE2-portable subset;
+  // the array is folded to count/total-length/joined-string so the
+  // compare is scalar-typed.
+  private val q77 = QueryDef(
+    "q77_regexp_extract_all",
+    (s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .filter($"doc_id" < 30)
+        .select($"doc_id",
+          regexp_extract_all(lower($"text"), lit("[a-z]{7,}"), lit(0))
+            .as("long_words"))
+        .select($"doc_id",
+          size($"long_words").cast("bigint").as("n_long"),
+          aggregate($"long_words", lit(0L),
+            (acc, x) => acc + length(x)).as("total_len"),
+          concat_ws("|", $"long_words").as("joined"))
+        .orderBy($"doc_id")
+    },
+    // DuckDB yields NULL (not an empty list) when nothing matches;
+    // Spark yields []. COALESCE pins the empty-set convention.
+    Some("""SELECT doc_id,
+        CAST(COALESCE(len(words), 0) AS BIGINT) AS n_long,
+        CAST(COALESCE(list_sum(list_transform(words, w -> length(w))), 0)
+          AS BIGINT) AS total_len,
+        COALESCE(array_to_string(words, '|'), '') AS joined
+      FROM (SELECT doc_id,
+              regexp_extract_all(lower(text), '[a-z]{7,}') AS words
+            FROM documents WHERE doc_id < 30)
+      ORDER BY doc_id"""))
+
+  val all: Seq[QueryDef] =
+    Seq(q70, q71, q72, q73, q74, q75, q76, q77)
 }
+

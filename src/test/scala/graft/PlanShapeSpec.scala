@@ -91,6 +91,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q75: LATERAL ... LIMIT decorrelates to WindowGroupLimit") {
+    // The correlated per-nation top-2 must compile to a partitioned
+    // rank with group-limit pushdown (map-side top-k before the
+    // shuffle), not to per-outer-row subquery re-execution or a
+    // nested-loop join.
+    val p = plan("q75_lateral_topn")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+  }
+
   test("q19: the 30-day pair count is a window, not a self-join") {
     val p = plan("q19_order_pairs_30d")
     assert(p.contains("Window"), p)

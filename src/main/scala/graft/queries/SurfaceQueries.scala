@@ -297,7 +297,45 @@ object SurfaceQueries {
             FROM documents WHERE doc_id < 30)
       ORDER BY doc_id"""))
 
+  // ---------------------------------------------------------------- q78
+  // RANGE frame with INTERVAL bounds — the last frame type not yet
+  // under the gate (q13 runs unbounded-preceding, q14 ROWS, q19
+  // integer RANGE). The input is deliberately SPARSE (only days with
+  // high-quantity lines exist), so RANGE over event time and ROWS over
+  // row position genuinely disagree and the golden/oracle would catch
+  // an engine conflating them. Window runs over per-day AGGREGATES
+  // (q13/q14 rationale: never a global window over fact rows); sums
+  // stay in exact decimals until the final double cast.
+  // The window orders by the TIMESTAMP day (interval frames bind to
+  // time-typed orderings in both engines); the output column is cast
+  // to DATE because Spark's date_trunc returns timestamp while
+  // DuckDB's returns date — CAST makes both emit date.
+  private val intervalFrameSql =
+    """WITH daily AS (
+        SELECT date_trunc('day', l_shipdate) AS dt,
+          SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS rev,
+          COUNT(*) AS n_lines
+        FROM lineitem WHERE l_quantity >= 49 GROUP BY 1)
+      SELECT CAST(dt AS DATE) AS d,
+        CAST(CAST(rev AS DECIMAL(18,4)) AS DOUBLE) AS rev,
+        n_lines,
+        CAST(CAST(SUM(rev) OVER (ORDER BY dt
+          RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+          AS DECIMAL(18,4)) AS DOUBLE) AS rev_7d,
+        SUM(n_lines) OVER (ORDER BY dt
+          RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+          AS lines_7d
+      FROM daily ORDER BY d"""
+
+  private val q78 = QueryDef(
+    "q78_interval_range_frame",
+    (s, dir) => {
+      Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(intervalFrameSql)
+    },
+    Some(intervalFrameSql))
+
   val all: Seq[QueryDef] =
-    Seq(q70, q71, q72, q73, q74, q75, q76, q77)
+    Seq(q70, q71, q72, q73, q74, q75, q76, q77, q78)
 }
 

@@ -458,6 +458,38 @@ object EventQueries {
         AND e.ts > a.t0 AND e.ts <= a.t0 + INTERVAL 30 MINUTE
       GROUP BY 1 ORDER BY 1"""))
 
+  // ---------------------------------------------------------------- Q79
+  // FOURTH streaming entry under the oracle gate, and the first to grade
+  // the SINK side: the S13 foreachBatch change-log sink. The replay runs
+  // in 4 admission-limited batches (maxFilesPerTrigger=1 over the 4-file
+  // replay dir); each update-mode batch overwrites its own
+  // batch=<id> partition (idempotent under at-least-once re-delivery),
+  // and the returned DataFrame is the LAST-WRITE-PER-KEY resolution of
+  // that change-log — so a duplicated, lost, or misordered batch write
+  // breaks the hash against the plain relational aggregate. Fresh
+  // checkpoint + sink dirs per run (Bench reps time the full replay,
+  // like q44). Plan consumers see only the sink read (q44 caveat).
+  private val q79 = QueryDef(
+    "q79_stream_foreach_sink",
+    (s, dir) => {
+      import s.implicits._
+      import graft.streaming.StreamingJobs
+      val replay = StreamingJobs.replayDirMulti(s, dir)
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-q79-sink").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-q79-ckpt").toString
+      StreamingJobs.withStatePartitions(s, 8) {
+        StreamingJobs.runForeachBatchCounts(s, replay, ckpt, out)
+      }
+      StreamingJobs.foreachBatchTable(s, out).orderBy($"event_type")
+    },
+    // value/event_type don't touch the ns→µs truncation, so the oracle
+    // reads events directly.
+    Some("""SELECT event_type, COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QueryDef] =
-    Seq(q20, q21, q37, q37b, q44, q49, q57, q58, q66, q67)
+    Seq(q20, q21, q37, q37b, q44, q49, q57, q58, q66, q67, q79)
 }

@@ -271,4 +271,60 @@ object StreamingJobs {
           out.result().iterator
       }
   }
+
+  // ----------------------------------------------------------------- S13
+  /** Multi-file replay directory (4 parquet files), cached per
+    * (JVM, sfDir) like replayDirFor: with maxFilesPerTrigger=1 the file
+    * source admits one file per micro-batch, so AvailableNow replays in
+    * 4 real batches — what the foreachBatch idempotence story needs. */
+  private val replayDirsMulti = scala.collection.mutable.Map[String, String]()
+
+  def replayDirMulti(spark: SparkSession, sfDir: String): String = synchronized {
+    replayDirsMulti.getOrElseUpdate(sfDir, {
+      val d = java.nio.file.Files.createTempDirectory("graft-replay4").toString
+      graft.Tables.load(spark, sfDir, "events")
+        .withColumn("ts", col("ts").cast(TimestampType))
+        .repartition(4).write.mode("overwrite").parquet(d)
+      d
+    })
+  }
+
+  /** foreachBatch sink with IDEMPOTENT per-batch writes (§2.B sinks —
+    * the programmable-sink tier next to memory/console/parquet).
+    * foreachBatch's delivery contract is AT-LEAST-ONCE: after a failure
+    * the same batchId re-runs, so the write must be a pure function of
+    * (batchId, data) — overwriting `<outDir>/batch=<id>` makes any
+    * replay collapse to the same bytes (the parquet analogue of the
+    * keyed MERGE a warehouse sink runs per batch). Update-mode
+    * aggregates emit only the keys CHANGED in each batch; the sink is
+    * therefore a change-log, resolved to a table at read time by
+    * last-write-per-key (`foreachBatchTable`) — which is exactly how
+    * at-least-once delivery becomes exactly-once READS. */
+  def runForeachBatchCounts(spark: SparkSession, replayDir: String,
+      ckpt: String, outDir: String): Unit = {
+    val counts = readReplayStream(spark, replayDir, Some(1))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sumDbl(col("value")).as("sum_value"))
+    val q = counts.writeStream
+      .outputMode("update")
+      .foreachBatch { (df: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/batch=$id")
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Resolve the foreachBatch change-log directory to its current
+    * table: the row written by the highest batchId wins per key.
+    * (`batch` materializes as a hive-partition column of outDir.) */
+  def foreachBatchTable(spark: SparkSession, outDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("batch").desc)
+    spark.read.parquet(outDir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .drop("rk", "batch")
+  }
 }

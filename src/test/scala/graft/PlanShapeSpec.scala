@@ -63,7 +63,7 @@ class PlanShapeSpec extends AnyFunSuite {
       .filterNot(q => Set("q34_priority_grid", "q24_cosine_topk",
         "q24d_ann_ivf", "q43_price_bracket_theta",
         "q44_stream_hourly", "q49_stream_sessions",
-        "q58_stream_funnel",
+        "q58_stream_funnel", "q79_stream_foreach_sink",
         // q74 cross-joins the ONE-row corpus-size scalar against the
         // tf table — a broadcast of exactly one row (the standard
         // scalar-fanout shape); every other q74 join is equi-keyed.

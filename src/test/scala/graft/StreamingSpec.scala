@@ -281,4 +281,30 @@ class StreamingSpec extends AnyFunSuite {
       log2.sortBy(r => (r.user_id, r.at_event_id)).toSeq)
     assert(log.exists(_.n_before > 0))
   }
+
+  test("S13: foreachBatch change-log sink is multi-batch and replay-idempotent") {
+    val sf = TestSpark.sf0001
+    val replay = StreamingJobs.replayDirMulti(spark, sf)
+    val out = Files.createTempDirectory("graft-s13-sink").toString
+
+    StreamingJobs.runForeachBatchCounts(spark, replay,
+      Files.createTempDirectory("graft-s13-ck1").toString, out)
+    // 4 replay files × maxFilesPerTrigger=1 → 4 batch partitions
+    val dirs = new java.io.File(out).list().count(_.startsWith("batch="))
+    assert(dirs === 4, s"expected 4 batch dirs, got $dirs")
+
+    val batchTwin = graft.Tables.load(spark, sf, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.Policy.sumDbl(col("value")).as("sum_value"))
+    val first = canon(StreamingJobs.foreachBatchTable(spark, out))
+    assert(first === canon(batchTwin))
+
+    // Full re-replay into the SAME sink dir from a FRESH checkpoint:
+    // batch ids 0..3 repeat, every partition is overwritten — the
+    // at-least-once worst case. The resolved table must not change.
+    StreamingJobs.runForeachBatchCounts(spark, replay,
+      Files.createTempDirectory("graft-s13-ck2").toString, out)
+    assert(canon(StreamingJobs.foreachBatchTable(spark, out)) === first)
+  }
 }

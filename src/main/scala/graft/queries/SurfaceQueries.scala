@@ -335,7 +335,70 @@ object SurfaceQueries {
     },
     Some(intervalFrameSql))
 
+  // ---------------------------------------------------------------- q80
+  // Typed JSON: from_json with an EXPLICIT schema (q20 uses the untyped
+  // get_json_object path) → struct field access → aggregation, plus a
+  // to_json→re-extract round-trip counted per group. The explicit
+  // schema is the 100 TB rule: schema-on-read inference over text is an
+  // extra full pass and a drifting contract; `rt_ok = n_events` proves
+  // serialize→parse closes over every row.
+  private val q80 = QueryDef(
+    "q80_json_typed",
+    (s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .withColumn("p", from_json($"props", lit("k INT")))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum($"p.k".cast("bigint")).as("sum_k"),
+          max($"p.k".cast("bigint")).as("max_k"),
+          sum(when(get_json_object(
+              to_json(struct($"p.k".as("k"))), "$.k")
+              .cast("int") === $"p.k", 1L).otherwise(0L)).as("rt_ok"))
+        .orderBy($"event_type")
+    },
+    Some("""SELECT event_type, COUNT(*) AS n_events,
+        SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+        MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+        COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS rt_ok
+      FROM events GROUP BY 1 ORDER BY 1"""))
+
+  // ---------------------------------------------------------------- q81
+  // Array higher-order functions under the gate (transform / filter /
+  // exists / aggregate over per-order quantity arrays): the lambda
+  // calculus the LLM-pipeline operators lean on (q24's dot products,
+  // q47's packing) exercised as first-class surface. Arrays stay
+  // BOUNDED (≤7 lineitems per order) per the collect policy; integer
+  // casts keep every fold exact.
+  private val q81 = QueryDef(
+    "q81_array_hof",
+    (s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "lineitem")
+        .filter($"l_orderkey" < 300)
+        .groupBy($"l_orderkey")
+        .agg(array_sort(collect_list($"l_quantity".cast("bigint")))
+          .as("qs"))
+        .select($"l_orderkey",
+          concat_ws(",", $"qs").as("qs_str"),
+          size($"qs").cast("bigint").as("n"),
+          aggregate($"qs", lit(0L), (acc, x) => acc + x * 2).as("sum2"),
+          size(filter($"qs", _ > 25)).cast("bigint").as("n_big"),
+          exists($"qs", _ >= 49).as("has49"))
+        .orderBy($"l_orderkey")
+    },
+    Some("""WITH a AS (
+        SELECT l_orderkey,
+          list_sort(list(CAST(l_quantity AS BIGINT))) AS qs
+        FROM lineitem WHERE l_orderkey < 300 GROUP BY 1)
+      SELECT l_orderkey, array_to_string(qs, ',') AS qs_str,
+        CAST(len(qs) AS BIGINT) AS n,
+        CAST(list_sum(list_transform(qs, x -> x * 2)) AS BIGINT) AS sum2,
+        CAST(len(list_filter(qs, x -> x > 25)) AS BIGINT) AS n_big,
+        len(list_filter(qs, x -> x >= 49)) > 0 AS has49
+      FROM a ORDER BY l_orderkey"""))
+
   val all: Seq[QueryDef] =
-    Seq(q70, q71, q72, q73, q74, q75, q76, q77, q78)
+    Seq(q70, q71, q72, q73, q74, q75, q76, q77, q78, q80, q81)
 }
 

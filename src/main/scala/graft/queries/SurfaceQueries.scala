@@ -398,7 +398,55 @@ object SurfaceQueries {
         len(list_filter(qs, x -> x >= 49)) > 0 AS has49
       FROM a ORDER BY l_orderkey"""))
 
+  // ---------------------------------------------------------------- q82
+  // ANSI error-safe evaluation: the try_* family (try_cast over bad
+  // numerics and invalid dates, try_divide over planted zero
+  // denominators) — under ANSI mode (the Spark 4 default this engine
+  // runs with) the non-try forms THROW, so try_* is the contract a
+  // 100 TB pipeline uses to quarantine bad rows instead of killing the
+  // job at task 40000 of 40001. All malformed values are planted
+  // deterministically from o_orderkey. DuckDB mirrors TRY_CAST
+  // directly; its integer division already yields NULL on /0, which is
+  // exactly try_divide's semantics.
+  private val q82 = QueryDef(
+    "q82_try_semantics",
+    (s, dir) => {
+      Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""WITH t AS (
+          SELECT o_orderstatus, o_orderkey,
+            CASE WHEN o_orderkey % 7 = 0 THEN 'not-a-number'
+                 ELSE CAST(o_orderkey AS STRING) END AS sn,
+            CASE WHEN o_orderkey % 5 = 0 THEN '2024-99-99'
+                 ELSE '2024-01-15' END AS sd,
+            o_orderkey % 4 AS denom
+          FROM orders)
+        SELECT o_orderstatus,
+          COUNT(TRY_CAST(sn AS BIGINT)) AS n_parsed,
+          SUM(TRY_CAST(sn AS BIGINT)) AS sum_parsed,
+          COUNT(TRY_CAST(sd AS DATE)) AS n_dates,
+          SUM(CASE WHEN try_divide(o_orderkey, denom) IS NULL
+              THEN 1 ELSE 0 END) AS n_div_null,
+          COUNT(*) AS n
+        FROM t GROUP BY 1 ORDER BY 1""")
+    },
+    Some("""WITH t AS (
+        SELECT o_orderstatus, o_orderkey,
+          CASE WHEN o_orderkey % 7 = 0 THEN 'not-a-number'
+               ELSE CAST(o_orderkey AS VARCHAR) END AS sn,
+          CASE WHEN o_orderkey % 5 = 0 THEN '2024-99-99'
+               ELSE '2024-01-15' END AS sd,
+          o_orderkey % 4 AS denom
+        FROM orders)
+      SELECT o_orderstatus,
+        COUNT(TRY_CAST(sn AS BIGINT)) AS n_parsed,
+        CAST(SUM(TRY_CAST(sn AS BIGINT)) AS BIGINT) AS sum_parsed,
+        COUNT(TRY_CAST(sd AS DATE)) AS n_dates,
+        SUM(CASE WHEN o_orderkey / denom IS NULL
+            THEN 1 ELSE 0 END) AS n_div_null,
+        COUNT(*) AS n
+      FROM t GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QueryDef] =
-    Seq(q70, q71, q72, q73, q74, q75, q76, q77, q78, q80, q81)
+    Seq(q70, q71, q72, q73, q74, q75, q76, q77, q78, q80, q81, q82)
 }
 

@@ -154,17 +154,67 @@ final class RangeScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new RangeReaderFactory(required.fieldNames)
+    new RangeReaderFactory(required.fieldNames, columnar = true)
 }
 
 final case class RangePartition(lo: Long, hi: Long) extends InputPartition
 
-final class RangeReaderFactory(fields: Array[String])
+final class RangeReaderFactory(fields: Array[String], columnar: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val rp = p.asInstanceOf[RangePartition]
     new RangeReader(rp.lo, rp.hi, fields)
   }
+
+  /** Batch scans serve COLUMNAR batches (`Batched: true` in the scan,
+    * ColumnarToRow above it — the same vectorized shape as the parquet
+    * reader): 4096-row Long vectors filled in a tight loop, amortizing
+    * per-row iterator overhead exactly like a columnar file format
+    * would. The streaming path keeps the row reader (opt-in flag) —
+    * micro-batches here are small by construction. */
+  override def supportColumnarReads(p: InputPartition): Boolean = columnar
+
+  override def createColumnarReader(p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val rp = p.asInstanceOf[RangePartition]
+    new RangeColumnarReader(rp.lo, rp.hi, fields)
+  }
+}
+
+final class RangeColumnarReader(lo: Long, hi: Long, fields: Array[String])
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+
+  private val Cap = 4096
+  private val vectors =
+    fields.map(_ => new OnHeapColumnVector(Cap, LongType))
+  private val batch =
+    new ColumnarBatch(vectors.toArray[ColumnVector])
+  private var cur = lo
+
+  override def next(): Boolean = {
+    if (cur >= hi) return false
+    val n = math.min(Cap.toLong, hi - cur).toInt
+    var c = 0
+    while (c < fields.length) {
+      val v = vectors(c)
+      v.reset()
+      val squared = fields(c) == "squared"
+      var i = 0
+      while (i < n) {
+        val id = cur + i
+        v.putLong(i, if (squared) id * id else id)
+        i += 1
+      }
+      c += 1
+    }
+    batch.setNumRows(n)
+    cur += n
+    true
+  }
+
+  override def get(): ColumnarBatch = batch
+  override def close(): Unit = vectors.foreach(_.close())
 }
 
 /** The streaming half of the source (S12): the same id range replayed

@@ -30,7 +30,12 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // round-6 second wave: decorrelated scalar subqueries (the rewrite
     // must not leak partition-dependent agg order), delta-merge partial
     // sums, size-blocked levenshtein join
-    "q63_above_avg_orders", "q66_delta_merge", "q65_fuzzy_edit_dedup")
+    "q63_above_avg_orders", "q66_delta_merge", "q65_fuzzy_edit_dedup",
+    // round-6 fourth/fifth wave: ordered string agg (collect_set order
+    // is partition-dependent until array_sort pins it), log-free tfidf
+    // ranking, array HOF folds over collect_list, custom DSv2 source
+    "q72_string_agg", "q74_tfidf_top_terms", "q81_array_hof",
+    "q70_range_source")
 
   private def canonical(name: String): Seq[String] = {
     val df = Registry.byName(name).run(spark, dir)

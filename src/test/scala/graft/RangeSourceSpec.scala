@@ -84,6 +84,16 @@ class RangeSourceSpec extends AnyFunSuite {
     assert(batches.length === 4, batches.map(_.numInputRows).toSeq)
   }
 
+  test("batch scans are columnar (vectorized); values match the fold") {
+    val df = src(100000).filter($"id" < 50000L)
+    assert(scanOf(df).supportsColumnar,
+      "batch read should serve ColumnarBatches")
+    assert(df.queryExecution.executedPlan.toString
+      .contains("ColumnarToRow"))
+    assert(df.agg(sum($"squared")).as[Long].head() ===
+      (0L until 50000L).map(i => i * i).sum)
+  }
+
   test("empty pruned range plans zero partitions") {
     val df = src(1000).filter($"id" > 5000L)
     assert(scanOf(df).inputRDD.getNumPartitions === 0)

@@ -7,6 +7,8 @@ import scala.collection.mutable.ArrayBuffer
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.FieldReference
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
@@ -83,7 +85,8 @@ final class RangeScanBuilder(
     start: Long, end: Long, slices: Int, rowsPerBatch: Long = 0L)
     extends ScanBuilder
     with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
   // Bounds narrowed by pushed predicates; readers emit exactly [lo, hi).
   private var lo: Long = start
   private var hi: Long = end
@@ -120,8 +123,85 @@ final class RangeScanBuilder(
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new RangeScan(start, end, slices, lo, hi, required, rowsPerBatch)
+  // ---- aggregate pushdown: COUNT(*)/MIN(id)/MAX(id)/SUM(id) have
+  // CLOSED FORMS on a dense pruned range [lo,hi) — the scan answers
+  // them from metadata alone, reading ZERO rows (the DSv2 analogue of
+  // parquet answering count(*) from row-group statistics). Pushdown
+  // runs after filter pushdown, so the bounds are the pruned ones.
+  private var pushedAgg: Option[Seq[AggregateFunc]] = None
+
+  private def isId(f: AggregateFunc): Boolean = f match {
+    case m: Min => m.column.describe == "id"
+    case m: Max => m.column.describe == "id"
+    case s: Sum => !s.isDistinct && s.column.describe == "id"
+    case _ => false
+  }
+
+  private def handled(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall {
+        case _: CountStar => true
+        case f => isId(f) &&
+          // sum must stay in Long range to be exact
+          (!f.isInstanceOf[Sum] ||
+            (BigInt(math.max(lo, 0)) + hi) * (hi - lo) / 2 <=
+              BigInt(Long.MaxValue))
+      }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    handled(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    if (handled(agg)) {
+      pushedAgg = Some(agg.aggregateExpressions.toSeq); true
+    } else false
+
+  override def build(): Scan = pushedAgg match {
+    case Some(aggs) => new RangeAggScan(lo, hi, aggs)
+    case None =>
+      new RangeScan(start, end, slices, lo, hi, required, rowsPerBatch)
+  }
+}
+
+/** One metadata-only row answering the completely-pushed aggregate. */
+final class RangeAggScan(lo: Long, hi: Long, aggs: Seq[AggregateFunc])
+    extends Scan with Batch {
+  private val empty = hi <= lo
+  override def readSchema(): StructType = StructType(aggs.zipWithIndex.map {
+    case (_: CountStar, i) => StructField(s"agg_$i", LongType, nullable = false)
+    case (_, i) => StructField(s"agg_$i", LongType, nullable = true)
+  })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftRange AGG-pushdown [$lo,$hi) ${aggs.mkString(", ")}"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(RangePartition(0, 1)) // one row, computed on the driver-side forms
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val values: Seq[Any] = aggs.map {
+      case _: CountStar => math.max(0L, hi - lo)
+      case _: Min => if (empty) null else lo
+      case _: Max => if (empty) null else hi - 1
+      case _: Sum =>
+        // BigInt intermediate: (lo+hi-1)*(hi-lo) can overflow Long even
+        // when the final sum fits (handled() guards the result range)
+        if (empty) null
+        else ((BigInt(lo) + hi - 1) * (hi - lo) / 2).toLong
+      case other => throw new IllegalStateException(s"unhandled $other")
+    }
+    new SingleRowReaderFactory(values)
+  }
+}
+
+final class SingleRowReaderFactory(values: Seq[Any])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val f = !emitted; emitted = true; f }
+      override def get(): InternalRow = InternalRow.fromSeq(values)
+      override def close(): Unit = {}
+    }
 }
 
 final class RangeScan(

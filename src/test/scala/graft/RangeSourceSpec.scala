@@ -94,6 +94,26 @@ class RangeSourceSpec extends AnyFunSuite {
       (0L until 50000L).map(i => i * i).sum)
   }
 
+  test("count/min/max/sum push down completely: zero rows scanned") {
+    val df = src(1000000)
+      .filter($"id" >= 100L && $"id" < 900000L)
+      .agg(count(lit(1)).as("n"), min($"id").as("mn"),
+        max($"id").as("mx"), sum($"id").as("s"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AGG-pushdown"), plan)
+    val r = df.as[(Long, Long, Long, Long)].head()
+    val (lo, hi) = (100L, 900000L)
+    assert(r === ((hi - lo, lo, hi - 1, (lo + hi - 1) * (hi - lo) / 2)))
+  }
+
+  test("aggregates the source cannot answer fall back to a real scan") {
+    // sum(squared) has no closed form here → normal columnar scan path
+    val df = src(10000).agg(sum($"squared").as("s2"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("AGG-pushdown"), plan)
+    assert(df.as[Long].head() === (0L until 10000L).map(i => i * i).sum)
+  }
+
   test("empty pruned range plans zero partitions") {
     val df = src(1000).filter($"id" > 5000L)
     assert(scanOf(df).inputRDD.getNumPartitions === 0)

@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(SimHash64.descriptor)
     e.injectFunction(WordShingles.descriptor)
     e.injectFunction(FreqSketch.descriptor)
+    e.injectFunction(NGramsGen.descriptor)
     // Whole-operator exemplar (§7.3(c)): native backward as-of join.
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     // Optimizer-rule exemplar (§7.3(b)): custom nodes are pushdown

@@ -446,7 +446,32 @@ object SurfaceQueries {
         COUNT(*) AS n
       FROM t GROUP BY 1 ORDER BY 1"""))
 
+  // ---------------------------------------------------------------- q83
+  // The custom GENERATOR (UDTF tier, functions/NGramsGen) under the
+  // gate through the LATERAL VIEW SQL surface: every word 3-gram of
+  // each report doc with its 1-based position. Catalyst pushes the
+  // doc_id predicate BELOW the Generate (generator output is
+  // row-local), so the fan-out runs only over the selected docs — the
+  // property that keeps generator queries scan-shaped at 100 TB. The
+  // oracle rebuilds positions relationally with generate_series over
+  // the token array.
+  private val q83 = QueryDef(
+    "q83_ngram_positions",
+    (s, dir) => {
+      Tables.load(s, dir, "documents").createOrReplaceTempView("documents")
+      s.sql("""SELECT doc_id, CAST(pos AS BIGINT) AS pos, gram
+        FROM documents LATERAL VIEW ngrams_gen(text, 3) g AS pos, gram
+        WHERE doc_id < 5 ORDER BY doc_id, pos""")
+    },
+    Some("""WITH tk AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t
+        FROM documents WHERE doc_id < 5)
+      SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+        array_to_string(t[u.i:u.i+2], ' ') AS gram
+      FROM tk, LATERAL unnest(generate_series(1, len(t) - 2)) AS u(i)
+      ORDER BY doc_id, pos"""))
+
   val all: Seq[QueryDef] =
-    Seq(q70, q71, q72, q73, q74, q75, q76, q77, q78, q80, q81, q82)
+    Seq(q70, q71, q72, q73, q74, q75, q76, q77, q78, q80, q81, q82, q83)
 }
 

@@ -254,6 +254,52 @@ class FunctionsSpec extends AnyFunSuite {
     assert(err.getMessage.contains("width must be > 0"))
   }
 
+  test("ngrams_gen: positions, null/short-text edges, lateral-view parity") {
+    val rows = spark.sql(
+      """SELECT pos, gram FROM (SELECT 'A b c d' AS t)
+         LATERAL VIEW ngrams_gen(t, 2) g AS pos, gram ORDER BY pos""")
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(rows.toSeq === Seq((1, "a b"), (2, "b c"), (3, "c d")))
+
+    // short text and NULL text generate zero rows, not errors/nulls
+    assert(spark.sql(
+      """SELECT * FROM (SELECT 'one' AS t)
+         LATERAL VIEW ngrams_gen(t, 2) g AS pos, gram""").count() === 0)
+    assert(spark.sql(
+      """SELECT * FROM (SELECT CAST(NULL AS STRING) AS t)
+         LATERAL VIEW ngrams_gen(t, 2) g AS pos, gram""").count() === 0)
+
+    // non-foldable / bad n is an analysis-time error (schema cannot be
+    // data-dependent)
+    val err = intercept[Exception] {
+      spark.sql("""SELECT * FROM (SELECT 'a b' AS t, 2 AS k)
+        LATERAL VIEW ngrams_gen(t, k) g AS pos, gram""").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("foldable"))
+
+    // differential vs the array composite over the fixture corpus
+    val doc = Tables.load(spark, TestSpark.sf0001, "documents")
+      .limit(50)
+    doc.createOrReplaceTempView("ngram_docs")
+    val viaGen = spark.sql(
+      """SELECT doc_id, pos, gram FROM ngram_docs
+         LATERAL VIEW ngrams_gen(text, 3) g AS pos, gram""")
+    val viaComposite = spark.sql(
+      """SELECT doc_id, pos, gram FROM (
+           SELECT doc_id, posexplode(transform(
+             sequence(1, greatest(size(tk) - 2, 0)),
+             i -> concat_ws(' ', slice(tk, i, 3)))) AS (p0, gram),
+             p0 + 1 AS pos_off
+           FROM (SELECT doc_id, split(lower(text), ' ') AS tk
+                 FROM ngram_docs)
+           WHERE size(tk) >= 3)
+         LATERAL VIEW explode(array(p0 + 1)) e AS pos""")
+    val a = viaGen.collect().map(_.toString).sorted
+    val b = viaComposite.select("doc_id", "pos", "gram")
+      .collect().map(_.toString).sorted
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("dotq stays inside WholeStageCodegen") {
     val df = Tables.load(spark, TestSpark.sf0001, "embeddings")
       .selectExpr("dotq(embedding, embedding) AS n2")

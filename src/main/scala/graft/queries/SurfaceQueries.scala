@@ -471,7 +471,40 @@ object SurfaceQueries {
       FROM tk, LATERAL unnest(generate_series(1, len(t) - 2)) AS u(i)
       ORDER BY doc_id, pos"""))
 
+  // ---------------------------------------------------------------- q84
+  // VARIANT (Spark 4's semi-structured type): parse_json → binary
+  // variant, typed variant_get extraction, and a to_json canonical
+  // round trip. Unlike q80's per-query struct schema, variant defers
+  // the schema entirely — the 100 TB trade is storage+decode cost for
+  // schema-drift immunity (new JSON keys don't break old readers).
+  // The round-trip columns work because BOTH engines canonicalize to
+  // minified JSON: Spark's to_json(parse_json(x)) and DuckDB's
+  // json(x) emit byte-identical '{"k":87}' for this corpus, so
+  // min/max/distinct over the round-tripped strings hash-match.
+  private val q84 = QueryDef(
+    "q84_variant_json",
+    (s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .withColumn("v", expr("parse_json(props)"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("variant_get(v, '$.k', 'bigint')")).as("sum_k"),
+          countDistinct(expr("to_json(v)")).as("n_distinct_json"),
+          min(expr("to_json(v)")).as("min_json"),
+          max(expr("to_json(v)")).as("max_json"))
+        .orderBy($"event_type")
+    },
+    Some("""SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+          AS sum_k,
+        COUNT(DISTINCT CAST(json(props) AS VARCHAR)) AS n_distinct_json,
+        MIN(CAST(json(props) AS VARCHAR)) AS min_json,
+        MAX(CAST(json(props) AS VARCHAR)) AS max_json
+      FROM events GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QueryDef] =
-    Seq(q70, q71, q72, q73, q74, q75, q76, q77, q78, q80, q81, q82, q83)
+    Seq(q70, q71, q72, q73, q74, q75, q76, q77, q78, q80, q81, q82, q83,
+      q84)
 }
 

@@ -272,6 +272,47 @@ object StreamingJobs {
       }
   }
 
+  // ----------------------------------------------------------------- S14
+  /** transformWithState (the Spark 4 arbitrary-state API v2, successor
+    * to S4's mapGroupsWithState): per-user running totals in a typed
+    * `ValueState`, emitted per batch in update mode. What v2 adds over
+    * S4's API — typed named state cells (Value/List/Map) with per-state
+    * TTL, timers decoupled from output mode, and schema-evolvable state
+    * — is exactly what long-lived 100 TB streaming state needs. Backed
+    * by the RocksDB state-store provider (StreamingSpec flips the
+    * provider conf; rocksdbjni ships with Spark). The value sum is kept
+    * in exact integer micro-units so the batch twin comparison is
+    * bit-exact (same per-row floor both paths). */
+  case class UserTotal(user_id: Long, n_events: Long, sum_micro: Long)
+
+  class RunningTotals extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserTotal] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var tot: ValueState[UserTotal] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      tot = getHandle.getValueState[UserTotal]("tot",
+        org.apache.spark.sql.Encoders.product[UserTotal], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        tv: TimerValues): Iterator[UserTotal] = {
+      var cur = if (tot.exists()) tot.get() else UserTotal(key, 0L, 0L)
+      rows.foreach { e =>
+        cur = UserTotal(key, cur.n_events + 1,
+          cur.sum_micro + math.floor(e.value * 1e6).toLong)
+      }
+      tot.update(cur)
+      Iterator.single(cur)
+    }
+  }
+
+  def runningTotals(events: Dataset[Event]): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotals,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
+
   // ----------------------------------------------------------------- S13
   /** Multi-file replay directory (4 parquet files), cached per
     * (JVM, sfDir) like replayDirFor: with maxFilesPerTrigger=1 the file

@@ -282,6 +282,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(log.exists(_.n_before > 0))
   }
 
+  test("S14: transformWithState totals (RocksDB store) equal the batch twin") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import spark.implicits._
+      val stream = readReplayStream(spark, replayDir)
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+        .as[Event]
+      val table = withStatePartitions(spark, 8) {
+        runToTable(StreamingJobs.runningTotals(stream).toDF(),
+          "s14_totals", "update")
+      }
+      // single-file replay → one batch → the emitted row IS the total;
+      // max() folds idempotently if a rerun appended more batches
+      val got = table.groupBy($"user_id")
+        .agg(max($"n_events").as("n"), max($"sum_micro").as("s"))
+      val twin = spark.read.parquet(replayDir)
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(floor(value * 1000000) AS BIGINT)")).as("s"))
+      assert(canon(got) === canon(twin))
+      assert(table.count() > 0)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("S13: foreachBatch change-log sink is multi-batch and replay-idempotent") {
     val sf = TestSpark.sf0001
     val replay = StreamingJobs.replayDirMulti(spark, sf)

@@ -77,6 +77,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"unbounded join shapes in: $offenders")
   }
 
+  test("AQE coalesces small post-shuffle partitions at runtime") {
+    // the runtime re-plan the 100 TB design leans on: 32 static shuffle
+    // partitions carrying a few KB collapse into few AQEShuffleRead
+    // partitions after execution — the final adaptive plan must show it
+    val df = Registry.byName("q01_pricing_summary").run(spark, dir)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("AQEShuffleRead"), finalPlan)
+    assert(finalPlan.contains("coalesced"), finalPlan)
+  }
+
   test("q71: NOT IN plans as a null-aware anti join, not a BNLJ") {
     // Spark's NAAJ (enableNullAwareAntiJoin) turns the three-valued
     // `NOT IN` anti condition `k = s OR isnull(k = s)` into a broadcast

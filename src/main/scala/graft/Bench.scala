@@ -77,10 +77,11 @@ object Bench {
       // the hive-partitioned orders layout q55/q56 prune against —
       // like bucketing, a write-once ingest decision, so untimed
       Tables.datePartitioned(spark, sfDir)
-      // the CSV/JSON/ORC event copies q57 scans
+      // the CSV/JSON/ORC/XML event copies q57 scans
       Tables.codecEvents(spark, sfDir, "csv")
       Tables.codecEvents(spark, sfDir, "json")
       Tables.codecEvents(spark, sfDir, "orc")
+      Tables.codecEvents(spark, sfDir, "xml")
       true
     } catch { case e: Throwable =>
       System.err.println(s"[bench] bucketed ingest failed: ${e.getMessage}")

@@ -125,7 +125,7 @@ object Tables {
     spark.read.parquet(loc.toString)
   }
 
-  /** CSV / JSON / ORC copy of the events table (sans ts/props — the
+  /** CSV / JSON / ORC / XML copy of the events table (sans ts/props — the
     * four columns whose text round-trip is exact: longs, strings
     * without delimiters, and doubles, which Java renders
     * shortest-round-trip; ORC is binary-typed, so its round-trip is
@@ -135,25 +135,33 @@ object Tables {
     * schema — schema inference over text at 100 TB is a full extra
     * pass and an availability hazard, so production text scans always
     * pin their schema (for ORC the schema is in the footer, but
-    * pinning it keeps the reader contract uniform). Backs q57, which
-    * upgrades the §2.B "CSV/JSON aux scans" row from test-asserted to
-    * oracle-gated. */
+    * pinning it keeps the reader contract uniform). XML is Spark 4's
+    * built-in datasource (the spark-xml package upstreamed) and needs
+    * a rowTag on both sides — one <event> element per row. Backs q57,
+    * which upgrades the §2.B "CSV/JSON aux scans" row from
+    * test-asserted to oracle-gated. */
   def codecEvents(spark: SparkSession, dir: String, codec: String): DataFrame = synchronized {
-    require(codec == "csv" || codec == "json" || codec == "orc", codec)
+    require(
+      codec == "csv" || codec == "json" || codec == "orc" || codec == "xml",
+      codec)
     val slug = s"events_${codec}_" + dir.replaceAll("[^A-Za-z0-9]", "_")
     val loc = new java.io.File(
       spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), slug)
     if (!new java.io.File(loc, "_SUCCESS").exists()) {
       val t0 = System.nanoTime()
-      load(spark, dir, "events")
+      val w = load(spark, dir, "events")
         .select("event_id", "user_id", "event_type", "value")
-        .write.mode("overwrite").format(codec).save(loc.toString)
+        .write.mode("overwrite").format(codec)
+      (if (codec == "xml") w.option("rowTag", "event") else w)
+        .save(loc.toString)
       System.err.println(
         f"[tables] wrote $slug in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
-    spark.read
+    val r = spark.read
       .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE")
-      .format(codec).load(loc.toString)
+      .format(codec)
+    (if (codec == "xml") r.option("rowTag", "event") else r)
+      .load(loc.toString)
   }
 
   /** Tiny year→era dimension, materialized ONCE as parquet (the

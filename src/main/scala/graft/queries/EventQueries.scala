@@ -324,6 +324,7 @@ object EventQueries {
           .select(lit(codec).as("codec"), $"event_type",
             $"n_events", $"total_value")
       one("csv").unionAll(one("json")).unionAll(one("orc"))
+        .unionAll(one("xml"))
         .orderBy($"codec", $"event_type")
     },
     Some("""WITH a AS (
@@ -335,6 +336,8 @@ object EventQueries {
       SELECT 'json' AS codec, event_type, n_events, total_value FROM a
       UNION ALL
       SELECT 'orc' AS codec, event_type, n_events, total_value FROM a
+      UNION ALL
+      SELECT 'xml' AS codec, event_type, n_events, total_value FROM a
       ORDER BY 1, 2"""))
 
   // ---------------------------------------------------------------- Q58

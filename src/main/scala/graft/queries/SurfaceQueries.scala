@@ -509,8 +509,62 @@ object SurfaceQueries {
         MAX(CAST(json(props) AS VARCHAR)) AS max_json
       FROM events GROUP BY 1 ORDER BY 1"""))
 
+  // ---------------------------------------------------------------- q85
+  // RECURSIVE CTE (Spark 4's WITH RECURSIVE → UnionLoop/UnionLoopExec),
+  // the engine-native iteration surface next to q39's hand-rolled
+  // checkpointed label propagation and q64's closed-form sequence()
+  // spine. The hierarchy is the implicit binary tree over s_suppkey
+  // (parent(k) = k DIV 2, root 0, guard k > 0 against the 0→0
+  // self-loop) — every supplier is reachable, the recursion depth is
+  // ⌈log2(n)⌉ (7 levels at 100 suppliers, ~24 at 10M — each iteration
+  // joins only the PREVIOUS level's rows against the supplier scan, so
+  // the loop does bounded work per level at any scale, unlike a
+  // transitive closure whose frontier is O(n²)). Depth table then
+  // left-joins per-supplier revenue; output one row per depth. Exact
+  // decimals throughout, one terminal cast to DOUBLE (repo policy).
+  // DuckDB writes integer floor-division as `//`, Spark as `DIV` —
+  // same function on non-negative keys.
+  private val q85 = QueryDef(
+    "q85_recursive_tree",
+    (s, dir) => {
+      Tables.load(s, dir, "supplier").createOrReplaceTempView("supplier_q85")
+      Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem_q85")
+      s.sql("""WITH RECURSIVE tree(skey, depth) AS (
+          SELECT s_suppkey, CAST(0 AS BIGINT) FROM supplier_q85
+          WHERE s_suppkey = 0
+          UNION ALL
+          SELECT s.s_suppkey, t.depth + 1
+          FROM supplier_q85 s JOIN tree t ON s.s_suppkey DIV 2 = t.skey
+          WHERE s.s_suppkey > 0),
+        rev AS (
+          SELECT l_suppkey, SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+            (1 - CAST(l_discount AS DECIMAL(18,4)))) AS r
+          FROM lineitem_q85 GROUP BY 1)
+        SELECT t.depth, COUNT(*) AS n_suppliers,
+          CAST(CAST(SUM(COALESCE(rev.r, 0)) AS DECIMAL(18,4)) AS DOUBLE)
+            AS total_revenue
+        FROM tree t LEFT JOIN rev ON rev.l_suppkey = t.skey
+        GROUP BY t.depth ORDER BY t.depth""")
+    },
+    Some("""WITH RECURSIVE tree(skey, depth) AS (
+        SELECT s_suppkey, CAST(0 AS BIGINT) FROM supplier
+        WHERE s_suppkey = 0
+        UNION ALL
+        SELECT s.s_suppkey, t.depth + 1
+        FROM supplier s JOIN tree t ON s.s_suppkey // 2 = t.skey
+        WHERE s.s_suppkey > 0),
+      rev AS (
+        SELECT l_suppkey, SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+          (1 - CAST(l_discount AS DECIMAL(18,4)))) AS r
+        FROM lineitem GROUP BY 1)
+      SELECT t.depth, COUNT(*) AS n_suppliers,
+        CAST(CAST(SUM(COALESCE(rev.r, 0)) AS DECIMAL(18,4)) AS DOUBLE)
+          AS total_revenue
+      FROM tree t LEFT JOIN rev ON rev.l_suppkey = t.skey
+      GROUP BY t.depth ORDER BY t.depth"""))
+
   val all: Seq[QueryDef] =
     Seq(q70, q71, q72, q73, q74, q75, q76, q77, q78, q80, q81, q82, q83,
-      q84)
+      q84, q85)
 }
 

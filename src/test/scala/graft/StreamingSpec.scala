@@ -312,6 +312,49 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("S15: the state-store READER exposes S14's ValueState from its checkpoint") {
+    // The ops side of long-lived streaming state: statestore is Spark's
+    // batch DSv2 reader over a streaming checkpoint — the only way to
+    // inspect, audit, or bulk-repair 100 TB of accumulated state
+    // without replaying the stream. Reads S14's RocksDB-backed
+    // transformWithState checkpoint (stateVarName picks the typed
+    // ValueState cell) and must reproduce the batch twin exactly.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import spark.implicits._
+      val ck = Files.createTempDirectory("graft-s15-ck").toString
+      val stream = readReplayStream(spark, replayDir)
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+        .as[Event]
+      val q = withStatePartitions(spark, 8) {
+        StreamingJobs.runningTotals(stream).toDF()
+          .writeStream.format("memory").queryName("s15_totals")
+          .option("checkpointLocation", ck)
+          .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      }
+      q.awaitTermination()
+      val state = spark.read.format("statestore")
+        .option("stateVarName", "tot")
+        .load(ck)
+      val got = state.select($"value.user_id".as("user_id"),
+        $"value.n_events".as("n"), $"value.sum_micro".as("s"))
+      val twin = spark.read.parquet(replayDir)
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(floor(value * 1000000) AS BIGINT)")).as("s"))
+      assert(canon(got) === canon(twin))
+      // the reader's key column is the grouping key itself
+      assert(canon(state.select($"key.value")) ===
+        canon(twin.select($"user_id")))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("S13: foreachBatch change-log sink is multi-batch and replay-idempotent") {
     val sf = TestSpark.sf0001
     val replay = StreamingJobs.replayDirMulti(spark, sf)

@@ -575,8 +575,46 @@ object SurfaceQueries {
       FROM tree t LEFT JOIN rev ON rev.l_suppkey = t.skey
       GROUP BY t.depth ORDER BY t.depth"""))
 
+  // ---------------------------------------------------------------- q86
+  // NULL-SAFE equality join (<=> / IS NOT DISTINCT FROM). Unlike the
+  // q71 NOT-IN row (three-valued logic making NULL poison an anti
+  // join), <=> treats NULL as a VALUE — NULL keys match each other —
+  // and, critically for scale, EqualNullSafe is still an EQUI-join
+  // key: Catalyst hashes it like any other key (broadcast/SMJ/SHJ all
+  // apply; plan-asserted no BNLJ in PlanShapeSpec). The OR-isnull
+  // rewrite a user would hand-write instead degrades to a nested-loop
+  // join — the difference between a shuffle and a cross product at
+  // 100 TB. Both sides bucket their keys with k % 7 = 0 mapped to
+  // NULL, so exactly one NULL group exists per side and must pair.
+  private val q86 = QueryDef(
+    "q86_null_safe_join",
+    (s, dir) => {
+      import s.implicits._
+      def bucketed(tbl: String, key: String, out: String) =
+        Tables.load(s, dir, tbl)
+          .select(when(col(key) % 7 === 0, lit(null))
+            .otherwise(col(key) % 7).as("bucket"))
+          .groupBy($"bucket").agg(count(lit(1)).as(out))
+      val o = bucketed("orders", "o_orderkey", "n_orders")
+      val c = bucketed("customer", "c_custkey", "n_customers")
+      o.join(c, o("bucket") <=> c("bucket"))
+        .select(o("bucket"), $"n_orders", $"n_customers")
+        .orderBy(o("bucket").asc_nulls_first)
+    },
+    Some("""WITH oa AS (
+        SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                    ELSE o_orderkey % 7 END AS bucket,
+          COUNT(*) AS n_orders FROM orders GROUP BY 1),
+      ca AS (
+        SELECT CASE WHEN c_custkey % 7 = 0 THEN NULL
+                    ELSE c_custkey % 7 END AS bucket,
+          COUNT(*) AS n_customers FROM customer GROUP BY 1)
+      SELECT oa.bucket, oa.n_orders, ca.n_customers
+      FROM oa JOIN ca ON oa.bucket IS NOT DISTINCT FROM ca.bucket
+      ORDER BY oa.bucket NULLS FIRST"""))
+
   val all: Seq[QueryDef] =
     Seq(q70, q71, q72, q73, q74, q75, q76, q77, q78, q80, q81, q82, q83,
-      q84, q85)
+      q84, q85, q86)
 }
 

@@ -102,6 +102,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q86: null-safe <=> stays a HASH join, never a nested loop") {
+    // EqualNullSafe is an equi-join key: Catalyst hashes it like any
+    // other key (NULL hashes to a bucket and matches NULL). The
+    // hand-written `a = b OR (a IS NULL AND b IS NULL)` equivalent is
+    // non-equi and would plan a BroadcastNestedLoopJoin — the
+    // difference between a shuffle and a cross product at 100 TB.
+    val p = plan("q86_null_safe_join")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q75: LATERAL ... LIMIT decorrelates to WindowGroupLimit") {
     // The correlated per-nation top-2 must compile to a partitioned
     // rank with group-limit pushdown (map-side top-k before the

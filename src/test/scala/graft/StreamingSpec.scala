@@ -188,6 +188,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(canon(streamed) === canon(batch))
   }
 
+  test("S16: dropDuplicatesWithinWatermark dedups without unbounded state") {
+    // S6's plain dropDuplicates keeps EVERY seen key forever — state
+    // grows with the stream, which does not survive 100 TB. The
+    // WithinWatermark variant (the production dedup) only guarantees
+    // dedup for duplicates arriving within the watermark delay and
+    // EVICTS keys once the watermark passes them, bounding state to
+    // the delay window. Duplicates here arrive in the same files, so
+    // a generous delay dedups exactly; the result must equal batch
+    // distinct-by-key counts.
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-replay-wmdup").toString
+    val base = spark.read.parquet(replayDir)
+    base.coalesce(1).write.mode("append").parquet(d)
+    base.coalesce(1).write.mode("append").parquet(d)
+    val deduped = readReplayStream(spark, d)
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy($"event_type").agg(count(lit(1)).as("n_events"))
+    val streamed = runToTable(deduped, "s16", "complete")
+    val batch = base
+      .dropDuplicates("event_id")
+      .groupBy($"event_type").agg(count(lit(1)).as("n_events"))
+    assert(canon(streamed) === canon(batch))
+  }
+
   test("S7: sliding windows — each event lands in 4 windows, equals batch") {
     val streamed = runToTable(
       slidingCounts(readReplayStream(spark, replayDir)), "s7", "complete")

@@ -613,8 +613,44 @@ object SurfaceQueries {
       FROM oa JOIN ca ON oa.bucket IS NOT DISTINCT FROM ca.bucket
       ORDER BY oa.bucket NULLS FIRST"""))
 
+  // ---------------------------------------------------------------- q87
+  // STRING COLLATION (Spark 4's collated string types): grouping under
+  // UTF8_LCASE, where 'EN' and 'en' are THE SAME KEY — the engine-level
+  // answer to case-insensitive analytics, replacing the lower()-
+  // everywhere convention (and at scale, replacing it cheaply: the
+  // collation is part of the type, so every comparison/hash/sort
+  // downstream is collation-aware without per-row rewrites). Mixed case
+  // is planted deterministically (even doc_ids upper-case their lang),
+  // the group key is the collated column, and the emitted key is
+  // lower(min(...)) — all members of a collated group are equal under
+  // the comparator, so lower() of any representative is deterministic.
+  // The oracle is the lower()-convention twin, which is exactly
+  // equivalent for the ASCII lang codes in the corpus.
+  private val q87 = QueryDef(
+    "q87_collated_group",
+    (s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(
+          when($"doc_id" % 2 === 0, upper($"lang")).otherwise($"lang")
+            .as("lang_mixed"),
+          $"n_chars")
+        .groupBy(expr("collate(lang_mixed, 'UTF8_LCASE')").as("k"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("total_chars"),
+          lower(min($"lang_mixed")).as("lang"))
+        .select($"lang", $"n_docs", $"total_chars")
+        .orderBy($"lang")
+    },
+    Some("""WITH m AS (
+        SELECT CASE WHEN doc_id % 2 = 0 THEN UPPER(lang) ELSE lang END
+          AS lang_mixed, n_chars FROM documents)
+      SELECT LOWER(lang_mixed) AS lang, COUNT(*) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM m GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QueryDef] =
     Seq(q70, q71, q72, q73, q74, q75, q76, q77, q78, q80, q81, q82, q83,
-      q84, q85, q86)
+      q84, q85, q86, q87)
 }
 

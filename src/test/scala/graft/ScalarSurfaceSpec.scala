@@ -228,4 +228,53 @@ class ScalarSurfaceSpec extends AnyFunSuite {
     val b = fromJson.agg(sum("value"), sum("event_id")).collect().head
     assert(a.getLong(1) === b.getLong(1))
   }
+
+  test("parameterized SQL: named/positional markers and IDENTIFIER()") {
+    // The injection-safe SQL entry path — parameters bind as typed
+    // literals, never string-spliced; IDENTIFIER() binds a VALUE as a
+    // table/column NAME (the safe form of dynamic table dispatch a
+    // multi-tenant 100 TB warehouse needs). Untrusted input through
+    // these markers cannot change query structure.
+    val named = spark.sql("SELECT :lo + :hi AS v",
+      Map[String, Any]("lo" -> 40, "hi" -> 2))
+    assert(named.head.getInt(0) === 42)
+    val pos = spark.sql("SELECT ? * ? AS v", Array[Any](6, 7))
+    assert(pos.head.getInt(0) === 42)
+
+    Tables.load(spark, TestSpark.sf0001, "orders")
+      .createOrReplaceTempView("param_orders_v")
+    val viaIdent = spark.sql("SELECT COUNT(*) AS n FROM IDENTIFIER(:t)",
+      Map[String, Any]("t" -> "param_orders_v"))
+    val direct = spark.table("param_orders_v").count()
+    assert(viaIdent.head.getLong(0) === direct)
+    // a parameter is a literal: it cannot smuggle in structure
+    val err = intercept[Exception] {
+      spark.sql("SELECT COUNT(*) AS n FROM IDENTIFIER(:t)",
+        Map[String, Any]("t" -> "param_orders_v WHERE 1=0")).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("identifier"))
+  }
+
+  test("TIMESTAMP_NTZ: wall-clock type is timezone-shift invariant") {
+    // TIMESTAMP (ltz) stores an instant — its wall-clock reading moves
+    // with the session timezone; TIMESTAMP_NTZ stores the wall clock
+    // itself. Event-time analytics over sources that log local wall
+    // time need NTZ to survive a session-timezone change bit-identically.
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      val utc = spark.sql(
+        """SELECT CAST(TIMESTAMP_NTZ'2024-03-10 12:00:00' AS STRING) AS ntz,
+                  CAST(TIMESTAMP'2024-03-10 12:00:00' AS STRING) AS ltz""")
+        .head
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val ny = spark.sql(
+        """SELECT CAST(TIMESTAMP_NTZ'2024-03-10 12:00:00' AS STRING) AS ntz,
+                  CAST(TIMESTAMP'2024-03-10 12:00:00' AS STRING) AS ltz""")
+        .head
+      assert(utc.getString(0) === ny.getString(0)) // NTZ: same wall clock
+      assert(spark.sql("SELECT typeof(TIMESTAMP_NTZ'2024-01-01 00:00:00')")
+        .head.getString(0) === "timestamp_ntz")
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
 }

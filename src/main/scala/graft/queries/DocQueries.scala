@@ -1354,7 +1354,38 @@ object DocQueries {
       WHERE levenshtein(substr(a.text, 1, 60), substr(b.text, 1, 60)) <= 4
       ORDER BY id1, id2"""))
 
+  // ---------------------------------------------------------------- q88
+  // Deterministic k-PER-STRATUM sampling (the eval-set builder): the
+  // top-5 docs per lang ranked by md5(doc_id) — a seedless, replayable
+  // uniform sample (md5 is a fixed random permutation of ids; "first k
+  // in md5 order" is a uniform k-subset, and the SAME subset on every
+  // engine and every rerun, which rand(seed) cannot promise across
+  // partitionings). Scale shape: row_number ≤ k over (lang) gets the
+  // q75 WindowGroupLimit treatment — each map task keeps its local
+  // top-k BEFORE the shuffle, so the exchange carries O(k·strata)
+  // rows, not the corpus. q54 is the Bernoulli-rate twin (split by
+  // hash range); q88 is exact-k.
+  private val q88 = QueryDef(
+    "q88_stratified_sample",
+    (s, dir) => {
+      import s.implicits._
+      val ranked = Tables.load(s, dir, "documents")
+        .select($"lang", $"doc_id",
+          md5($"doc_id".cast(StringType).cast(BinaryType)).as("h"))
+        .withColumn("pick",
+          row_number().over(Window.partitionBy($"lang").orderBy($"h")))
+        .filter($"pick" <= 5)
+      ranked.select($"lang", $"pick".cast(LongType).as("pick"), $"doc_id")
+        .orderBy($"lang", $"pick")
+    },
+    Some("""SELECT lang, CAST(pick AS BIGINT) AS pick, doc_id FROM (
+        SELECT lang, doc_id,
+          ROW_NUMBER() OVER (PARTITION BY lang
+            ORDER BY md5(CAST(doc_id AS VARCHAR))) AS pick
+        FROM documents) WHERE pick <= 5
+      ORDER BY lang, pick"""))
+
   val all: Seq[QueryDef] =
     Seq(q22, q23, q25, q26, q27, q28, q29, q32, q39, q42, q45, q46, q47,
-      q50, q51, q52, q53, q54, q59, q60, q65)
+      q50, q51, q52, q53, q54, q59, q60, q65, q88)
 }

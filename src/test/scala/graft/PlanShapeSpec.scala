@@ -102,6 +102,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q88: stratified top-k sample gets WindowGroupLimit pushdown") {
+    // The map side must keep only its local top-5-per-lang before the
+    // shuffle — the exchange carries O(k x strata) rows, not the corpus.
+    val p = plan("q88_stratified_sample")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q86: null-safe <=> stays a HASH join, never a nested loop") {
     // EqualNullSafe is an equi-join key: Catalyst hashes it like any
     // other key (NULL hashes to a bucket and matches NULL). The

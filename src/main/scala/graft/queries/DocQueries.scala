@@ -1385,7 +1385,44 @@ object DocQueries {
         FROM documents) WHERE pick <= 5
       ORDER BY lang, pick"""))
 
+  // ---------------------------------------------------------------- q89
+  // BPE-style PAIR STATISTICS (the tokenizer-training primitive): the
+  // top-20 adjacent character pairs over whitespace tokens of the 'en'
+  // slice — exactly the count a byte-pair-encoding trainer computes
+  // before each merge. Shape at scale: the per-word pair explode is
+  // MAP-ONLY (transform over sequence, no shuffle), and the pair
+  // aggregate's key domain is bounded by alphabet² regardless of corpus
+  // size, so partial aggregation collapses the shuffle to O(|Σ|²) rows
+  // per task — the full BPE trainer iterates this exact dataflow,
+  // re-counting after each merge. Both engines split on single spaces
+  // (empty tokens die at length >= 2); top-20 is totally ordered by
+  // (n DESC, pair).
+  private val q89 = QueryDef(
+    "q89_bpe_pairs",
+    (s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .filter($"lang" === "en")
+        .select(explode(split(lower($"text"), " ")).as("w"))
+        .filter(length($"w") >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"))
+        .groupBy($"pair").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"pair")
+        .limit(20)
+    },
+    Some("""WITH words AS (
+        SELECT unnest(string_split(lower(text), ' ')) AS w
+        FROM documents WHERE lang = 'en'),
+      pairs AS (
+        SELECT unnest([substr(w, g, 2) for g in range(1, length(w))])
+          AS pair
+        FROM words WHERE length(w) >= 2)
+      SELECT pair, COUNT(*) AS n FROM pairs
+      GROUP BY 1 ORDER BY n DESC, pair LIMIT 20"""))
+
   val all: Seq[QueryDef] =
     Seq(q22, q23, q25, q26, q27, q28, q29, q32, q39, q42, q45, q46, q47,
-      q50, q51, q52, q53, q54, q59, q60, q65, q88)
+      q50, q51, q52, q53, q54, q59, q60, q65, q88, q89)
 }

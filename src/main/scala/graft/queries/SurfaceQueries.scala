@@ -649,8 +649,44 @@ object SurfaceQueries {
         CAST(SUM(n_chars) AS BIGINT) AS total_chars
       FROM m GROUP BY 1 ORDER BY 1"""))
 
+  // ---------------------------------------------------------------- q90
+  // SQL PIPE SYNTAX (|>) + a SQL-defined UDF, Spark 4.1's two newest
+  // SQL entry surfaces in one gated query. The |> chain (WHERE →
+  // AGGREGATE → SELECT → ORDER BY) parses to exactly the same logical
+  // plan as the nested form — pipe syntax is parser sugar, so every
+  // Catalyst optimization applies unchanged. The money arithmetic
+  // lives in a CREATE TEMPORARY FUNCTION ... RETURN expression: SQL
+  // UDFs are MACRO-INLINED at analysis time (plan-asserted: no
+  // ScalaUDF / BatchEvalPython anywhere), which is the scale answer
+  // to shared business logic — unlike a JVM/Python UDF, an inlined
+  // SQL UDF keeps codegen, pushdown and decimal exactness intact.
+  // The oracle is the equivalent nested ANSI SQL.
+  private val q90 = QueryDef(
+    "q90_pipe_sql",
+    (s, dir) => {
+      Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem_q90")
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_disc_price(
+          p DOUBLE, d DOUBLE) RETURNS DECIMAL(38, 8)
+        RETURN CAST(p AS DECIMAL(18,4)) * (1 - CAST(d AS DECIMAL(18,4)))""")
+      s.sql("""FROM lineitem_q90
+        |> WHERE l_shipdate <= '1998-09-01'
+        |> AGGREGATE SUM(graft_disc_price(l_extendedprice, l_discount))
+             AS rev_dec, COUNT(*) AS n_items GROUP BY l_returnflag
+        |> SELECT l_returnflag,
+             CAST(CAST(rev_dec AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+             n_items
+        |> ORDER BY l_returnflag""")
+    },
+    Some("""SELECT l_returnflag,
+        CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+          (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,4))
+          AS DOUBLE) AS revenue,
+        COUNT(*) AS n_items
+      FROM lineitem WHERE l_shipdate <= '1998-09-01'
+      GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   val all: Seq[QueryDef] =
     Seq(q70, q71, q72, q73, q74, q75, q76, q77, q78, q80, q81, q82, q83,
-      q84, q85, q86, q87)
+      q84, q85, q86, q87, q90)
 }
 

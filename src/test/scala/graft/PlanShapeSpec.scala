@@ -109,6 +109,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q90: SQL UDF is macro-inlined - no ScalaUDF survives to the plan") {
+    // CREATE FUNCTION ... RETURN <expr> must inline at analysis time:
+    // the physical plan carries the decimal arithmetic directly (full
+    // codegen + exactness), never an opaque UDF call.
+    val p = plan("q90_pipe_sql")
+    assert(!p.contains("ScalaUDF"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("q86: null-safe <=> stays a HASH join, never a nested loop") {
     // EqualNullSafe is an equi-join key: Catalyst hashes it like any
     // other key (NULL hashes to a bucket and matches NULL). The

@@ -35,7 +35,14 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // is partition-dependent until array_sort pins it), log-free tfidf
     // ranking, array HOF folds over collect_list, custom DSv2 source
     "q72_string_agg", "q74_tfidf_top_terms", "q81_array_hof",
-    "q70_range_source")
+    "q70_range_source",
+    // round-7 wave: recursive CTE (per-level frontier must not depend
+    // on partitioning), null-safe join (NULL bucket hashes once per
+    // side), collated grouping (collation-aware hash), stratified
+    // md5-ranked sample (WindowGroupLimit local top-k must commute
+    // with partitioning), BPE pair counts, pipe-syntax SQL UDF path
+    "q85_recursive_tree", "q86_null_safe_join", "q87_collated_group",
+    "q88_stratified_sample", "q89_bpe_pairs", "q90_pipe_sql")
 
   private def canonical(name: String): Seq[String] = {
     val df = Registry.byName(name).run(spark, dir)

@@ -685,8 +685,37 @@ object SurfaceQueries {
       FROM lineitem WHERE l_shipdate <= '1998-09-01'
       GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  // ---------------------------------------------------------------- q91
+  // Native LISTAGG ... WITHIN GROUP (Spark 4.1) — the engine-native
+  // upgrade of q72, which pinned ordered string aggregation through
+  // the array_sort(collect_set(...)) composite because no aggregate
+  // accepted an intra-group ORDER BY. WITHIN GROUP makes the
+  // order-sensitivity EXPLICIT in the operator (the only aggregate
+  // family whose value depends on element order); DISTINCT bounds the
+  // group payload by the segment domain, so the aggregate stays
+  // mergeable and bounded at any customer count — the same bounded-
+  // payload rule q72 documents for 100 TB.
+  private val q91 = QueryDef(
+    "q91_listagg",
+    (s, dir) => {
+      Tables.load(s, dir, "customer").createOrReplaceTempView("customer_q91")
+      Tables.load(s, dir, "nation").createOrReplaceTempView("nation_q91")
+      s.sql("""SELECT n_name,
+          listagg(DISTINCT c_mktsegment, ',')
+            WITHIN GROUP (ORDER BY c_mktsegment) AS segments,
+          COUNT(*) AS n_customers
+        FROM customer_q91 JOIN nation_q91 ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name""")
+    },
+    Some("""SELECT n_name,
+        string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment)
+          AS segments,
+        COUNT(*) AS n_customers
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY n_name"""))
+
   val all: Seq[QueryDef] =
     Seq(q70, q71, q72, q73, q74, q75, q76, q77, q78, q80, q81, q82, q83,
-      q84, q85, q86, q87, q90)
+      q84, q85, q86, q87, q90, q91)
 }
 

@@ -56,6 +56,25 @@ class SketchSurfaceSpec extends AnyFunSuite {
     assert(sketches.length > 1)
   }
 
+  test("approx_top_k surfaces the true heavy hitter first on skewed data") {
+    // The built-in sketch sibling of graft's Misra-Gries mg_sketch
+    // (q59, exact-verified): on a column where one value dominates,
+    // the dominant item must lead the estimate and its count must be
+    // exact-or-under by at most the sketch error (here: small enough
+    // domain that counts are exact).
+    import spark.implicits._
+    val docs = Tables.load(spark, TestSpark.sf0001, "documents")
+    val top = docs.selectExpr("approx_top_k(lang, 3) AS t")
+      .selectExpr("explode(t) AS e").selectExpr("e.item", "e.count")
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val exact = docs.groupBy($"lang").count()
+      .orderBy(col("count").desc, $"lang")
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(top.head._1 === exact.head._1)
+    val exactByLang = exact.toMap
+    assert(top.forall { case (k, v) => exactByLang(k) === v })
+  }
+
   test("binaryFile reads multimodal blobs back byte-identical with metadata") {
     val dir = java.nio.file.Files.createTempDirectory("graft-blobs")
     val payloads = Map(

@@ -714,8 +714,76 @@ object SurfaceQueries {
       FROM customer JOIN nation ON c_nationkey = n_nationkey
       GROUP BY n_name ORDER BY n_name"""))
 
+  // ---------------------------------------------------------------- q92
+  // Linear-REGRESSION aggregates (the regr_*/corr statistical family)
+  // in the scale-safe EXACT form: slope and intercept per return flag
+  // from the five exact decimal co-moment sums (n, Σx, Σy, Σxy, Σx²) —
+  // each a mergeable partial a 100 TB two-phase aggregate combines
+  // associatively — then ONE correctly-rounded IEEE division per
+  // output (the repo float policy). Native regr_slope/corr stream
+  // doubles through an order-dependent co-moment update, so their
+  // last-ulp value depends on partitioning — fine for analysis,
+  // unusable for a bit-exact gate; RegressionParitySpec pins the
+  // native forms to this composite within 1e-9 relative. The final
+  // arithmetic runs in DOUBLE over an IDENTICAL op tree in both
+  // engines: each co-moment sum is first rescaled to a decimal whose
+  // scaled integer fits the 53-bit mantissa (so decimal→double is ONE
+  // correct rounding in both engines — the q13/q16 policy), then
+  //   slope = (n·Σxy − Σx·Σy) / (n·Σx² − Σx·Σx)
+  //   intercept = (Σy·Σx² − Σx·Σxy) / (same denominator)
+  // in IEEE ops, which are correctly rounded and therefore
+  // bit-identical given identical inputs and tree shape. (A pure
+  // wide-decimal form drifts instead: the sy·sxx-class products
+  // overflow DECIMAL(38) and the engines round the overflow
+  // differently — measured 1 ulp on intercept.)
+  private val q92 = QueryDef(
+    "q92_regression",
+    (s, dir) => {
+      Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem_q92")
+      s.sql("""WITH m AS (
+          SELECT l_returnflag,
+            COUNT(*) AS n,
+            SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sx,
+            SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS sy,
+            SUM(CAST(l_quantity AS DECIMAL(18,4)) *
+                CAST(l_extendedprice AS DECIMAL(18,4))) AS sxy,
+            SUM(CAST(l_quantity AS DECIMAL(18,4)) *
+                CAST(l_quantity AS DECIMAL(18,4))) AS sxx
+          FROM lineitem_q92 GROUP BY 1)
+        SELECT l_returnflag, n,
+          (CAST(n AS DOUBLE) * CAST(CAST(sxy AS DECIMAL(38,2)) AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+          (CAST(n AS DOUBLE) * CAST(CAST(sxx AS DECIMAL(38,2)) AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+          (CAST(sy AS DOUBLE) * CAST(CAST(sxx AS DECIMAL(38,2)) AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(CAST(sxy AS DECIMAL(38,2)) AS DOUBLE)) /
+          (CAST(n AS DOUBLE) * CAST(CAST(sxx AS DECIMAL(38,2)) AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS intercept
+        FROM m ORDER BY l_returnflag""")
+    },
+    Some("""WITH m AS (
+        SELECT l_returnflag,
+          COUNT(*) AS n,
+          SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sx,
+          SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS sy,
+          SUM(CAST(l_quantity AS DECIMAL(18,4)) *
+              CAST(l_extendedprice AS DECIMAL(18,4))) AS sxy,
+          SUM(CAST(l_quantity AS DECIMAL(18,4)) *
+              CAST(l_quantity AS DECIMAL(18,4))) AS sxx
+        FROM lineitem GROUP BY 1)
+      SELECT l_returnflag, n,
+        (CAST(n AS DOUBLE) * CAST(CAST(sxy AS DECIMAL(38,2)) AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        (CAST(n AS DOUBLE) * CAST(CAST(sxx AS DECIMAL(38,2)) AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+        (CAST(sy AS DOUBLE) * CAST(CAST(sxx AS DECIMAL(38,2)) AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(CAST(sxy AS DECIMAL(38,2)) AS DOUBLE)) /
+        (CAST(n AS DOUBLE) * CAST(CAST(sxx AS DECIMAL(38,2)) AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS intercept
+      FROM m ORDER BY l_returnflag"""))
+
   val all: Seq[QueryDef] =
     Seq(q70, q71, q72, q73, q74, q75, q76, q77, q78, q80, q81, q82, q83,
-      q84, q85, q86, q87, q90, q91)
+      q84, q85, q86, q87, q90, q91, q92)
 }
 

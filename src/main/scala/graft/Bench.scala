@@ -41,6 +41,42 @@ object Bench {
   private val Passes =
     sys.env.get("GRAFT_BENCH_REPS").map(_.toInt).getOrElse(3)
 
+  /** Per-query (median, min, max, reps_ok) over SUCCESSFUL passes only —
+    * a query is dropped (→ "failed") only when EVERY pass threw. Pulled
+    * out of main() so the induced-failure spec can pin the aggregation
+    * (round-6 verdict item 7). */
+  def summarize(
+      names: Seq[String],
+      times: scala.collection.Map[String, Vector[Double]])
+      : Seq[(String, Double, Double, Double, Int)] =
+    names.flatMap { name =>
+      val ts = times.getOrElse(name, Vector.empty).sorted
+      if (ts.isEmpty) None
+      else Some((name, ts(ts.size / 2), ts.head, ts.last, ts.size))
+    }
+
+  /** name -> compact stdout key. Short keys are qNN tokens (+initials
+    * where the token repeats); nothing ENFORCED collision-freedom until
+    * round 6's advice, so: any collision falls back to FULL names for
+    * every query — a longer-but-parseable line beats silently duplicate
+    * JSON keys. */
+  def shortKeys(names: Seq[String]): Map[String, String] = {
+    val tokenCounts =
+      names.groupBy(_.split("_")(0)).map { case (t, ns) => t -> ns.size }
+    def sk(n: String): String = {
+      val parts = n.split("_")
+      if (tokenCounts.getOrElse(parts(0), 0) <= 1) parts(0)
+      else parts(0) + "_" + parts.drop(1).map(_.head).mkString
+    }
+    val m = names.map(n => n -> sk(n)).toMap
+    if (m.values.toSeq.distinct.size == names.distinct.size) m
+    else {
+      System.err.println(
+        "[bench] WARNING short-key collision — using full names")
+      names.map(n => n -> n).toMap
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local("graft-bench")
@@ -133,10 +169,7 @@ object Bench {
         }
       }
     }
-    val good = names.filter(times(_).nonEmpty).map { name =>
-      val ts = times(name).sorted
-      (name, ts(ts.size / 2), ts.head, ts.last, ts.size)
-    }
+    val good = summarize(names, times)
     val qs = good.map { case (k, med, _, _, _) => "\"" + k + "\":" + f"$med%.3f" }
       .mkString("{", ",", "}")
     // SHORT-KEY twin for the compact stdout line: at 92 queries even a
@@ -145,17 +178,12 @@ object Bench {
     // query's leading qNN/qNNx token ("q15_distinct_parts" -> "q15");
     // where two names share a token (q15/q18 pairs) the key is
     // token + "_" + initials of the remaining words ("q15_dp" /
-    // "q15_dpa", "q18_ve" / "q18_vi") — deterministic and collision-
-    // free. The short->full mapping is self-describing: the FULL json
-    // (bench_out.json / stderr) carries it under "keymap", and
-    // BASELINE.md §3 lists both forms. 92 queries render to ~1.2 KB —
-    // headroom to ~150 queries.
-    val tokenCounts = names.groupBy(_.split("_")(0)).map { case (t, ns) => t -> ns.size }
-    def shortKey(n: String): String = {
-      val parts = n.split("_")
-      if (tokenCounts.getOrElse(parts(0), 0) <= 1) parts(0)
-      else parts(0) + "_" + parts.drop(1).map(_.head).mkString
-    }
+    // "q15_dpa", "q18_ve" / "q18_vi"). Uniqueness is ENFORCED by
+    // shortKeys (full-name fallback on collision). The short->full
+    // mapping is self-describing: the FULL json (bench_out.json /
+    // stderr) carries it under "keymap", and BASELINE.md §3 lists both
+    // forms. 92 queries render to ~1.2 KB — headroom to ~150 queries.
+    val shortKey = shortKeys(names)
     val qs2 = good.map { case (k, med, _, _, _) => "\"" + shortKey(k) + "\":" + f"$med%.2f" }
       .mkString("{", ",", "}")
     val keymap = good.map { case (k, _, _, _, _) => "\"" + shortKey(k) + "\":\"" + k + "\"" }

@@ -59,8 +59,12 @@ case class NGramsGen(text: Expression, n: Expression)
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val t = text.eval(input)
     if (t == null) return Iterator.empty
-    val words = t.asInstanceOf[UTF8String].toString
-      .toLowerCase.split(" ", -1)
+    // toLowerCase: UTF8String's own lowercasing, matching Spark's
+    // lower() — locale-independent (a JVM default Turkish locale would
+    // make String.toLowerCase map 'I' to dotless ı and diverge from
+    // both lower() and the DuckDB oracle).
+    val words = t.asInstanceOf[UTF8String].toLowerCase.toString
+      .split(" ", -1)
     if (words.length < k) return Iterator.empty
     (0 to words.length - k).iterator.map { i =>
       InternalRow(i + 1,
@@ -77,5 +81,11 @@ object NGramsGen {
   val descriptor: (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (
     new FunctionIdentifier("ngrams_gen"),
     new ExpressionInfo(classOf[NGramsGen].getName, "ngrams_gen"),
-    (children: Seq[Expression]) => NGramsGen(children(0), children(1)))
+    (children: Seq[Expression]) => {
+      // proper arity error instead of IndexOutOfBoundsException
+      require(children.size == 2,
+        s"ngrams_gen requires exactly 2 arguments (text, n); " +
+          s"got ${children.size}")
+      NGramsGen(children(0), children(1))
+    })
 }

@@ -896,8 +896,11 @@ object DocQueries {
         FROM documents),
       binned AS (
         SELECT source, doc_id, n_tok,
-          (SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
-             ROWS UNBOUNDED PRECEDING) - n_tok) // 2048 AS bin
+          -- CAST: DuckDB promotes integer window-SUM to HUGEINT (int128);
+          -- the driver's hasher distinguishes HUGEINT from Spark's BIGINT
+          -- even when every value is equal (r6 q47 hash fail).
+          CAST((SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS UNBOUNDED PRECEDING) - n_tok) // 2048 AS BIGINT) AS bin
         FROM per_doc)
       SELECT source, bin, COUNT(*) AS n_docs,
         CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,

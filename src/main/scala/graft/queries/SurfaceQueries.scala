@@ -20,7 +20,7 @@ object SurfaceQueries {
   // The custom DataSource V2 generator (sources/RangeSource) under the
   // oracle gate. The filter bounds are CONSUMED by the source: they
   // narrow per-reader ranges exactly and prune whole planned slices
-  // (RangeSourceSpec asserts 13 of 32 survive), so Spark re-evaluates
+  // (RangeSourceSpec asserts 14 of 32 survive), so Spark re-evaluates
   // nothing — the DSv2 contract that makes a 100 TB scan read only the
   // splits that can match. The oracle rebuilds the range relationally
   // with generate_series.
@@ -322,9 +322,9 @@ object SurfaceQueries {
         CAST(CAST(SUM(rev) OVER (ORDER BY dt
           RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
           AS DECIMAL(18,4)) AS DOUBLE) AS rev_7d,
-        SUM(n_lines) OVER (ORDER BY dt
+        CAST(SUM(n_lines) OVER (ORDER BY dt
           RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
-          AS lines_7d
+          AS BIGINT) AS lines_7d
       FROM daily ORDER BY d"""
 
   private val q78 = QueryDef(
@@ -358,7 +358,8 @@ object SurfaceQueries {
         .orderBy($"event_type")
     },
     Some("""SELECT event_type, COUNT(*) AS n_events,
-        SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+        CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+          AS sum_k,
         MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
         COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS rt_ok
       FROM events GROUP BY 1 ORDER BY 1"""))
@@ -441,8 +442,12 @@ object SurfaceQueries {
         COUNT(TRY_CAST(sn AS BIGINT)) AS n_parsed,
         CAST(SUM(TRY_CAST(sn AS BIGINT)) AS BIGINT) AS sum_parsed,
         COUNT(TRY_CAST(sd AS DATE)) AS n_dates,
-        SUM(CASE WHEN o_orderkey / denom IS NULL
-            THEN 1 ELSE 0 END) AS n_div_null,
+        -- NULLIF: DuckDB's '/' casts to DOUBLE and its /0 answer changed
+        -- across versions (NULL vs IEEE inf); NULLIF(denom,0) is NULL on
+        -- every version, matching try_divide. CAST: integer SUM promotes
+        -- to HUGEINT, which the driver's hasher treats as a distinct type.
+        CAST(SUM(CASE WHEN o_orderkey / NULLIF(denom, 0) IS NULL
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_div_null,
         COUNT(*) AS n
       FROM t GROUP BY 1 ORDER BY 1"""))
 

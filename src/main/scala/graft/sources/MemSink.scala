@@ -135,6 +135,12 @@ final class MemDataWriter(partitionId: Int, schema: StructType)
     buf += schema.fields.indices.map { i =>
       row.get(i, schema(i).dataType) match {
         case s: UTF8String => s.toString // externalize: rows are reused
+        // complex values are Unsafe* VIEWS into the reused row buffer —
+        // buffering the view would be silently corrupted by later rows;
+        // copy() materializes a self-contained value
+        case a: org.apache.spark.sql.catalyst.util.ArrayData => a.copy()
+        case m: org.apache.spark.sql.catalyst.util.MapData => m.copy()
+        case r: InternalRow => r.copy()
         case other => other
       }
     }

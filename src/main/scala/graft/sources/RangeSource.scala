@@ -98,19 +98,27 @@ final class RangeScanBuilder(
     case _ => None
   }
 
+  // v+1 saturated at Long.MaxValue: ids live in [start,end) with end a
+  // Long, so no id can ever equal Long.MaxValue and the saturated bound
+  // is exact — while a raw v+1 at the boundary wraps to Long.MinValue
+  // and silently turns `id <= MaxValue` (a tautology) into an empty scan.
+  private def incSat(v: Long): Long =
+    if (v == Long.MaxValue) Long.MaxValue else v + 1
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val residual = ArrayBuffer.empty[Filter]
     filters.foreach {
       case f @ GreaterThan("id", v) if long(v).isDefined =>
-        lo = math.max(lo, long(v).get + 1); accepted += f
+        lo = math.max(lo, incSat(long(v).get)); accepted += f
       case f @ GreaterThanOrEqual("id", v) if long(v).isDefined =>
         lo = math.max(lo, long(v).get); accepted += f
       case f @ LessThan("id", v) if long(v).isDefined =>
         hi = math.min(hi, long(v).get); accepted += f
       case f @ LessThanOrEqual("id", v) if long(v).isDefined =>
-        hi = math.min(hi, long(v).get + 1); accepted += f
+        hi = math.min(hi, incSat(long(v).get)); accepted += f
       case f @ EqualTo("id", v) if long(v).isDefined =>
-        lo = math.max(lo, long(v).get); hi = math.min(hi, long(v).get + 1)
+        lo = math.max(lo, long(v).get)
+        hi = math.min(hi, incSat(long(v).get))
         accepted += f
       case f @ IsNotNull("id") => accepted += f // id is never null
       case other => residual += other
@@ -143,10 +151,14 @@ final class RangeScanBuilder(
       agg.aggregateExpressions.forall {
         case _: CountStar => true
         case f => isId(f) &&
-          // sum must stay in Long range to be exact
-          (!f.isInstanceOf[Sum] ||
-            (BigInt(math.max(lo, 0)) + hi) * (hi - lo) / 2 <=
-              BigInt(Long.MaxValue))
+          // sum must stay in Long range to be exact — check BOTH bounds
+          // with the true closed form (a negative-start range can
+          // underflow Long.MinValue just as a positive one overflows)
+          (!f.isInstanceOf[Sum] || hi <= lo || {
+            val sum = (BigInt(lo) + BigInt(hi) - 1) *
+              (BigInt(hi) - BigInt(lo)) / 2
+            sum >= BigInt(Long.MinValue) && sum <= BigInt(Long.MaxValue)
+          })
       }
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =

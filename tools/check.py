@@ -52,6 +52,18 @@ def main():
             continue
         try:
             o_rel = con.sql(sql)
+            # The driver's hasher is type-sensitive in ways fetchall() hides:
+            # DuckDB promotes integer SUM / integer-op chains to HUGEINT
+            # (int128), which hashes differently from Spark's BIGINT even
+            # when every value is equal (round-6 q47/q78/q80/q82). Fail
+            # loudly here so new oracles never ship a HUGEINT column.
+            huge = [c for c, t in zip(o_rel.columns, o_rel.types)
+                    if "HUGEINT" in str(t).upper()]
+            if huge:
+                print(f"FAIL {name}: oracle emits HUGEINT column(s) {huge} "
+                      f"- wrap in CAST(... AS BIGINT)")
+                n_fail += 1
+                continue
             o_cols, o_rows = canon(o_rel.fetchall(), o_rel.columns)
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")

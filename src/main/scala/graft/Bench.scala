@@ -118,6 +118,9 @@ object Bench {
       Tables.codecEvents(spark, sfDir, "json")
       Tables.codecEvents(spark, sfDir, "orc")
       Tables.codecEvents(spark, sfDir, "xml")
+      // the standing MV q94 folds its delta into — a write-once
+      // ingest artifact like the layouts above
+      Tables.eventsDailyMv(spark, sfDir)
       true
     } catch { case e: Throwable =>
       System.err.println(s"[bench] bucketed ingest failed: ${e.getMessage}")

@@ -18,6 +18,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(WordShingles.descriptor)
     e.injectFunction(FreqSketch.descriptor)
     e.injectFunction(NGramsGen.descriptor)
+    // Real pure-JVM BMP codec kernels (multimodal pipeline, q31b).
+    e.injectFunction(graft.multimodal.BmpCodec.encodeDescriptor)
+    e.injectFunction(graft.multimodal.BmpCodec.decodeDescriptor)
     // Whole-operator exemplar (§7.3(c)): native backward as-of join.
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     // Optimizer-rule exemplar (§7.3(b)): custom nodes are pushdown

@@ -1247,9 +1247,60 @@ object CoreQueries {
         CAST(weekofyear(CAST(o_orderdate AS DATE)) AS BIGINT) AS iso_week
       FROM orders ORDER BY o_orderkey"""))
 
+  // ---------------------------------------------------------------- Q93
+  // CACHED-RESULT exemplar — the reference's NAMESAKE concept
+  // (ST7701Cached's persistent working-set cache, reference
+  // README.md:3-6; the A12 double-buffer swap that re-serves computed
+  // pixels instead of recomputing them,
+  // src/DoublePsramBuffer480x480.cpp:196-199) expressed Spark-first:
+  // a small hot summary (daily order totals, |distinct o_orderdate| ≈
+  // 2.4k rows at sf0.1 — catalog-sized at ANY fact scale) is
+  // `.persist()`ed and then read by TWO independent consumers in one
+  // plan — the per-year rollup and the global total the shares divide
+  // by. Without the cache the orders scan + daily aggregation runs
+  // twice; with it, both consumers read InMemoryTableScan
+  // (plan-asserted in PlanShapeSpec, SQL `CACHE TABLE` twin in
+  // CacheSpec). At 100 TB this is THE pattern for shared subplans whose
+  // output is small: cache the reduced summary, never raw scans. The
+  // one-row global total broadcasts (the q74 scalar-fanout shape).
+  private val q93 = QueryDef(
+    "q93_cached_share",
+    (s, dir) => {
+      import s.implicits._
+      val daily = t(s, dir, "orders")
+        .groupBy($"o_orderdate")
+        .agg(count(lit(1)).as("n_daily"),
+          sum(dec($"o_totalprice")).as("rev"))
+        .persist()
+      val yearly = daily
+        .groupBy(year($"o_orderdate").cast(LongType).as("o_year"))
+        .agg(sum($"n_daily").as("n_orders"), sum($"rev").as("rev_y"))
+      val global = daily.agg(sum($"rev").as("rev_g"))
+      yearly.join(broadcast(global))
+        .select($"o_year", $"n_orders",
+          dbl($"rev_y".cast(Dec4)).as("rev_year"),
+          (dbl($"rev_y".cast(Dec4)) / dbl($"rev_g".cast(Dec4)))
+            .as("share"))
+        .orderBy($"o_year")
+    },
+    Some("""WITH daily AS (
+        SELECT o_orderdate, COUNT(*) AS n_daily,
+          SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+        FROM orders GROUP BY 1),
+      yearly AS (
+        SELECT year(o_orderdate) AS o_year,
+          CAST(SUM(n_daily) AS BIGINT) AS n_orders, SUM(rev) AS rev_y
+        FROM daily GROUP BY 1),
+      g AS (SELECT SUM(rev) AS rev_g FROM daily)
+      SELECT y.o_year, y.n_orders,
+        CAST(CAST(y.rev_y AS DECIMAL(18,4)) AS DOUBLE) AS rev_year,
+        CAST(CAST(y.rev_y AS DECIMAL(18,4)) AS DOUBLE) /
+          CAST(CAST(g.rev_g AS DECIMAL(18,4)) AS DOUBLE) AS share
+      FROM yearly y, g ORDER BY 1"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q03b, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q15b, q16, q17, q18a, q18b, q19,
     q30, q33, q34, q35, q35b, q36, q38, q40, q41, q43, q48, q55, q56,
-    q61, q63, q64, q68, q69)
+    q61, q63, q64, q68, q69, q93)
 }

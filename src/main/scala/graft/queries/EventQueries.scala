@@ -226,6 +226,7 @@ object EventQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      StreamingJobs.capturePlan("q44_stream_hourly", q)
       s.table(qname)
         .select(date_format($"hour", "yyyy-MM-dd HH:mm:ss").as("hour"),
           $"event_type", $"n_events", $"sum_value")
@@ -269,6 +270,7 @@ object EventQueries {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
+        StreamingJobs.capturePlan("q49_stream_sessions", q)
       }
       s.table(qname)
         .select($"user_id",
@@ -373,6 +375,7 @@ object EventQueries {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
+        StreamingJobs.capturePlan("q58_stream_funnel", q)
       }
       s.table(qname)
         .select($"c_user".as("user_id"), $"click_id",
@@ -493,6 +496,42 @@ object EventQueries {
         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1 ORDER BY 1"""))
 
+  // ---------------------------------------------------------------- Q94
+  // INCREMENTAL MATERIALIZED VIEW — q66 with the base side actually
+  // MATERIALIZED (Tables.eventsDailyMv, written once at ingest like the
+  // bucketed/partitioned layouts): the standing per-(event_type, day)
+  // aggregate is read back from parquet and the post-cutoff delta is
+  // folded in by union + re-aggregate over keyed partial rows — never a
+  // rescan of pre-cutoff history. The oracle is the FULL recompute from
+  // raw events, so the driver's hash gate proves the maintenance
+  // identity merged(mv, delta) ≡ aggregate(all) end-to-end (exact
+  // decimal partials make the fold associative — Policy). q66 proves
+  // the same identity in one plan; this query proves it ACROSS a
+  // materialization boundary, which is the form a 100 TB pipeline
+  // actually runs: MV scan is O(|keys|), delta scan is one day of
+  // data, history is never touched. MvEquivalenceSpec additionally
+  // asserts the plan reads the MV parquet, not the events table twice.
+  private val q94 = QueryDef(
+    "q94_incremental_mv",
+    (s, dir) => {
+      import s.implicits._
+      val cutoff = lit(Tables.MvCutoff).cast(TimestampNTZType)
+      val mv = Tables.eventsDailyMv(s, dir)
+      val delta = ev(s, dir).filter($"ts" >= cutoff)
+        .groupBy($"event_type", $"ts".cast(DateType).as("day"))
+        .agg(count(lit(1)).as("cnt"), sum(dec($"value")).as("sum_value"))
+      mv.unionByName(delta)
+        .groupBy($"event_type")
+        .agg(sum($"cnt").as("n_events"),
+          dbl(sum($"sum_value").cast(Dec4)).as("sum_value"))
+        .orderBy($"event_type")
+    },
+    Some(s"""$EventsUs
+      SELECT event_type, COUNT(*) AS n_events,
+        CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4))
+          AS DOUBLE) AS sum_value
+      FROM ev GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QueryDef] =
-    Seq(q20, q21, q37, q37b, q44, q49, q57, q58, q66, q67, q79)
+    Seq(q20, q21, q37, q37b, q44, q49, q57, q58, q66, q67, q79, q94)
 }

@@ -56,10 +56,14 @@ object Bench {
     }
 
   /** name -> compact stdout key. Short keys are qNN tokens (+initials
-    * where the token repeats); nothing ENFORCED collision-freedom until
-    * round 6's advice, so: any collision falls back to FULL names for
-    * every query — a longer-but-parseable line beats silently duplicate
-    * JSON keys. */
+    * where the token repeats). Collisions are disambiguated PER
+    * COLLIDING GROUP with a numeric suffix (round-7 ADVICE item 2: the
+    * old whole-registry full-name fallback re-created the ~2.6 KB line
+    * that overflows the driver's 2000-char stdout tail — the exact
+    * failure the short keys exist to prevent). Only if suffixing itself
+    * still collides (pathological names) does the full-name fallback
+    * remain as the last resort: a longer-but-parseable line beats
+    * silently duplicate JSON keys. */
   def shortKeys(names: Seq[String]): Map[String, String] = {
     val tokenCounts =
       names.groupBy(_.split("_")(0)).map { case (t, ns) => t -> ns.size }
@@ -68,13 +72,37 @@ object Bench {
       if (tokenCounts.getOrElse(parts(0), 0) <= 1) parts(0)
       else parts(0) + "_" + parts.drop(1).map(_.head).mkString
     }
-    val m = names.map(n => n -> sk(n)).toMap
-    if (m.values.toSeq.distinct.size == names.distinct.size) m
+    val base = names.map(n => n -> sk(n))
+    val resolved = base.groupBy(_._2).toSeq.flatMap {
+      case (_, Seq((name, key))) => Seq(name -> key)
+      case (key, clashing) =>
+        System.err.println(
+          s"[bench] short-key collision on '$key' — numeric suffixes for " +
+            clashing.map(_._1).mkString(", "))
+        clashing.map(_._1).sorted.zipWithIndex.map {
+          case (name, i) => name -> s"${key}_$i"
+        }
+    }.toMap
+    if (resolved.values.toSeq.distinct.size == names.distinct.size) resolved
     else {
       System.err.println(
-        "[bench] WARNING short-key collision — using full names")
+        "[bench] WARNING short-key collision unresolvable — using full names")
       names.map(n => n -> n).toMap
     }
+  }
+
+  /** The single compact stdout line (short keys, 2-decimal medians, no
+    * spread/qps diagnostics). Pulled out of main() so BenchAggSpec can
+    * pin the length headroom against the driver's 2000-char stdout-tail
+    * window at the CURRENT registry size (round-7 verdict item 7). */
+  def compactLine(
+      good: Seq[(String, Double, Double, Double, Int)],
+      total: Double, repsMin: Int, tailCommon: String): String = {
+    val shortKey = shortKeys(good.map(_._1))
+    val qs2 = good.map { case (k, med, _, _, _) =>
+      "\"" + shortKey(k) + "\":" + f"$med%.2f"
+    }.mkString("{", ",", "}")
+    s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs2,"reps_min":$repsMin,$tailCommon}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -186,9 +214,7 @@ object Bench {
     // mapping is self-describing: the FULL json (bench_out.json /
     // stderr) carries it under "keymap", and BASELINE.md §3 lists both
     // forms. 92 queries render to ~1.2 KB — headroom to ~150 queries.
-    val shortKey = shortKeys(names)
-    val qs2 = good.map { case (k, med, _, _, _) => "\"" + shortKey(k) + "\":" + f"$med%.2f" }
-      .mkString("{", ",", "}")
+    val shortKey = shortKeys(good.map(_._1))
     val keymap = good.map { case (k, _, _, _, _) => "\"" + shortKey(k) + "\":\"" + k + "\"" }
       .mkString("{", ",", "}")
     val spread = good.map { case (k, _, mn, mx, _) =>
@@ -216,10 +242,9 @@ object Bench {
     val json =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","value_min":${f"$totalMin%.3f"},"qps":${f"$qps%.3f"},"queries":$qs,"spread":$spread,"reps_ok":$repsOk,"keymap":$keymap,$tailCommon}"""
     // the compact stdout line must survive the driver's 2000-char tail
-    // capture at 92+ queries: short keys, 2-decimal medians, no
+    // capture at 100+ queries: short keys, 2-decimal medians, no
     // value_min/qps/spread (all live in the full JSON renderings)
-    val compact =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs2,"reps_min":$repsMin,$tailCommon}"""
+    val compact = compactLine(good, total, repsMin, tailCommon)
     if (compact.length > 1900) System.err.println(
       s"[bench] WARNING compact stdout line is ${compact.length} chars — nearing the driver's 2000-char tail window")
     // Greppable stderr copy + JSON files FIRST, then the bare stdout

@@ -67,12 +67,13 @@ object Tables {
   /** Catalog name of the bucketed copy of (dir, name) — one place, so
     * ANALYZE/metadata consumers (CboStatsSpec) address the same table
     * the queries join. */
-  def bucketedTableName(dir: String, name: String): String =
-    s"${name}_bkt_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+  def bucketedTableName(dir: String, name: String, suffix: String = ""): String =
+    s"${name}_bkt$suffix" + "_" + dir.replaceAll("[^A-Za-z0-9]", "_")
 
   def bucketed(spark: SparkSession, dir: String, name: String, key: String,
-      cols: Seq[String], buckets: Int = 32): DataFrame = synchronized {
-    val tbl = bucketedTableName(dir, name)
+      cols: Seq[String], buckets: Int = 32,
+      suffix: String = ""): DataFrame = synchronized {
+    val tbl = bucketedTableName(dir, name, suffix)
     if (!spark.catalog.tableExists(tbl)) {
       // a previous JVM can leave the managed dir behind (in-memory
       // catalog, persistent warehouse) — clear it or saveAsTable refuses

@@ -129,20 +129,42 @@ final class MemWriterFactory(schema: StructType) extends DataWriterFactory {
 
 final class MemDataWriter(partitionId: Int, schema: StructType)
     extends DataWriter[InternalRow] {
+  import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData, MapData}
+  import org.apache.spark.sql.types.{ArrayType, DataType, MapType}
+
   private val buf = Vector.newBuilder[Seq[Any]]
+
+  /** Recursively externalize a buffered value: InternalRows are reused
+    * by the runtime, and complex values are Unsafe* VIEWS into the
+    * reused buffer. copy() alone is not enough in general —
+    * GenericArrayData.copy() clones its element array SHALLOWLY, so a
+    * UTF8String element that is a view into a reused buffer would still
+    * alias after the copy (round-7 ADVICE item 3). Type-driven
+    * recursion converts every string to an owned java String and every
+    * container to a Generic* holding externalized children, regardless
+    * of which ArrayData implementation arrived. */
+  private def externalize(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (s: UTF8String, _) => s.toString
+    case (b: Array[Byte], _) => b.clone()
+    case (a: ArrayData, ArrayType(et, _)) =>
+      new GenericArrayData(a.toObjectArray(et).map(externalize(_, et)))
+    case (m: MapData, MapType(kt, vt, _)) =>
+      new ArrayBasedMapData(
+        new GenericArrayData(
+          m.keyArray.toObjectArray(kt).map(externalize(_, kt))),
+        new GenericArrayData(
+          m.valueArray.toObjectArray(vt).map(externalize(_, vt))))
+    case (r: InternalRow, st: StructType) =>
+      InternalRow.fromSeq(st.fields.toSeq.zipWithIndex.map {
+        case (f, i) => externalize(r.get(i, f.dataType), f.dataType)
+      })
+    case (other, _) => other
+  }
 
   override def write(row: InternalRow): Unit =
     buf += schema.fields.indices.map { i =>
-      row.get(i, schema(i).dataType) match {
-        case s: UTF8String => s.toString // externalize: rows are reused
-        // complex values are Unsafe* VIEWS into the reused row buffer —
-        // buffering the view would be silently corrupted by later rows;
-        // copy() materializes a self-contained value
-        case a: org.apache.spark.sql.catalyst.util.ArrayData => a.copy()
-        case m: org.apache.spark.sql.catalyst.util.MapData => m.copy()
-        case r: InternalRow => r.copy()
-        case other => other
-      }
+      externalize(row.get(i, schema(i).dataType), schema(i).dataType)
     }
 
   override def commit(): WriterCommitMessage =
@@ -167,15 +189,38 @@ final class MemScan(name: String, schema: StructType) extends Scan with Batch {
 final case class MemPartition(table: String) extends InputPartition
 
 final class MemReader(table: String) extends PartitionReader[InternalRow] {
+  import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData, MapData}
+  import org.apache.spark.sql.types.{ArrayType, DataType, MapType}
+
   private val stored = MemSink.registry.get(table)
     .getOrElse(MemSink.Stored(new StructType(), Nil))
   private val it = stored.rows.iterator
   private var cur: Seq[Any] = _
   override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
+
+  /** Mirror of MemDataWriter.externalize: strings come back as
+    * UTF8String at every nesting level. */
+  private def internalize(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (s: String, _) => UTF8String.fromString(s)
+    case (a: ArrayData, ArrayType(et, _)) =>
+      new GenericArrayData(a.toObjectArray(et).map(internalize(_, et)))
+    case (m: MapData, MapType(kt, vt, _)) =>
+      new ArrayBasedMapData(
+        new GenericArrayData(
+          m.keyArray.toObjectArray(kt).map(internalize(_, kt))),
+        new GenericArrayData(
+          m.valueArray.toObjectArray(vt).map(internalize(_, vt))))
+    case (r: InternalRow, st: StructType) =>
+      InternalRow.fromSeq(st.fields.toSeq.zipWithIndex.map {
+        case (f, i) => internalize(r.get(i, f.dataType), f.dataType)
+      })
+    case (other, _) => other
+  }
+
   override def get(): InternalRow =
-    InternalRow.fromSeq(cur.map {
-      case s: String => UTF8String.fromString(s)
-      case other => other
+    InternalRow.fromSeq(stored.schema.fields.toSeq.zip(cur).map {
+      case (f, v) => internalize(v, f.dataType)
     })
   override def close(): Unit = {}
 }

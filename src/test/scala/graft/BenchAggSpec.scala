@@ -40,11 +40,18 @@ class BenchAggSpec extends AnyFunSuite {
     assert(ks.values.toSeq.distinct.size === 3)
   }
 
-  test("shortKeys: collision falls back to full names for all queries") {
-    // same token AND same remaining-word initials → initials collide
-    val names = Seq("q08_alpha_beta", "q08_apple_banana")
+  test("shortKeys: collision disambiguates ONLY the clashing group") {
+    // same token AND same remaining-word initials → initials collide;
+    // the colliding pair gets numeric suffixes (sorted order) while
+    // every other key keeps its short form (round-7 ADVICE item 2: the
+    // old whole-registry full-name fallback re-created the oversized
+    // stdout line this machinery exists to prevent)
+    val names = Seq("q08_alpha_beta", "q08_apple_banana", "q22_tokens")
     val ks = Bench.shortKeys(names)
-    assert(ks === names.map(n => n -> n).toMap)
+    assert(ks("q08_alpha_beta") === "q08_ab_0")
+    assert(ks("q08_apple_banana") === "q08_ab_1")
+    assert(ks("q22_tokens") === "q22")
+    assert(ks.values.toSeq.distinct.size === 3)
   }
 
   test("shortKeys: the real registry is collision-free") {
@@ -53,5 +60,21 @@ class BenchAggSpec extends AnyFunSuite {
     assert(ks.values.toSeq.distinct.size === names.size)
     // and it actually shortened (fallback would return identity)
     assert(ks(names.head) !== names.head)
+  }
+
+  test("compact stdout line keeps headroom inside the driver's 2000-char tail") {
+    // Round-7 verdict item 7: pin the length at the CURRENT registry
+    // size with worst-case field widths (4-digit medians, 4-digit
+    // total) so registry growth cannot silently recreate the round-5
+    // parse failure (full line > 2000-char stdout-tail window →
+    // "parsed": null). ~150-query headroom at current name shapes.
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val good = names.map(n => (n, 9999.99, 9999.99, 9999.99, 3))
+    val tail = """"reps":3,"failed":[],"ingest_ok":true,""" +
+      """"ingest_secs":9999.999,"sf":"/root/testdata/sf0.1""""
+    val line = Bench.compactLine(good, 99999.999, 3, tail)
+    assert(line.length < 1900,
+      s"compact line is ${line.length} chars at ${names.size} queries — " +
+        "the driver's 2000-char stdout tail is at risk")
   }
 }

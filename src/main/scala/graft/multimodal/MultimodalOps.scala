@@ -9,23 +9,27 @@ import org.apache.spark.sql.types._
   * feature-extract / resize / frame-sample stages.
   *
   * The Spark-side plumbing — schema, partitioning, batch shapes, column
-  * lineage — is REAL and tested. So are the IMAGE and AUDIO kernels:
+  * lineage — is REAL and tested, and so are all three codec kernels:
   * `graft.multimodal.BmpCodec` parses genuine 24-bit Windows BMP
-  * containers (header, bottom-up BGR rows, 4-byte padding) and
+  * containers (header, bottom-up BGR rows, 4-byte padding),
   * `graft.multimodal.WavCodec` parses genuine 16-bit PCM RIFF/WAVE
   * containers (chunk walk, foreign-chunk skip, interleaved LE frames),
-  * both inside whole-stage codegen and each cross-validated against an
-  * independent JDK reader — javax.imageio for BMP (q31b +
-  * BmpCodecSpec), javax.sound.sampled for WAV (q31c + WavCodecSpec).
-  * `decodeStub` remains the stand-in only for VIDEO (no pure-JVM
-  * decoder exists in this container): it derives deterministic
-  * pseudo-features from the bytes through native codegen'd
-  * expressions, and a production deployment swaps ONLY that kernel
-  * expression (e.g. a JNI/FFI call inside the same shape). The
-  * surrounding plan — scan → per-row decode → explode frames →
-  * aggregate — is exactly what runs at 100 TB, where the design rules
-  * are: decode per-row inside the scan stage (no shuffle of raw
-  * bytes), frame fan-out via explode AFTER filtering, aggregates on
+  * and `graft.multimodal.AviCodec` parses genuine uncompressed
+  * DIB-in-AVI video containers (RIFF LIST descent, header-only
+  * `avi_meta` scalar + stride-sampling `avi_frames` generator). Each is
+  * cross-validated against an independent JDK reader — javax.imageio
+  * for BMP (q31b + BmpCodecSpec), javax.sound.sampled for WAV (q31c +
+  * WavCodecSpec), and for AVI (q31d + AviCodecSpec) every sampled
+  * frame against javax.imageio reading the BMP rendering of the same
+  * pixel grid. `decodeStub` survives only as the q31 plumbing
+  * exemplar: it shows where a production deployment would swap in a
+  * kernel for codecs OUTSIDE the pure-JVM profile (JPEG/H.264 via
+  * JNI/FFI inside the same expression shape). The surrounding plan —
+  * scan → per-row decode → explode frames → aggregate — is exactly
+  * what runs at 100 TB, where the design rules are: decode per-row
+  * inside the scan stage (no shuffle of raw bytes), frame fan-out via
+  * explode AFTER filtering (q31d's avi_meta filter runs header-only
+  * parses before any frame bytes are touched), aggregates on
   * extracted features only.
   */
 object MultimodalOps {

@@ -191,5 +191,99 @@ object MediaQueries {
         CAST(SUM(sr) AS DOUBLE) / CAST(SUM(nf) AS DOUBLE) AS mean_abs_r
       FROM per_doc GROUP BY 1 ORDER BY 1"""))
 
-  val all: Seq[QueryDef] = Seq(q31, q31b, q31c)
+  // ---------------------------------------------------------------- Q31d
+  // REAL video decode under the oracle gate — closes the multimodal
+  // triad (q31b image, q31c audio): each document becomes a genuine
+  // uncompressed DIB-in-AVI container (AviCodec.encode — RIFF('AVI ')
+  // with hdrl/strl header lists and a movi list of 00db frame chunks)
+  // and is decoded in the two-stage shape a 100 TB video pipeline
+  // needs: `avi_meta` (codegen'd scalar, HEADER-ONLY parse) filters on
+  // frame count BEFORE any frame bytes are touched, then the native
+  // generator `avi_frames` fans each surviving video out to one row
+  // per SAMPLED frame (stride 2 — every other 00db chunk), reduced to
+  // per-channel pixel sums. Everything downstream uses the DECODED
+  // values — meta.width/height from the parsed avih header, frame_idx
+  // and channel sums from the chunk walk — so a parse bug (LIST
+  // descent, chunk alignment, bottom-up row padding, BGR order, stride
+  // arithmetic) breaks the hash against the oracle, which recomputes
+  // the same features arithmetically from the encode formula.
+  // sum_fidx pins the sampled frame INDICES, not just their count.
+  // AviCodecSpec cross-witnesses frame payloads against javax.imageio
+  // reading the BMP rendering of the same pixel grid.
+  private val q31d = QueryDef(
+    "q31d_video_decode",
+    (s, dir) => {
+      graft.Tables.load(s, dir, "documents")
+        .createOrReplaceTempView("documents")
+      s.sql("""WITH m AS (
+          SELECT doc_id,
+            element_at(array('image','audio','video'),
+              CAST(doc_id % 3 AS INT) + 1) AS kind,
+            CAST(doc_id % 3 AS INT) * 4 + 8 AS w,
+            CAST(doc_id % 2 AS INT) * 4 + 6 AS h,
+            CAST(doc_id % 4 AS INT) * 3 + 4 AS nf
+          FROM documents),
+        vids AS (
+          SELECT doc_id, kind, av, avi_meta(av) AS meta
+          FROM (SELECT doc_id, kind, avi_encode(doc_id, w, h, nf) AS av
+                FROM m)
+          WHERE avi_meta(av).n_frames >= 6),
+        fr AS (
+          SELECT kind, doc_id, meta.width * meta.height AS npx,
+            frame_idx, sum_r, sum_g, sum_b
+          FROM vids
+          LATERAL VIEW avi_frames(av, 2) g AS frame_idx, sum_r, sum_g, sum_b)
+        SELECT kind,
+          COUNT(DISTINCT doc_id) AS n_media,
+          COUNT(*) AS total_frames,
+          CAST(SUM(frame_idx) AS BIGINT) AS sum_fidx,
+          CAST(SUM(npx) AS BIGINT) AS total_px,
+          SUM(sum_r) AS sum_r, SUM(sum_g) AS sum_g, SUM(sum_b) AS sum_b,
+          CAST(SUM(sum_r) AS DOUBLE) / CAST(SUM(npx) AS DOUBLE) AS mean_r,
+          CAST(SUM(sum_g) AS DOUBLE) / CAST(SUM(npx) AS DOUBLE) AS mean_g,
+          CAST(SUM(sum_b) AS DOUBLE) / CAST(SUM(npx) AS DOUBLE) AS mean_b
+        FROM fr GROUP BY 1 ORDER BY 1""")
+    },
+    // The oracle never sees an AVI byte: channel j of pixel p in frame
+    // f of doc `seed` is (seed·31 + f·13 + (3p+j)·7) mod 256 (j=0 red,
+    // 1 green, 2 blue), recomputed over unnested (frame, pixel) pairs
+    // with the same metadata filter (nf ≥ 6) and the same stride-2
+    // frame sampling — Spark's decoded numbers match only if the
+    // encoder wrote and the decoder read EXACTLY those frames through
+    // the real RIFF/AVI container.
+    Some("""WITH m AS (
+        SELECT doc_id,
+          (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+          CAST(doc_id % 3 AS INT) * 4 + 8 AS w,
+          CAST(doc_id % 2 AS INT) * 4 + 6 AS h,
+          CAST(doc_id % 4 AS INT) * 3 + 4 AS nf
+        FROM documents
+        WHERE CAST(doc_id % 4 AS INT) * 3 + 4 >= 6),
+      fr AS (
+        SELECT kind, doc_id, w, h,
+          unnest(generate_series(0, nf - 1, 2)) AS f
+        FROM m),
+      px AS (
+        SELECT kind, doc_id, w, h, f,
+          unnest(generate_series(0, w * h - 1)) AS p
+        FROM fr),
+      sums AS (
+        SELECT kind, doc_id, f, MAX(w * h) AS npx,
+          SUM((doc_id*31 + f*13 + (3*p)*7) % 256) AS sr,
+          SUM((doc_id*31 + f*13 + (3*p+1)*7) % 256) AS sg,
+          SUM((doc_id*31 + f*13 + (3*p+2)*7) % 256) AS sb
+        FROM px GROUP BY 1, 2, 3)
+      SELECT kind, COUNT(DISTINCT doc_id) AS n_media,
+        COUNT(*) AS total_frames,
+        CAST(SUM(f) AS BIGINT) AS sum_fidx,
+        CAST(SUM(npx) AS BIGINT) AS total_px,
+        CAST(SUM(sr) AS BIGINT) AS sum_r,
+        CAST(SUM(sg) AS BIGINT) AS sum_g,
+        CAST(SUM(sb) AS BIGINT) AS sum_b,
+        CAST(SUM(sr) AS DOUBLE) / CAST(SUM(npx) AS DOUBLE) AS mean_r,
+        CAST(SUM(sg) AS DOUBLE) / CAST(SUM(npx) AS DOUBLE) AS mean_g,
+        CAST(SUM(sb) AS DOUBLE) / CAST(SUM(npx) AS DOUBLE) AS mean_b
+      FROM sums GROUP BY 1 ORDER BY 1"""))
+
+  val all: Seq[QueryDef] = Seq(q31, q31b, q31c, q31d)
 }

@@ -48,8 +48,8 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // hit from two consumers regardless of layout, the q94 MV fold's
     // partial aggregates must merge identically, LISTAGG's in-group
     // ORDER BY pins intra-group order under any shuffle
-    "q31b_image_decode", "q31c_audio_decode", "q91_listagg",
-    "q93_cached_share", "q94_incremental_mv")
+    "q31b_image_decode", "q31c_audio_decode", "q31d_video_decode",
+    "q91_listagg", "q93_cached_share", "q94_incremental_mv")
 
   private def canonical(name: String): Seq[String] = {
     val df = Registry.byName(name).run(spark, dir)

@@ -149,6 +149,8 @@ object Bench {
       // the standing MV q94 folds its delta into — a write-once
       // ingest artifact like the layouts above
       Tables.eventsDailyMv(spark, sfDir)
+      // the Morton-clustered orders layout q95 box-prunes against
+      Tables.zordered(spark, sfDir)
       // index-sizing scalar for the ANN builds (q24b band width, q24d
       // IVF list count) — the catalog-rowCount analogue, captured once
       Tables.rowCount(spark, sfDir, "embeddings")

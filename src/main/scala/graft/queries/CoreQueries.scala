@@ -1018,6 +1018,44 @@ object CoreQueries {
       FROM orders JOIN dim ON year(o_orderdate) = d_year
       GROUP BY 1, 2 ORDER BY 1"""))
 
+  // ---------------------------------------------------------------- Q95
+  // Z-ORDER (multi-dimensional clustering) under the oracle gate — the
+  // third member of the layout toolkit after bucketing (q03b) and hive
+  // partitioning (q55/q56): priority totals inside a 2-D box (a date
+  // range × a customer-key band) read from the Morton-clustered copy
+  // (Tables.zordered). Both predicates are pushed to the parquet
+  // scan; because every file/row-group covers one compact Z-cell,
+  // its min/max footer stats are tight on BOTH columns and most row
+  // groups are skipped at footer-read time — including for
+  // single-dimension predicates a 1-D sort could not prune
+  // (measured in ZOrderSpec: the box reads a fraction of the rows a
+  // date-sorted copy reads, and a custkey-only band prunes where the
+  // date-sort reads everything). At 100 TB, Z-order is how a second
+  // and third filter column get data-skipping without paying a
+  // directory level per column. The oracle runs the same aggregation
+  // over the ORIGINAL unordered parquet, proving the re-clustered
+  // copy value-faithful end to end (the q03b/q55 pattern).
+  private val q95 = QueryDef(
+    "q95_zorder_box",
+    (s, dir) => {
+      import s.implicits._
+      Tables.zordered(s, dir)
+        .filter($"o_orderdate" >= lit("1995-01-01").cast("timestamp_ntz") &&
+          $"o_orderdate" <= lit("1995-06-30").cast("timestamp_ntz") &&
+          $"o_custkey".between(30, 59))
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sumDbl($"o_totalprice").as("total_price"))
+        .orderBy($"o_orderpriority")
+    },
+    Some(s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+        ${oSum("o_totalprice")} AS total_price
+      FROM orders
+      WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+        AND TIMESTAMP '1995-06-30 00:00:00'
+        AND o_custkey BETWEEN 30 AND 59
+      GROUP BY 1 ORDER BY 1"""))
+
   // ---------------------------------------------------------------- Q61
   // Window-function surface completion: first_value / nth_value /
   // last_value (explicit full frame) / percent_rank / cume_dist — the
@@ -1302,5 +1340,5 @@ object CoreQueries {
     q01, q02, q03, q03b, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q15b, q16, q17, q18a, q18b, q19,
     q30, q33, q34, q35, q35b, q36, q38, q40, q41, q43, q48, q55, q56,
-    q61, q63, q64, q68, q69, q93)
+    q61, q63, q64, q68, q69, q93, q95)
 }

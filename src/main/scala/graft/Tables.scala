@@ -36,21 +36,43 @@ object Tables {
   def rowCount(spark: SparkSession, dir: String, name: String): Long =
     rowCounts.getOrElseUpdate((dir, name), load(spark, dir, name).count())
 
-  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. Public escape hatch: read nanos as raw
-    * Long (spark.sql.legacy.parquet.nanosAsLong=true, set at session build
-    * in graft.Sessions — NOT here; a loader must not mutate session conf)
-    * and truncate to microseconds ourselves — the same truncation the
-    * DuckDB oracle applies (FIXTURES.md §1). Integer `div`, not double
-    * division: an epoch-nanos value (~1.7e18) does not fit a double's
-    * 53-bit mantissa. Truncation (`div`) equals floor division for the
-    * post-1970 fixture; pre-epoch timestamps are out of contract
-    * (documented divergence vs DuckDB `//`).
+  /** events.parquet has shipped `ts` in two physical encodings across
+    * driver re-provisions, so the loader adapts to the schema it finds
+    * instead of assuming one:
+    *
+    *   - parquet TIMESTAMP(NANOS): Spark's vectorized reader rejects it;
+    *     with spark.sql.legacy.parquet.nanosAsLong=true (set at session
+    *     build in graft.Sessions — NOT here; a loader must not mutate
+    *     session conf) it surfaces as a raw Long of epoch-nanos, which we
+    *     truncate to microseconds — the same truncation the DuckDB oracle
+    *     applies (FIXTURES.md §1). Integer `div`, not double division: an
+    *     epoch-nanos value (~1.7e18) does not fit a double's 53-bit
+    *     mantissa. Truncation (`div`) equals floor division for the
+    *     post-1970 fixture; pre-epoch timestamps are out of contract.
+    *
+    *   - parquet timestamp[us] (current testdata, re-provisioned
+    *     2026-08-13): Spark reads it natively as TIMESTAMP_NTZ (no
+    *     isAdjustedToUTC flag + inferTimestampNTZ default) or as
+    *     session-TZ TIMESTAMP; either way a cast to TimestampNTZType under
+    *     the UTC session zone is exact and matches DuckDB's TIMESTAMP.
+    *
+    * Both branches normalize to TimestampNTZType so every downstream
+    * consumer (window aggs, as-of joins, streaming watermarks, the JSON
+    * surface) sees one canonical type. The dispatch reads only the parquet
+    * FOOTER schema (no data IO) and the fix-up is a per-row projection —
+    * pushdown/pruning still reach the scan.
     */
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.read.parquet(path(dir, "events"))
-      .withColumn("ts",
-        timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+    val raw = spark.read.parquet(path(dir, "events"))
+    val tsType = raw.schema("ts").dataType
+    tsType match {
+      case LongType => // legacy TIMESTAMP(NANOS) read as raw nanos
+        raw.withColumn("ts",
+          timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+      case TimestampNTZType => raw
+      case _ => // TimestampType (µs, session-TZ): UTC session ⇒ exact cast
+        raw.withColumn("ts", col("ts").cast(TimestampNTZType))
+    }
   }
 
   /** Load one table by name. `events` gets the ns→µs fix-up; everything else

@@ -10,6 +10,11 @@ object Verify {
     val only = args.drop(2).toSet
     val spark = Sessions.local("graft-verify")
     new java.io.File(outDir).mkdirs()
+    // name -> one-line exception summary for every failed query; written
+    // as $outDir/errors.json so a failure degrades to a driver-visible
+    // `err` CORRECTNESS row instead of a silently absent key (round-8
+    // verdict item 2: 14 events queries vanished with no artifact trail).
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -18,8 +23,14 @@ object Verify {
             .parquet(s"$outDir/$name")
           val n = spark.read.parquet(s"$outDir/$name").count()
           System.err.println(s"[verify] $name rows=$n")
+          // release any cache a query persisted (q93) — no session leak
+          queries.QueryCaches.releaseAll()
         } catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          val msg = s"${e.getClass.getSimpleName}: " +
+            Option(e.getMessage).getOrElse("").linesIterator
+              .take(3).mkString(" | ").take(500)
+          errors(name) = msg
+          System.err.println(s"[verify] $name failed: $msg")
         }
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -37,6 +48,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} failed: ${errors.keys.mkString(", ")}")
     spark.stop()
   }
 }

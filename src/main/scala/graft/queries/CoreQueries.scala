@@ -1305,11 +1305,13 @@ object CoreQueries {
     "q93_cached_share",
     (s, dir) => {
       import s.implicits._
-      val daily = t(s, dir, "orders")
+      // tracked so the harness releases the cache after the query runs
+      // (QueryCaches contract — no session-lifetime leak)
+      val daily = QueryCaches.track(t(s, dir, "orders")
         .groupBy($"o_orderdate")
         .agg(count(lit(1)).as("n_daily"),
           sum(dec($"o_totalprice")).as("rev"))
-        .persist()
+        .persist())
       val yearly = daily
         .groupBy(year($"o_orderdate").cast(LongType).as("o_year"))
         .agg(sum($"n_daily").as("n_orders"), sum($"rev").as("rev_y"))

@@ -12,9 +12,11 @@ import graft.Policy._
   * (`graft.streaming` replays the same logic through Structured Streaming;
   * S1/S3 assert stream ≡ batch).
   *
-  * `events.ts` arrives as parquet TIMESTAMP(NANOS); Tables.loadEvents
-  * truncates to µs, and each oracle starts from the same truncation
-  * (QueryDef.EventsUs) so both engines see identical timestamps.
+  * `events.ts` has shipped as both parquet TIMESTAMP(NANOS) and
+  * timestamp[us] across driver re-provisions; Tables.loadEvents adapts and
+  * normalizes to µs TIMESTAMP_NTZ, and each oracle starts from the same
+  * truncation (QueryDef.EventsUs — exact on either unit) so both engines
+  * see identical timestamps.
   */
 object EventQueries {
   import QueryDef.EventsUs
@@ -532,6 +534,63 @@ object EventQueries {
           AS DOUBLE) AS sum_value
       FROM ev GROUP BY 1 ORDER BY 1"""))
 
+  // ---------------------------------------------------------------- Q96
+  // FIFTH streaming entry under the oracle gate (round-8 verdict item
+  // 8): transformWithState — the Spark 4 arbitrary-keyed-state API v2
+  // (typed ValueState cells, RocksDB state-store provider) — replayed
+  // with Trigger.AvailableNow into an update-mode memory sink. This is
+  // the §2.B row 50 operator (S14's job, StreamingJobs.RunningTotals)
+  // promoted from test-asserted to driver-graded: per-user running
+  // totals kept in exact integer micro-units so the DuckDB twin is
+  // bit-equal (same per-row floor both sides; the oracle CASTs its
+  // HUGEINT SUM back to BIGINT — the check.py type-class gate).
+  // Update mode emits one row per (key, batch); the single-file replay
+  // runs one batch, and the max() fold keeps the read idempotent if a
+  // rerun appends more batches (monotone counters). RocksDB provider is
+  // set for the duration of the stream and restored after — at 100 TB
+  // scale RocksDB-backed state is the only viable choice for state that
+  // exceeds executor heap. Plan consumers see only the sink read (q44
+  // caveat; streaming plan shape is asserted in StreamingSpec S14/S15).
+  private val q96 = QueryDef(
+    "q96_stream_totals",
+    (s, dir) => {
+      import s.implicits._
+      import graft.streaming.StreamingJobs
+      val replay = StreamingJobs.replayDirFor(s, dir)
+      val qname = s"q96_mem_${memCounter.incrementAndGet()}"
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val stream = StreamingJobs.readReplayStream(s, replay)
+          .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+          .as[StreamingJobs.Event]
+        StreamingJobs.withStatePartitions(s, 8) {
+          val q = StreamingJobs.runningTotals(stream).toDF()
+            .writeStream.format("memory").queryName(qname)
+            .outputMode("update")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          StreamingJobs.capturePlan("q96_stream_totals", q)
+        }
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None    => s.conf.unset(key)
+      }
+      s.table(qname)
+        .groupBy($"user_id")
+        .agg(max($"n_events").as("n_events"),
+          max($"sum_micro").as("sum_micro"))
+        .orderBy($"user_id")
+    },
+    Some(s"""$EventsUs
+      SELECT user_id, COUNT(*) AS n_events,
+        CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+          AS sum_micro
+      FROM ev GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QueryDef] =
-    Seq(q20, q21, q37, q37b, q44, q49, q57, q58, q66, q67, q79, q94)
+    Seq(q20, q21, q37, q37b, q44, q49, q57, q58, q66, q67, q79, q94, q96)
 }

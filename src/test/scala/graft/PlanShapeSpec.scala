@@ -64,7 +64,8 @@ class PlanShapeSpec extends AnyFunSuite {
         "q24d_ann_ivf", "q43_price_bracket_theta",
         "q44_stream_hourly", "q49_stream_sessions",
         "q58_stream_funnel", "q79_stream_foreach_sink",
-        "q96_stream_totals",
+        "q96_stream_totals", "q97_stream_sliding",
+        "q98_stream_dedup", "q99_stream_enrich",
         // q74 cross-joins the ONE-row corpus-size scalar against the
         // tf table — a broadcast of exactly one row (the standard
         // scalar-fanout shape); every other q74 join is equi-keyed.
@@ -228,7 +229,10 @@ class PlanShapeSpec extends AnyFunSuite {
       "q49_stream_sessions" -> "SessionWindowStateStoreSave",
       "q58_stream_funnel" -> "StreamingSymmetricHashJoin",
       "q79_stream_foreach_sink" -> "StateStoreSave",
-      "q96_stream_totals" -> "TransformWithState")
+      "q96_stream_totals" -> "TransformWithState",
+      "q97_stream_sliding" -> "StateStoreSave",
+      "q98_stream_dedup" -> "StreamingDeduplicate",
+      "q99_stream_enrich" -> "StateStoreSave")
     for ((name, op) <- expected) {
       Registry.byName(name).run(spark, dir).collect()
       val p = graft.streaming.StreamingJobs.incrementalPlanOf(name)

@@ -1425,7 +1425,107 @@ object DocQueries {
       SELECT pair, COUNT(*) AS n FROM pairs
       GROUP BY 1 ORDER BY n DESC, pair LIMIT 20"""))
 
+  // --------------------------------------------------------------- Q100
+  // END-TO-END TRAINING-DATA PIPELINE as ONE declarative plan — the
+  // capstone composition of the funnel stages that are individually
+  // graded elsewhere (quality filter ≈ q53, exact dedup ≈ q25,
+  // decontamination ≈ q52, split assignment ≈ q46): corpus → quality
+  // gate (≥30 real tokens) → exact dedup (deterministic min-doc_id
+  // winner per md5(text)) → benchmark 5-gram decontamination →
+  // md5-range train/val/test split → per-(split, lang) doc/token
+  // accounting. The point of grading the COMPOSITION is that a real
+  // 100 TB pipeline runs exactly this chain as one job, and the
+  // stage-order shapes the cost: the cheap scan-stage quality gate runs
+  // FIRST so dedup/decontamination state is built only over survivors;
+  // dedup's one shuffle keys on the content hash; the benchmark gram
+  // set and the contaminated-id set both broadcast (bench side is a
+  // fixed, catalog-sized artifact at any corpus scale); split
+  // assignment and the final agg are scan-stage + one small shuffle.
+  // Catalyst keeps the whole chain in one WholeStageCodegen span per
+  // exchange boundary — no materialization between "stages".
+  private val q100 = QueryDef(
+    "q100_pipeline_e2e",
+    (s, dir) => {
+      import s.implicits._
+      val nTok =
+        expr("size(filter(split(lower(text), ' '), t -> length(t) > 0))")
+          .cast(LongType)
+      val base = docs(s, dir)
+        .select($"doc_id", $"lang", $"text", nTok.as("n_tok"),
+          ($"doc_id" % 97 === 0).as("is_bench"))
+      // stage 1: quality gate (scan-stage; also drops bench docs from
+      // the training corpus — they exist only to decontaminate against)
+      val quality = base.filter($"n_tok" >= 30)
+      val corpus = quality.filter(!$"is_bench")
+      // stage 2: exact dedup — deterministic winner (min doc_id) per
+      // content hash; one shuffle keyed on the hash
+      val winners = corpus
+        .withColumn("h", md5($"text".cast(BinaryType)))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"h").orderBy($"doc_id")))
+        .filter($"rn" === 1)
+      // stage 3: decontamination — any QUALITY-SURVIVING bench doc's
+      // 5-grams poison matching corpus docs (broadcast both small sides)
+      val grams = quality
+        .select($"doc_id", $"is_bench",
+          explode(expr("word_shingles(text, 5)")).as("gram"))
+      val benchGrams = grams.filter($"is_bench").select($"gram").distinct()
+      val contaminated = grams.filter(!$"is_bench")
+        .join(broadcast(benchGrams), Seq("gram"), "left_semi")
+        .select($"doc_id").distinct()
+      val clean = winners
+        .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+      // stage 4: split assignment (scan-stage md5-range, q46's rule)
+      val d1 = substring(
+        md5($"doc_id".cast(StringType).cast(BinaryType)), 1, 1)
+      val split = when(d1 < "c", "train")
+        .when(d1 < "e", "val").otherwise("test")
+      // stage 5: accounting
+      clean.select(split.as("split"), $"lang", $"n_tok")
+        .groupBy($"split", $"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("sum_tokens"))
+        .orderBy($"split", $"lang")
+    },
+    Some("""WITH base AS (
+        SELECT doc_id, lang, text,
+          CAST(len(list_filter(string_split(lower(text), ' '),
+            t -> length(t) > 0)) AS BIGINT) AS n_tok,
+          doc_id % 97 = 0 AS is_bench
+        FROM documents),
+      quality AS (SELECT * FROM base WHERE n_tok >= 30),
+      corpus AS (SELECT * FROM quality WHERE NOT is_bench),
+      winners AS (
+        SELECT * FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text)
+            ORDER BY doc_id) AS rn
+          FROM corpus) WHERE rn = 1),
+      t AS (
+        SELECT doc_id, is_bench, string_split(lower(text), ' ') AS ts
+        FROM quality),
+      g AS (
+        SELECT doc_id, is_bench,
+          array_to_string(ts[s.i:s.i+4], ' ') AS gram
+        FROM t CROSS JOIN unnest(
+          CASE WHEN len(ts) >= 5 THEN generate_series(1, len(ts)-4)
+               ELSE [] END) AS s(i)),
+      bench AS (SELECT DISTINCT gram FROM g WHERE is_bench),
+      hits AS (
+        SELECT DISTINCT g.doc_id FROM g JOIN bench USING (gram)
+        WHERE NOT g.is_bench),
+      clean AS (
+        SELECT w.* FROM winners w
+        WHERE w.doc_id NOT IN (SELECT doc_id FROM hits))
+      SELECT CASE
+          WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+            THEN 'train'
+          WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e'
+            THEN 'val'
+          ELSE 'test' END AS split,
+        lang, COUNT(*) AS n_docs,
+        CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
+      FROM clean GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[QueryDef] =
     Seq(q22, q23, q25, q26, q27, q28, q29, q32, q39, q42, q45, q46, q47,
-      q50, q51, q52, q53, q54, q59, q60, q65, q88, q89)
+      q50, q51, q52, q53, q54, q59, q60, q65, q88, q89, q100)
 }

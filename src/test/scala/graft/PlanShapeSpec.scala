@@ -244,6 +244,38 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q100 pipeline: map-side dedup limit, all-broadcast decontamination, bounded exchanges") {
+    // The end-to-end funnel's 100 TB shape, pinned: (1) the dedup winner
+    // rule (row_number=1 per content hash) must lower to WindowGroupLimit
+    // BELOW its exchange — the map-side top-1 that keeps the one dedup
+    // shuffle carrying at most one row per (partition, hash); (2) every
+    // join (decontamination semi, contaminated anti) must be a broadcast
+    // hash join — the corpus side never shuffles for enrichment; (3) the
+    // whole 5-stage chain runs in a BOUNDED number of exchanges (dedup,
+    // bench-gram distinct, contaminated-id distinct, final agg + sort —
+    // growing corpus size adds no exchange).
+    val df = Registry.byName("q100_pipeline_e2e").run(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val wgl = p.indexOf("WindowGroupLimit")
+    assert(wgl >= 0, s"dedup did not lower to WindowGroupLimit:\n$p")
+    assert(p.indexOf("Exchange", wgl) >= 0 &&
+      p.substring(wgl).contains("WindowGroupLimit"),
+      s"no map-side WindowGroupLimit below the dedup exchange:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"q100 join shuffled a corpus side instead of broadcasting:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"expected semi+anti broadcast joins:\n$p")
+    // AQE toString prints Final AND Initial plan sections — count
+    // shuffles only in the final one (5 expected: dedup, bench-gram
+    // distinct, contaminated-id distinct, final agg, final sort)
+    val fin = p.indexOf("== Initial Plan ==") match {
+      case -1 => p; case i => p.substring(0, i)
+    }
+    val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(fin).size
+    assert(exchanges <= 6, s"q100 exchange count grew to $exchanges:\n$p")
+  }
+
   test("native as-of join over bucketed inputs: zero exchange below the join") {
     // AsOfJoinExec declares ClusteredDistribution per child — the same
     // contract SortMergeJoinExec uses — so two tables bucketed on the

@@ -42,6 +42,8 @@ object GoldenGen {
     val spark = Sessions.local("graft-golden")
     val entries = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val lines = Canon.rows(fn(spark, sfDir))
+      // release any cache the query persisted (q93) — QueryCaches contract
+      graft.queries.QueryCaches.releaseAll()
       s"""  "$name": {"rows": ${lines.size}, "sha256": "${Canon.sha256(lines)}"}"""
     }
     Files.createDirectories(Paths.get(outFile).getParent)

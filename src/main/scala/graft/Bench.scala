@@ -55,6 +55,31 @@ object Bench {
       else Some((name, ts(ts.size / 2), ts.head, ts.last, ts.size))
     }
 
+  /** Queries whose median/min spread exceeds `ratio` after the main
+    * passes — i.e. at least one pass was probably steal-inflated. Each
+    * gets ONE adaptive extra rep (round-9 verdict item 4: 16 of 17
+    * median-flagged queries in BENCH_r09 had floors at/below baseline —
+    * pure co-tenant noise that one more sample tightens; with 4 samples
+    * the median is the 3rd smallest, so a single burst-hit pass no
+    * longer drags it). Pinned in BenchAggSpec. */
+  def needExtraPass(
+      summary: Seq[(String, Double, Double, Double, Int)],
+      ratio: Double = 2.0): Seq[String] =
+    summary.collect { case (n, med, mn, _, _) if mn > 0 && med / mn > ratio => n }
+
+  /** Full JSON-string escape (backslash, quote, all control chars) —
+    * same contract as Verify's writer; a tab in a Spark exception
+    * message must not corrupt bench_out.json (round-9 ADVICE item 2). */
+  def jesc(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
   /** name -> compact stdout key. Short keys are qNN tokens (+initials
     * where the token repeats). Collisions are disambiguated PER
     * COLLIDING GROUP with a numeric suffix (round-7 ADVICE item 2: the
@@ -159,7 +184,28 @@ object Bench {
       "orders_zorder" -> (() => Tables.zordered(spark, sfDir)),
       // index-sizing scalar for the ANN builds (q24b band width, q24d
       // IVF list count) — the catalog-rowCount analogue, captured once
-      "embeddings_rowcount" -> (() => Tables.rowCount(spark, sfDir, "embeddings")))
+      "embeddings_rowcount" -> (() => Tables.rowCount(spark, sfDir, "embeddings")),
+      // Avro copy of events for q57's codec-parity arm (graft's own DSv2
+      // Avro source — write-once ingest like the other codecs)
+      "events_avro" -> (() => Tables.codecEvents(spark, sfDir, "avro")),
+      // streaming replay layouts: the duplicate-file (q98) and
+      // multi-file (q79) directories were previously built lazily inside
+      // their query's FIRST TIMED pass — two full events-table writes in
+      // the timed region (round-9 ADVICE item 4); the plain replay dir
+      // rides along for completeness (q44 is no longer responsible for
+      // pre-warming it as a side effect of pass order)
+      "events_replay" -> (() => graft.streaming.StreamingJobs.replayDirFor(spark, sfDir)),
+      "events_replay_dup" -> (() => graft.streaming.StreamingJobs.replayDirDup(spark, sfDir)),
+      "events_replay_multi" -> (() => graft.streaming.StreamingJobs.replayDirMulti(spark, sfDir)),
+      // UNTIMED WARM-UP of q03b's plan (round-9 verdict item 1): the
+      // warehouse-dir bucketed copies live at /tmp/graft-warehouse, which
+      // persists across JVMs — when a prior run already wrote them, this
+      // process never touches those bytes before q03b's first TIMED pass,
+      // so q03b alone pays a cold 32-file disk read while every other
+      // query scans /root/testdata page-cache-warm from ingest. One
+      // throwaway execution makes the comparison like-for-like.
+      "q03b_warm" -> (() => SparkEntry.queries.get("q03b_bucketed_revenue")
+        .foreach(fn => fn(spark, sfDir).queryExecution.toRdd.count())))
     val ingestT0 = System.nanoTime()
     val ingestResults: Seq[(String, Boolean, Double, Option[String])] =
       ingestArtifacts.map { case (name, thunk) =>
@@ -195,36 +241,66 @@ object Bench {
     val times = scala.collection.mutable.Map
       .empty[String, Vector[Double]].withDefaultValue(Vector.empty)
     val scanned = scala.collection.mutable.Map.empty[String, Long]
-    (1 to Passes).foreach { pass =>
-      names.foreach { name =>
-        // Execute the query's OWN physical plan via toRdd, not count()
-        // and not a write: a count() action lets Catalyst prune the
-        // measured work, and df.write re-plans in a fresh QueryExecution
-        // whose metrics are invisible here. toRdd.count() materializes
-        // every output column through the full plan AND leaves the scan
-        // metrics readable on df.queryExecution. Elapsed is captured
-        // ONCE, immediately after the action — metric collection below
-        // must not inflate the reported time.
+    // per-query SCAN detail (files touched, bytes read, scan ms), read
+    // from the leaf scan nodes' SQL metrics — the instrumentation the
+    // q03b driver-floor investigation needed (round-9 verdict item 1):
+    // an IO-bound elevation shows up as bytes/scan-time here, a plan
+    // regression as file/row counts. scan_ms keeps the MIN across passes
+    // (a co-tenant can only add time); files/bytes are stable per plan.
+    val scanFiles = scala.collection.mutable.Map.empty[String, Long]
+    val scanBytes = scala.collection.mutable.Map.empty[String, Long]
+    val scanMs = scala.collection.mutable.Map.empty[String, Long]
+    def runOne(pass: String, name: String): Unit = {
+      // Execute the query's OWN physical plan via toRdd, not count()
+      // and not a write: a count() action lets Catalyst prune the
+      // measured work, and df.write re-plans in a fresh QueryExecution
+      // whose metrics are invisible here. toRdd.count() materializes
+      // every output column through the full plan AND leaves the scan
+      // metrics readable on df.queryExecution. Elapsed is captured
+      // ONCE, immediately after the action — metric collection below
+      // must not inflate the reported time.
+      try {
+        val t0 = System.nanoTime()
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        df.queryExecution.toRdd.count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        times(name) = times(name) :+ secs
         try {
-          val t0 = System.nanoTime()
-          val df = SparkEntry.queries(name)(spark, sfDir)
-          df.queryExecution.toRdd.count()
-          val secs = (System.nanoTime() - t0) / 1e9
-          times(name) = times(name) :+ secs
-          scanned(name) = try {
-            leaves(df.queryExecution.executedPlan)
-              .flatMap(_.metrics.get("numOutputRows")).map(_.value).sum
-          } catch { case _: Throwable => -1L }
-          System.err.println(
-            f"[bench] pass $pass $name%-28s ${secs}%8.3f s  scanned=${scanned(name)}%,12d rows")
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] pass $pass $name failed: ${e.getMessage}")
-        } finally {
-          // POST-timing: release any cache the query persisted (q93) so
-          // each pass pays its own cache build and nothing accumulates
-          queries.QueryCaches.releaseAll()
-        }
+          val ls = leaves(df.queryExecution.executedPlan)
+          def m(keys: Set[String]): Long =
+            ls.flatMap(_.metrics.collect {
+              case (k, v) if keys(k) => v.value }).sum
+          scanned(name) = ls.flatMap(_.metrics.get("numOutputRows"))
+            .map(_.value).sum
+          scanFiles(name) = m(Set("numFiles"))
+          scanBytes(name) = m(Set("filesSize"))
+          val ms = m(Set("scanTime"))
+          scanMs(name) = math.min(scanMs.getOrElse(name, Long.MaxValue), ms)
+        } catch { case _: Throwable => scanned(name) = -1L }
+        System.err.println(
+          f"[bench] pass $pass $name%-28s ${secs}%8.3f s  scanned=${scanned.getOrElse(name, -1L)}%,12d rows")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] pass $pass $name failed: ${e.getMessage}")
+      } finally {
+        // POST-timing: release any cache the query persisted (q93) so
+        // each pass pays its own cache build and nothing accumulates
+        queries.QueryCaches.releaseAll()
       }
+    }
+    (1 to Passes).foreach { pass =>
+      names.foreach(runOne(pass.toString, _))
+    }
+    // ADAPTIVE EXTRA REP for spread-flagged queries (median/min > 2):
+    // co-tenant steal inflates medians, not floors — one more sample per
+    // flagged query makes the median the 3rd-smallest of 4, immune to a
+    // single burst-hit pass. Round-robin again so one burst can't hit
+    // every flagged query's extra rep at once.
+    val flagged = needExtraPass(summarize(names, times))
+    if (flagged.nonEmpty) {
+      System.err.println(
+        s"[bench] adaptive extra pass for ${flagged.size} spread-flagged: " +
+          flagged.mkString(", "))
+      flagged.foreach(runOne("adaptive", _))
     }
     val good = summarize(names, times)
     val qs = good.map { case (k, med, _, _, _) => "\"" + k + "\":" + f"$med%.3f" }
@@ -245,6 +321,17 @@ object Bench {
       .mkString("{", ",", "}")
     val spread = good.map { case (k, _, mn, mx, _) =>
       "\"" + k + "\":[" + f"$mn%.3f" + "," + f"$mx%.3f" + "]"
+    }.mkString("{", ",", "}")
+    // per-query median/min ratio — the gate can read FLOORS directly
+    // instead of re-deriving them from spread (round-9 verdict item 4)
+    val floorRatio = good.map { case (k, med, mn, _, _) =>
+      "\"" + k + "\":" + f"${if (mn > 0) med / mn else 1.0}%.2f"
+    }.mkString("{", ",", "}")
+    val scanJson = good.map { case (k, _, _, _, _) =>
+      val ms = scanMs.getOrElse(k, Long.MaxValue)
+      "\"" + k + "\":{\"files\":" + scanFiles.getOrElse(k, -1L) +
+        ",\"bytes\":" + scanBytes.getOrElse(k, -1L) +
+        ",\"scan_ms\":" + (if (ms == Long.MaxValue) -1L else ms) + "}"
     }.mkString("{", ",", "}")
     val repsOk = good.map { case (k, _, _, _, n) => "\"" + k + "\":" + n }
       .mkString("{", ",", "}")
@@ -268,11 +355,11 @@ object Bench {
     // per-artifact ingest detail rides only in the FULL renderings —
     // the compact stdout line stays within the driver's 2000-char tail
     val ingestJson = ingestResults.map { case (n, ok, secs, err) =>
-      val e = err.map(m => s""","err":"${m.replace("\\", "\\\\").replace("\"", "\\\"")}"""").getOrElse("")
+      val e = err.map(m => s""","err":"${jesc(m)}"""").getOrElse("")
       s"""{"name":"$n","ok":$ok,"secs":${f"$secs%.3f"}$e}"""
     }.mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","value_min":${f"$totalMin%.3f"},"qps":${f"$qps%.3f"},"queries":$qs,"spread":$spread,"reps_ok":$repsOk,"keymap":$keymap,"ingest":$ingestJson,$tailCommon}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","value_min":${f"$totalMin%.3f"},"qps":${f"$qps%.3f"},"queries":$qs,"spread":$spread,"floor_ratio":$floorRatio,"scan":$scanJson,"reps_ok":$repsOk,"keymap":$keymap,"ingest":$ingestJson,$tailCommon}"""
     // the compact stdout line must survive the driver's 2000-char tail
     // capture at 100+ queries: short keys, 2-decimal medians, no
     // value_min/qps/spread (all live in the full JSON renderings)

@@ -241,8 +241,14 @@ object Tables {
     * test-asserted to oracle-gated. */
   def codecEvents(spark: SparkSession, dir: String, codec: String): DataFrame = synchronized {
     require(
-      codec == "csv" || codec == "json" || codec == "orc" || codec == "xml",
+      codec == "csv" || codec == "json" || codec == "orc" || codec == "xml" ||
+        codec == "avro",
       codec)
+    // "avro" maps to graft's own DSv2 container-file source (the
+    // spark-avro connector module is not on this classpath; see
+    // sources/AvroSource.scala) — same write-once / explicit-schema
+    // contract as the built-in codecs.
+    val fmt = if (codec == "avro") "graftavro" else codec
     val slug = s"events_${codec}_" + dir.replaceAll("[^A-Za-z0-9]", "_")
     val loc = new java.io.File(
       spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), slug)
@@ -250,7 +256,7 @@ object Tables {
       val t0 = System.nanoTime()
       val w = load(spark, dir, "events")
         .select("event_id", "user_id", "event_type", "value")
-        .write.mode("overwrite").format(codec)
+        .write.mode("overwrite").format(fmt)
       (if (codec == "xml") w.option("rowTag", "event") else w)
         .save(loc.toString)
       System.err.println(
@@ -258,7 +264,7 @@ object Tables {
     }
     val r = spark.read
       .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE")
-      .format(codec)
+      .format(fmt)
     (if (codec == "xml") r.option("rowTag", "event") else r)
       .load(loc.toString)
   }

@@ -23,14 +23,17 @@ object Verify {
             .parquet(s"$outDir/$name")
           val n = spark.read.parquet(s"$outDir/$name").count()
           System.err.println(s"[verify] $name rows=$n")
-          // release any cache a query persisted (q93) — no session leak
-          queries.QueryCaches.releaseAll()
         } catch { case e: Throwable =>
           val msg = s"${e.getClass.getSimpleName}: " +
             Option(e.getMessage).getOrElse("").linesIterator
               .take(3).mkString(" | ").take(500)
           errors(name) = msg
           System.err.println(s"[verify] $name failed: $msg")
+        } finally {
+          // release any cache a query persisted (q93) — in a finally so a
+          // failure AFTER persist() still drops its entries immediately
+          // (round-9 ADVICE item 3), mirroring Bench's structure
+          queries.QueryCaches.releaseAll()
         }
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -693,9 +693,14 @@ object CoreQueries {
   // percentiles — same pairing as q15/q15b for count-distinct). At
   // accuracy 1e6 ≫ group row counts the sketch degenerates to exact
   // (rank error < 1 row), so the result is deterministic and equals the
-  // discrete percentile — PercentileApproxSpec asserts that equivalence
-  // in-Spark. No DuckDB oracle: sketch rank semantics at real accuracies
-  // are engine-specific (same rows-only gate as q15b/q24b).
+  // SQL-standard DISCRETE percentile (smallest value with cume_dist ≥ p
+  // — PercentileApproxSpec asserts that equivalence against Spark's
+  // percentile_disc, plus merge-order invariance). That makes it
+  // ORACLE-GRADEABLE (round-9 verdict item 3): DuckDB's quantile_disc
+  // implements the same smallest-cume_dist≥p rule (probed across group
+  // sizes ≡ 0..3 mod 4, where the floor(p·(n-1)) family of definitions
+  // diverges), so the full hash gate applies. At REAL accuracies the
+  // sketch is engine-specific — the q15b caveat stands for that regime.
   private val q35b = QueryDef(
     "q35b_quantity_stats_approx",
     (s, dir) => {
@@ -707,7 +712,12 @@ object CoreQueries {
         count(lit(1)).as("n"))
         .orderBy($"l_returnflag")
     },
-    None)
+    Some("""SELECT l_returnflag,
+        quantile_disc(l_quantity, 0.25) AS p25,
+        quantile_disc(l_quantity, 0.5) AS p50,
+        quantile_disc(l_quantity, 0.75) AS p75,
+        COUNT(*) AS n
+      FROM lineitem GROUP BY 1 ORDER BY 1"""))
 
   // ---------------------------------------------------------------- Q36
   // Multiset set-ops: UNION ALL and EXCEPT ALL (q18 covers the DISTINCT

@@ -131,9 +131,15 @@ object EmbeddingQueries {
   //      table is still recalled; probe fan-out is (r+1)·b ≈ 50
   //      broadcast rows per query — free at any scale, and the corpus
   //      side still stores ONE sig per table (no index blow-up).
-  // Approximate output (buckets may miss true neighbors) → no DuckDB
-  // oracle; recall vs q24 is asserted in AnnRecallSpec (planted
-  // near-copies), bucket sublinearity in its bucket-stats test.
+  // APPROXIMATE in which neighbors it considers, yet fully ORACLE-GRADED
+  // (round-9 verdict item 2): every step — literal hyperplanes, integer
+  // sign bits, corpus-sized r, Hamming-1 probe expansion, candidate
+  // join, exact scoring — is deterministic, so the DuckDB oracle
+  // rebuilds the 4×r sign-bit bucket assignment relationally (the q24d
+  // treatment; pre-quantized int64 plane weights ship as VALUES rows)
+  // and the full hash gate applies. Recall vs q24 stays asserted in
+  // AnnRecallSpec (planted near-copies), bucket sublinearity in its
+  // bucket-stats test.
   private val nTables = 4
   private val maxBitsPerTable = 16
 
@@ -176,6 +182,16 @@ object EmbeddingQueries {
     * count of the corpus being indexed. */
   private[graft] def lshBands(df: DataFrame): DataFrame =
     lshBands(df, bandBits(df.count()))
+
+  /** The hyperplanes as DuckDB VALUES rows of PRE-QUANTIZED int64
+    * weights — `QuantizedDot.q` applied driver-side, so the oracle's
+    * integer dot against `round(element·10⁶)` reproduces `dotq`'s sign
+    * bit-for-bit without ever parsing a float literal (float→decimal
+    * text round-trips were the round-2 1-ulp hole; integers have none). */
+  private lazy val oraclePlanes: String =
+    hyperplanes.zipWithIndex.map { case (w, p) =>
+      s"($p, [${w.map(graft.functions.QuantizedDot.q).mkString(",")}])"
+    }.mkString(",\n          ")
 
   private val q24b = QueryDef(
     "q24b_ann_lsh",
@@ -220,7 +236,65 @@ object EmbeddingQueries {
         .select($"q_id", $"rk", $"vec_id", $"label", $"cosine")
         .orderBy($"q_id", $"rk")
     },
-    None)
+    // The relational rebuild of the index: r from the bit length of
+    // n-1 (exact integer arithmetic — the log2 float path can misround
+    // at powers of two), sign bits from pre-quantized int64 planes,
+    // multi-probe via a range(-1, 16) flip join. Mirrors bandBits /
+    // lshBands / probeFlips above, step for step.
+    Some(s"""WITH norms AS (
+        SELECT vec_id, embedding, label,
+          ${oDot("embedding", "embedding")} AS n2
+        FROM embeddings),
+      cnt AS (SELECT COUNT(*) AS n FROM embeddings),
+      rbits AS (
+        SELECT LEAST($maxBitsPerTable,
+            GREATEST(8, COALESCE(MAX(k.k) + 1, 1))) AS r
+        FROM range(63) k(k), cnt
+        WHERE ((n - 1) >> k.k) & 1 = 1),
+      planes(p, w) AS (VALUES
+          $oraclePlanes),
+      sigbits AS (
+        SELECT e.vec_id, CAST(p.p // $maxBitsPerTable AS BIGINT) AS table_idx,
+          CASE WHEN (SELECT CAST(SUM(
+                CAST(round(CAST(ax AS DOUBLE) * 1000000) AS BIGINT) * wx)
+              AS BIGINT)
+              FROM (SELECT unnest(e.embedding) AS ax, unnest(p.w) AS wx) z)
+            >= 0
+          THEN (CAST(1 AS BIGINT) << (p.p % $maxBitsPerTable)) ELSE 0 END AS bit
+        FROM embeddings e, planes p, rbits
+        WHERE (p.p % $maxBitsPerTable) < rbits.r),
+      sigs AS (
+        SELECT vec_id, table_idx, CAST(SUM(bit) AS BIGINT) AS sig
+        FROM sigbits GROUP BY 1, 2),
+      probes AS (
+        SELECT s.vec_id AS q_id, s.table_idx,
+          CASE WHEN f.i < 0 THEN s.sig
+               ELSE xor(s.sig, CAST(1 AS BIGINT) << f.i) END AS sig
+        FROM sigs s, range(-1, $maxBitsPerTable) f(i), rbits
+        WHERE s.vec_id IN (${queryIds.mkString(", ")}) AND f.i < rbits.r),
+      cand AS (
+        SELECT DISTINCT p.q_id, b.vec_id
+        FROM sigs b JOIN probes p
+          ON b.table_idx = p.table_idx AND b.sig = p.sig
+        WHERE b.vec_id <> p.q_id),
+      q AS (
+        SELECT vec_id AS q_id, embedding AS q_emb, n2 AS q_n2
+        FROM norms WHERE vec_id IN (${queryIds.mkString(", ")})),
+      scored AS (
+        SELECT cd.q_id, e.vec_id, e.label,
+          CAST(${oDot("q.q_emb", "e.embedding")} AS DOUBLE)
+            / (sqrt(CAST(q.q_n2 AS DOUBLE)) * sqrt(CAST(e.n2 AS DOUBLE)))
+            AS cosine
+        FROM cand cd
+        JOIN norms e ON e.vec_id = cd.vec_id
+        JOIN q ON q.q_id = cd.q_id),
+      ranked AS (
+        SELECT q_id, vec_id, label, cosine,
+          CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY cosine DESC, vec_id) AS BIGINT) AS rk
+        FROM scored)
+      SELECT q_id, rk, vec_id, label, cosine
+      FROM ranked WHERE rk <= 5 ORDER BY q_id, rk"""))
 
   // --------------------------------------------------------------- Q24c
   // Embedding-similarity pairs, IVF-style: compare only within the same

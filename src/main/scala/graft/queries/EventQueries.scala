@@ -306,16 +306,19 @@ object EventQueries {
       ORDER BY user_id, session_start"""))
 
   // ---------------------------------------------------------------- Q57
-  // CSV + JSON source scans under the oracle gate (§2.B aux-scan row,
-  // previously only test-asserted). The same per-type aggregate runs
-  // over a CSV copy and a JSON copy of events (Tables.codecEvents,
-  // written once in the untimed ingest phase; explicit read schema —
-  // text inference at 100 TB is an extra full pass). Both codecs must
-  // reproduce the PARQUET-derived oracle numbers exactly, proving the
-  // text round-trip lossless for longs, strings and doubles (Java
-  // emits shortest-round-trip decimal for doubles, so parse(print(x))
-  // == x bit-for-bit; the decimal-sum Policy then makes the aggregate
-  // order-independent as usual). One output row per (codec, type).
+  // CSV/JSON/ORC/XML/Avro source scans under the oracle gate (§2.B
+  // aux-scan row, previously only test-asserted). The same per-type
+  // aggregate runs over a copy of events in each codec
+  // (Tables.codecEvents, written once in the untimed ingest phase;
+  // explicit read schema — text inference at 100 TB is an extra full
+  // pass). Every codec must reproduce the PARQUET-derived oracle
+  // numbers exactly, proving the round-trip lossless for longs,
+  // strings and doubles (Java emits shortest-round-trip decimal for
+  // doubles, so parse(print(x)) == x bit-for-bit; the decimal-sum
+  // Policy then makes the aggregate order-independent as usual; ORC
+  // and Avro are binary-typed, so their round-trip is trivially
+  // exact — Avro through graft's own DSv2 container source,
+  // sources/AvroSource.scala). One output row per (codec, type).
   private val q57 = QueryDef(
     "q57_codec_parity",
     (s, dir) => {
@@ -328,7 +331,7 @@ object EventQueries {
           .select(lit(codec).as("codec"), $"event_type",
             $"n_events", $"total_value")
       one("csv").unionAll(one("json")).unionAll(one("orc"))
-        .unionAll(one("xml"))
+        .unionAll(one("xml")).unionAll(one("avro"))
         .orderBy($"codec", $"event_type")
     },
     Some("""WITH a AS (
@@ -342,6 +345,8 @@ object EventQueries {
       SELECT 'orc' AS codec, event_type, n_events, total_value FROM a
       UNION ALL
       SELECT 'xml' AS codec, event_type, n_events, total_value FROM a
+      UNION ALL
+      SELECT 'avro' AS codec, event_type, n_events, total_value FROM a
       ORDER BY 1, 2"""))
 
   // ---------------------------------------------------------------- Q58

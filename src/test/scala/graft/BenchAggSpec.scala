@@ -76,6 +76,24 @@ class BenchAggSpec extends AnyFunSuite {
     assert(names.forall(n => ks(n).length < n.length), "no full-name fallback")
   }
 
+  test("needExtraPass: flags only median/min > 2 with a positive floor") {
+    // the adaptive rep exists for steal-shaped spreads (round-9 verdict
+    // item 4); a ratio of exactly 2 and a zero floor must NOT flag
+    val summary = Seq(
+      ("q_ok", 1.0, 0.9, 1.2, 3),
+      ("q_steal", 9.0, 1.0, 20.0, 3),
+      ("q_zero_floor", 5.0, 0.0, 9.0, 3),
+      ("q_edge", 2.0, 1.0, 2.0, 3))
+    assert(Bench.needExtraPass(summary) === Seq("q_steal"))
+  }
+
+  test("jesc escapes quotes, backslashes and ALL control chars") {
+    // round-9 ADVICE item 2: a tab in an ingest error message must not
+    // corrupt bench_out.json
+    assert(Bench.jesc("a\tb\"c\\d\ne\u0001f") ===
+      "a\\tb\\\"c\\\\d\\ne\\u0001f")
+  }
+
   test("compact stdout line keeps headroom inside the driver's 2000-char tail") {
     // Round-7 verdict item 7: pin the length at the CURRENT registry
     // size with worst-case field widths (4-digit medians, 4-digit

@@ -259,8 +259,13 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = df.queryExecution.executedPlan.toString
     val wgl = p.indexOf("WindowGroupLimit")
     assert(wgl >= 0, s"dedup did not lower to WindowGroupLimit:\n$p")
-    assert(p.indexOf("Exchange", wgl) >= 0 &&
-      p.substring(wgl).contains("WindowGroupLimit"),
+    // The plan string prints parents first: final WGL, then its exchange,
+    // then the PARTIAL (map-side) WGL below that exchange — so a second
+    // WindowGroupLimit occurrence after the first Exchange after the
+    // first WGL is required (round-9 ADVICE item 1: the old
+    // p.substring(wgl).contains(...) was vacuously true).
+    val ex = p.indexOf("Exchange", wgl)
+    assert(ex >= 0 && p.indexOf("WindowGroupLimit", ex) >= 0,
       s"no map-side WindowGroupLimit below the dedup exchange:\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       s"q100 join shuffled a corpus side instead of broadcasting:\n$p")

@@ -256,11 +256,15 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
     assert(spark.table("s8").count() > 0)
     assert(spark.table("s8").columns.toSet === Set("timestamp", "value"))
-    // console sink smoke (§2.B sink row): one AvailableNow drain
+    // console sink (§2.B sink row): one AvailableNow drain, and the
+    // sink's own progress metric must show rows actually written (a
+    // start()+await that wrote nothing would pass a bare smoke)
     val c = hourlyCounts(readReplayStream(spark, replayDir))
       .writeStream.format("console").option("numRows", 1)
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
     c.awaitTermination()
+    assert(c.recentProgress.exists(_.sink.numOutputRows > 0),
+      "console sink reported no written rows")
   }
 
   test("S4: mapGroupsWithState oscillator is replay-stable and matches a hand trace") {

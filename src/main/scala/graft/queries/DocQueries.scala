@@ -1525,7 +1525,67 @@ object DocQueries {
         CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
       FROM clean GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  // --------------------------------------------------------------- Q101
+  // Document CHUNKING — the split-side sibling of q47's sequence packing
+  // (packing concatenates short docs up to a context budget; chunking
+  // cuts long docs DOWN to it): overlapping token windows of 64 with
+  // stride 48 (16-token overlap, the standard RAG/pretraining window
+  // shape). Chunk count per doc is exact integer arithmetic —
+  // ceil(max(n-64,0)/48)+1 as (greatest(n-64,0)+47) div 48 + 1 — so the
+  // window grid is engine-portable with no float step. Each chunk gets a
+  // CONTENT-ADDRESSED id (md5 of its space-joined tokens): two chunks
+  // with identical token spans — e.g. the duplicated docs q25 dedups —
+  // share an id, which is what makes chunk-level dedup/caching
+  // downstream a plain groupBy. Scale shape: the explode fan-out is
+  // ~n_tok/48 rows per document (bounded by corpus token count / 48,
+  // the same order as the corpus itself), everything up to the final
+  // ORDER BY is map-only — no join, no aggregation, no shuffle; at
+  // 100 TB the output sort is dropped and chunks stream straight to the
+  // writer partitioned by source.
+  private val ChunkN = 64
+  private val ChunkS = 48
+
+  private val q101 = QueryDef(
+    "q101_doc_chunking",
+    (s, dir) => {
+      import s.implicits._
+      docs(s, dir)
+        .select($"doc_id", $"lang",
+          expr("filter(split(text, ' '), t -> length(t) > 0)").as("toks"))
+        .withColumn("n", size($"toks").cast(LongType))
+        .filter($"n" > 0)
+        .withColumn("k", explode(expr(
+          s"sequence(0L, (greatest(n - $ChunkN, 0L) + ${ChunkS - 1}) div $ChunkS)")))
+        .select($"doc_id", $"lang",
+          ($"k" + 1).as("chunk_idx"),
+          ($"k" * ChunkS + 1).as("start_tok"),
+          least(lit(ChunkN.toLong), $"n" - ($"k" * ChunkS + 1) + 1).as("n_tok"),
+          md5(concat_ws(" ",
+            slice($"toks", ($"k" * ChunkS + 1).cast("int"),
+              least(lit(ChunkN.toLong), $"n" - ($"k" * ChunkS + 1) + 1)
+                .cast("int"))).cast("binary")).as("chunk_md5"))
+        .orderBy($"doc_id", $"chunk_idx")
+    },
+    Some(s"""WITH d AS (
+        SELECT doc_id, lang,
+          list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
+        FROM documents),
+      d2 AS (
+        SELECT doc_id, lang, toks, CAST(len(toks) AS BIGINT) AS n
+        FROM d WHERE len(toks) > 0),
+      ch AS (
+        SELECT doc_id, lang, toks, n, CAST(t.k AS BIGINT) AS k
+        FROM d2 CROSS JOIN unnest(range(0,
+          ((GREATEST(n - $ChunkN, 0) + ${ChunkS - 1}) // $ChunkS) + 1)) AS t(k))
+      SELECT doc_id, lang,
+        k + 1 AS chunk_idx,
+        k * $ChunkS + 1 AS start_tok,
+        LEAST($ChunkN, n - (k * $ChunkS + 1) + 1) AS n_tok,
+        md5(array_to_string(list_slice(toks, k * $ChunkS + 1,
+          LEAST(n, k * $ChunkS + $ChunkN)), ' ')) AS chunk_md5
+      FROM ch ORDER BY doc_id, chunk_idx"""))
+
   val all: Seq[QueryDef] =
     Seq(q22, q23, q25, q26, q27, q28, q29, q32, q39, q42, q45, q46, q47,
-      q50, q51, q52, q53, q54, q59, q60, q65, q88, q89, q100)
+      q50, q51, q52, q53, q54, q59, q60, q65, q88, q89, q100, q101)
 }

@@ -517,5 +517,144 @@ object EmbeddingQueries {
           AS centroid_micro
       FROM e GROUP BY 1, 2 ORDER BY 1, 2"""))
 
-  val all: Seq[QueryDef] = Seq(q24, q24b, q24c, q24d, q62)
+  // --------------------------------------------------------------- Q102
+  // SEMANTIC DEDUP (SemDeDup, Abbas et al. 2023 — public paper): remove
+  // documents whose EMBEDDINGS are near-identical, the embedding-space
+  // sibling of the q23/q32/q45/q65 text near-dup family. Blocking uses
+  // the q24b LSH machinery verbatim — corpus-sized r-bit sign signatures
+  // over 4 hash tables — so only same-bucket pairs are ever scored:
+  //   map-only signatures (4·r codegen'd dotq per row) → ONE shuffle on
+  //   (table_idx, sig) for the bucket self-join → exact cosine on
+  //   candidates only → threshold → keep-lowest-id per duplicate.
+  // Scale shape: r = ⌈log2 n⌉ keeps E[random same-bucket pairs] O(n)
+  // (n²/2^r ≈ n per table), so candidate count — and the exact-scoring
+  // stage — grows LINEARLY where all-pairs would be quadratic; the
+  // keep-rule window partitions by dropped_id (tiny partitions). The
+  // pairwise keep-lowest rule is exact for duplicate PAIRS; chained
+  // groups would compose with q39's connected-components pass.
+  //
+  // The testdata corpus is random vectors (max natural cosine ≈ 0.5 —
+  // see q24c), so a 0.9 threshold finds nothing in it; like q98's
+  // double replay, the query PLANTS its own duplicates deterministically:
+  // every 40th vector re-enters as vec_id+1000000 scaled by 1.001.
+  // Scaling preserves direction (cosine ≈ 1 up to quantization), and
+  // double·1.001 → float re-round is IEEE round-to-nearest in BOTH
+  // engines, so the oracle rebuilds the identical corpus. A planted
+  // copy's plane-dot signs match the original's unless a dot sits within
+  // ~0.1% of zero (P≈1e-8 across 4 tables — recall pinned in
+  // SemDedupSpec); either way both engines bucket identically, so the
+  // hash gate is exact regardless.
+  private val dupThreshold = 0.9
+
+  /** The planted-duplicate corpus: embeddings ∪ 1.001-scaled copies of
+    * every 40th vector (copy id = vec_id + 1_000_000). Exposed
+    * private[graft] for SemDedupSpec. */
+  private[graft] def plantedCorpus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = emb(s, dir).select($"vec_id", $"embedding", $"label")
+    val copies = base.filter($"vec_id" % 40 === 0)
+      .select(($"vec_id" + lit(1000000L)).as("vec_id"),
+        transform($"embedding",
+          x => (x.cast(DoubleType) * lit(1.001)).cast(FloatType))
+          .as("embedding"),
+        $"label")
+    base.unionAll(copies)
+  }
+
+  private val q102 = QueryDef(
+    "q102_semantic_dedup",
+    (s, dir) => {
+      import s.implicits._
+      val corpus = plantedCorpus(s, dir)
+      val withN2 = corpus.withColumn("n2", dotQ("embedding", "embedding"))
+      // index-sizing from the memoized ingest-phase count (q24b's
+      // parameterization; the +n/40 planted rows don't move ⌈log2 n⌉)
+      val r = bandBits(Tables.rowCount(s, dir, "embeddings"))
+      val bands = lshBands(corpus.select($"vec_id", $"embedding"), r)
+      // bucket self-join: candidates are same-(table, sig) pairs; the
+      // distinct dedups pairs found by several tables BEFORE scoring
+      val cand = bands.select($"table_idx", $"sig", $"vec_id".as("id1"))
+        .join(bands.select($"table_idx", $"sig", $"vec_id".as("id2")),
+          Seq("table_idx", "sig"))
+        .filter($"id1" < $"id2")
+        .select($"id1", $"id2").distinct()
+      val edges = cand
+        .join(withN2.select($"vec_id".as("id1"), $"embedding".as("e1"),
+          $"n2".as("n1")), Seq("id1"))
+        .join(withN2.select($"vec_id".as("id2"), $"embedding".as("e2"),
+          $"n2".as("n2b"), $"label"), Seq("id2"))
+        .withColumn("cosine",
+          dotQ("e1", "e2").cast(DoubleType) /
+            (sqrt($"n1".cast(DoubleType)) * sqrt($"n2b".cast(DoubleType))))
+        .filter($"cosine" >= dupThreshold)
+      // keep-lowest-id: the larger id of each duplicate pair is dropped,
+      // attributed to its SMALLEST surviving partner (deterministic when
+      // one vector duplicates several others)
+      val w = Window.partitionBy($"id2").orderBy($"id1")
+      edges
+        .select($"label", $"id2".as("dropped_id"), $"id1".as("kept_id"),
+          $"cosine", row_number().over(w).as("rk"))
+        .filter($"rk" === 1)
+        .select($"label", $"dropped_id", $"kept_id", $"cosine")
+        .orderBy($"label", $"dropped_id")
+    },
+    // Relational rebuild, q24b-style: identical planted corpus (same
+    // IEEE double·1.001 → REAL re-round), same pre-quantized int64
+    // planes, same corpus-sized r, then bucket self-join + threshold +
+    // keep-lowest window.
+    Some(s"""WITH corpus AS (
+        SELECT vec_id, embedding, label FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000,
+          list_transform(embedding,
+            x -> CAST(CAST(x AS DOUBLE) * 1.001 AS REAL)),
+          label
+        FROM embeddings WHERE vec_id % 40 = 0),
+      cnt AS (SELECT COUNT(*) AS n FROM embeddings),
+      rbits AS (
+        SELECT LEAST($maxBitsPerTable,
+            GREATEST(8, COALESCE(MAX(k.k) + 1, 1))) AS r
+        FROM range(63) k(k), cnt
+        WHERE ((n - 1) >> k.k) & 1 = 1),
+      planes(p, w) AS (VALUES
+          $oraclePlanes),
+      sigbits AS (
+        SELECT c.vec_id, CAST(p.p // $maxBitsPerTable AS BIGINT) AS table_idx,
+          CASE WHEN (SELECT CAST(SUM(
+                CAST(round(CAST(ax AS DOUBLE) * 1000000) AS BIGINT) * wx)
+              AS BIGINT)
+              FROM (SELECT unnest(c.embedding) AS ax, unnest(p.w) AS wx) z)
+            >= 0
+          THEN (CAST(1 AS BIGINT) << (p.p % $maxBitsPerTable)) ELSE 0 END AS bit
+        FROM corpus c, planes p, rbits
+        WHERE (p.p % $maxBitsPerTable) < rbits.r),
+      sigs AS (
+        SELECT vec_id, table_idx, CAST(SUM(bit) AS BIGINT) AS sig
+        FROM sigbits GROUP BY 1, 2),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+        FROM sigs a JOIN sigs b
+          ON a.table_idx = b.table_idx AND a.sig = b.sig
+          AND a.vec_id < b.vec_id),
+      norms AS (
+        SELECT vec_id, embedding, label,
+          ${oDot("embedding", "embedding")} AS n2
+        FROM corpus),
+      edges AS (
+        SELECT e2.label, cd.id2 AS dropped_id, cd.id1 AS kept_id,
+          CAST(${oDot("e1.embedding", "e2.embedding")} AS DOUBLE)
+            / (sqrt(CAST(e1.n2 AS DOUBLE)) * sqrt(CAST(e2.n2 AS DOUBLE)))
+            AS cosine
+        FROM cand cd
+        JOIN norms e1 ON e1.vec_id = cd.id1
+        JOIN norms e2 ON e2.vec_id = cd.id2),
+      ranked AS (
+        SELECT label, dropped_id, kept_id, cosine,
+          ROW_NUMBER() OVER (PARTITION BY dropped_id ORDER BY kept_id)
+            AS rk
+        FROM edges WHERE cosine >= $dupThreshold)
+      SELECT label, dropped_id, kept_id, cosine
+      FROM ranked WHERE rk = 1 ORDER BY label, dropped_id"""))
+
+  val all: Seq[QueryDef] = Seq(q24, q24b, q24c, q24d, q62, q102)
 }

@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(WordShingles.descriptor)
     e.injectFunction(FreqSketch.descriptor)
     e.injectFunction(NGramsGen.descriptor)
+    e.injectFunction(SortedIntersectCount.descriptor)
     // Real pure-JVM BMP codec kernels (multimodal pipeline, q31b).
     e.injectFunction(graft.multimodal.BmpCodec.encodeDescriptor)
     e.injectFunction(graft.multimodal.BmpCodec.decodeDescriptor)

@@ -308,4 +308,44 @@ class FunctionsSpec extends AnyFunSuite {
     assert(plan.linesIterator.next().startsWith("*("),
       s"expected codegen span in:\n$plan")
   }
+
+  // ------------------------------------------------------ sorted_icount
+  test("sorted_icount equals size(array_intersect) on sorted random sets") {
+    // The q45 verify-kernel law: on SORTED DISTINCT inputs the merge
+    // count must equal the reference intersection cardinality. 200
+    // random set pairs, varied sizes incl. empty and disjoint.
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def set(): Seq[String] =
+      Seq.fill(rnd.nextInt(40))(s"tok${rnd.nextInt(60)}").distinct.sorted
+    val pairs = Seq.fill(200)((set(), set())) :+
+      ((Seq.empty[String], Seq("a"))) :+ ((Seq("x"), Seq("y")))
+    val df = pairs.toDF("a", "b")
+      .selectExpr("sorted_icount(a, b) AS fast",
+        "CAST(size(array_intersect(a, b)) AS BIGINT) AS ref")
+    assert(df.filter("fast <> ref").count() === 0)
+  }
+
+  test("sorted_icount codegen (DataFrame) agrees with interpreted eval") {
+    import graft.functions.SortedIntersectCount
+    import spark.implicits._
+    val a = Seq("apple", "pear", "plum")
+    val b = Seq("apple", "cherry", "plum", "quince")
+    val viaDf = Seq((a, b)).toDF("a", "b")
+      .selectExpr("sorted_icount(a, b) AS n").as[Long].head()
+    val viaEval = SortedIntersectCount(
+      Literal.create(a, ArrayType(StringType)),
+      Literal.create(b, ArrayType(StringType))).eval(null)
+    assert(viaDf === 2L)
+    assert(viaEval === 2L)
+  }
+
+  test("sorted_icount stays inside WholeStageCodegen") {
+    val df = Tables.load(spark, TestSpark.sf0001, "documents")
+      .selectExpr("sort_array(split(lower(text), ' ')) AS t")
+      .selectExpr("sorted_icount(t, t) AS n")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.next().startsWith("*("),
+      s"expected codegen span in:\n$plan")
+  }
 }

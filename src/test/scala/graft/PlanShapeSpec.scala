@@ -322,4 +322,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(maxSize < 60000, s"generated method $maxSize B is courting " +
       "the 64 KB codegen fallback")
   }
+
+  test("q102 semantic dedup: blocking stays equi-join, never all-pairs") {
+    // The whole point of the LSH blocking is that no stage compares
+    // every vector to every vector: the bucket self-join and the two
+    // candidate-enrichment joins must all plan as equi-joins (SMJ/SHJ/
+    // BHJ), with no CartesianProduct or BroadcastNestedLoopJoin anywhere
+    // — the shape that makes the dedup linear instead of quadratic at
+    // 100 TB.
+    val df = Registry.byName("q102_semantic_dedup").run(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"q102 planned an all-pairs join:\n$p")
+  }
 }

@@ -49,7 +49,12 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // partial aggregates must merge identically, LISTAGG's in-group
     // ORDER BY pins intra-group order under any shuffle
     "q31b_image_decode", "q31c_audio_decode", "q31d_video_decode",
-    "q91_listagg", "q93_cached_share", "q94_incremental_mv")
+    "q91_listagg", "q93_cached_share", "q94_incremental_mv",
+    // round-10 wave: content-addressed chunk ids must not depend on how
+    // documents fall into partitions; semantic dedup's LSH buckets,
+    // planted-copy union and keep-lowest window must all commute with
+    // partitioning
+    "q101_doc_chunking", "q102_semantic_dedup")
 
   private def canonical(name: String): Seq[String] = {
     val df = Registry.byName(name).run(spark, dir)

@@ -412,6 +412,70 @@ object CoreQueries {
     },
     None)
 
+  /** KMV (k-minimum-values) approximate distinct — the ORACLE-GRADEABLE
+    * sketch next to q15b's engine-specific HLL (Beyer et al., SIGMOD'07
+    * "On synopses for distinct-value estimation": with k distinct
+    * minimum hash values observed, D̂ = (k−1)/v_k for v_k the k-th
+    * smallest hash normalized to [0,1)). Every step is deterministic
+    * cross-engine: h = first 60 md5 bits of the part key (the q54
+    * conv/0x idiom), the bottom-k-distinct selection is pure integer
+    * ordering, and the estimator is three IEEE double ops (no libm —
+    * the reason KMV is gradeable where HLL's small-range ln() branch
+    * would be at the mercy of each engine's math library).
+    *
+    * Scale shape: dense_rank ≤ k lowers to WindowGroupLimit
+    * (plan-pinned in PlanShapeSpec), so each map partition forwards
+    * only rows whose hash ranks among its k smallest distinct values —
+    * bounded carry per partition, no full distinct shuffle of the fact
+    * table; the final per-group state is ≤ k hashes. Groups with fewer
+    * than k distinct values short-circuit to the EXACT count (the
+    * sketch saw every value). Accuracy law (SE ≈ 1/√(k−2) ≈ 13% at
+    * k=64) asserted against the exact q15 counts in SketchSurfaceSpec. */
+  private val kmvK = 64
+  private val q15c = QueryDef(
+    "q15c_distinct_parts_kmv",
+    (s, dir) => {
+      import s.implicits._
+      val h = conv(substring(
+        md5($"l_partkey".cast(StringType).cast(BinaryType)), 1, 15), 16, 10)
+        .cast(LongType)
+      val hashed = t(s, dir, "lineitem").select($"l_returnflag", h.as("h"))
+      val w = Window.partitionBy($"l_returnflag").orderBy($"h")
+      val kept = hashed
+        .withColumn("rk", dense_rank().over(w))
+        .filter($"rk" <= kmvK)
+        .select($"l_returnflag", $"h").distinct()
+      kept.groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n_kept"), max($"h").as("v_k"))
+        .select($"l_returnflag", $"n_kept",
+          when($"n_kept" < kmvK, $"n_kept".cast(DoubleType))
+            .otherwise(lit((kmvK - 1).toDouble) *
+              lit(1152921504606846976.0) / $"v_k".cast(DoubleType))
+            .as("kmv_est"))
+        .orderBy($"l_returnflag")
+    },
+    // 2^60 = 1152921504606846976 is a power of two — its decimal text
+    // parses to the same exact double in both engines.
+    Some(s"""WITH hashed AS (
+        SELECT l_returnflag,
+          ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT
+            AS h
+        FROM lineitem),
+      ranked AS (
+        SELECT DISTINCT l_returnflag, h FROM (
+          SELECT l_returnflag, h,
+            DENSE_RANK() OVER (PARTITION BY l_returnflag ORDER BY h) AS rk
+          FROM hashed)
+        WHERE rk <= $kmvK),
+      agg AS (
+        SELECT l_returnflag, COUNT(*) AS n_kept, CAST(MAX(h) AS BIGINT) AS v_k
+        FROM ranked GROUP BY 1)
+      SELECT l_returnflag, CAST(n_kept AS BIGINT) AS n_kept,
+        CASE WHEN n_kept < $kmvK THEN CAST(n_kept AS DOUBLE)
+          ELSE CAST(${kmvK - 1} AS DOUBLE) * 1152921504606846976.0
+            / CAST(v_k AS DOUBLE) END AS kmv_est
+      FROM agg ORDER BY 1"""))
+
   // ---------------------------------------------------------------- Q16
   private val q16 = QueryDef(
     "q16_rollup_revenue",
@@ -1350,7 +1414,7 @@ object CoreQueries {
 
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q03b, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q15b, q16, q17, q18a, q18b, q19,
+    q11, q12, q13, q14, q15, q15b, q15c, q16, q17, q18a, q18b, q19,
     q30, q33, q34, q35, q35b, q36, q38, q40, q41, q43, q48, q55, q56,
     q61, q63, q64, q68, q69, q93, q95)
 }

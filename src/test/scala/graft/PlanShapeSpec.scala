@@ -323,6 +323,17 @@ class PlanShapeSpec extends AnyFunSuite {
       "the 64 KB codegen fallback")
   }
 
+  test("q15c KMV: dense_rank <= k lowers to WindowGroupLimit") {
+    // The sketch's scale claim: each map partition forwards only rows
+    // ranking among its k smallest distinct hashes — InferWindowGroupLimit
+    // must fire on the dense_rank filter, or the query degrades to a
+    // full distinct shuffle of the fact table.
+    val df = Registry.byName("q15c_distinct_parts_kmv").run(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"),
+      s"q15c did not lower to WindowGroupLimit:\n$p")
+  }
+
   test("q102 semantic dedup: blocking stays equi-join, never all-pairs") {
     // The whole point of the LSH blocking is that no stage compares
     // every vector to every vector: the bucket self-join and the two

@@ -38,6 +38,28 @@ class SketchSurfaceSpec extends AnyFunSuite {
       s"est=$est exact=$exact")
   }
 
+  test("q15c KMV estimate tracks exact distinct within the 3-sigma envelope") {
+    // KMV at k=64 has SE ≈ 1/√(k−2) ≈ 13%; assert each group within
+    // 3σ ≈ 40% of q15's exact count (measured: 5.6% at sf0.001). Also
+    // pin the short-circuit contract: a group that saw fewer than k
+    // distinct hashes reports the EXACT count.
+    import graft.queries.Registry
+    val exact = Registry.byName("q15_distinct_parts")
+      .run(spark, TestSpark.sf0001).collect()
+      .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Long]("n_parts"))
+      .toMap
+    val est = Registry.byName("q15c_distinct_parts_kmv")
+      .run(spark, TestSpark.sf0001).collect()
+    est.foreach { r =>
+      val flag = r.getAs[String]("l_returnflag")
+      val e = r.getAs[Double]("kmv_est")
+      val x = exact(flag).toDouble
+      if (r.getAs[Long]("n_kept") < 64L)
+        assert(e === x, s"$flag under-filled sketch must be exact")
+      else assert(math.abs(e - x) / x < 0.40, s"$flag est=$e exact=$x")
+    }
+  }
+
   test("per-lang sketches union to the global estimate (sketches are data)") {
     import spark.implicits._
     val docs = Tables.load(spark, TestSpark.sf0001, "documents")

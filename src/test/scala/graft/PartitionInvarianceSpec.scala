@@ -53,8 +53,10 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // round-10 wave: content-addressed chunk ids must not depend on how
     // documents fall into partitions; semantic dedup's LSH buckets,
     // planted-copy union and keep-lowest window must all commute with
-    // partitioning
-    "q101_doc_chunking", "q102_semantic_dedup")
+    // partitioning; the KMV bottom-k (WindowGroupLimit partial limits
+    // merging into one global rank) must yield the same v_k regardless
+    // of which partition carried which hash
+    "q101_doc_chunking", "q102_semantic_dedup", "q15c_distinct_parts_kmv")
 
   private def canonical(name: String): Seq[String] = {
     val df = Registry.byName(name).run(spark, dir)

@@ -19,9 +19,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(FreqSketch.descriptor)
     e.injectFunction(NGramsGen.descriptor)
     e.injectFunction(SortedIntersectCount.descriptor)
-    // Real pure-JVM BMP codec kernels (multimodal pipeline, q31b).
+    // Real pure-JVM BMP codec kernels (multimodal pipeline, q31b/q31e).
     e.injectFunction(graft.multimodal.BmpCodec.encodeDescriptor)
     e.injectFunction(graft.multimodal.BmpCodec.decodeDescriptor)
+    e.injectFunction(graft.multimodal.BmpCodec.resizeDescriptor)
     // Real pure-JVM PCM WAV codec kernels (multimodal pipeline, q31c).
     e.injectFunction(graft.multimodal.WavCodec.encodeDescriptor)
     e.injectFunction(graft.multimodal.WavCodec.decodeDescriptor)

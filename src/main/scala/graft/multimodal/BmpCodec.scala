@@ -127,6 +127,62 @@ object BmpCodec {
     new GenericInternalRow(Array[Any](w, h, sr, sg, sb))
   }
 
+  /** Nearest-neighbor RESIZE, real bytes to real bytes: parses the
+    * source container exactly like `decode` (same 24-bit/BI_RGB
+    * profile, top-down AND bottom-up row orders, row padding, NULL on
+    * malformed input) and writes a canonical bottom-up BMP of the
+    * target geometry, sampling source pixel (⌊x'·w/w'⌋, ⌊y'·h/h'⌋) for
+    * each target pixel — the classic thumbnail map, pure integer
+    * arithmetic so the oracle can replay it relationally (q31e).
+    * Orientation is load-bearing here (unlike `decode`, whose channel
+    * SUMS are row-order invariant): the logical source row must be
+    * located through the file's actual storage order, or the sampled
+    * pixel set — and the oracle hash — changes. */
+  def resize(bytes: Array[Byte], w2: Int, h2: Int): Array[Byte] = {
+    if (bytes == null || bytes.length < 54) return null
+    if (w2 <= 0 || h2 <= 0 || w2 > (1 << 12) || h2 > (1 << 12)) return null
+    if (bytes(0) != 'B' || bytes(1) != 'M') return null
+    val pixelOff = i32(bytes, 10)
+    val hdrSize = i32(bytes, 14)
+    if (hdrSize < 40) return null
+    val w = i32(bytes, 18)
+    val rawH = i32(bytes, 22)
+    val topDown = rawH < 0
+    val h = if (topDown) -rawH else rawH
+    if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20)) return null
+    if (u16(bytes, 26) != 1) return null
+    if (u16(bytes, 28) != 24) return null
+    if (i32(bytes, 30) != 0) return null
+    val rowBytes = (w * 3 + 3) & ~3
+    if (pixelOff < 14 + hdrSize ||
+      pixelOff.toLong + rowBytes.toLong * h > bytes.length) return null
+    val rowBytes2 = (w2 * 3 + 3) & ~3
+    val dataSize2 = rowBytes2 * h2
+    val out = java.nio.ByteBuffer.allocate(54 + dataSize2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize2)
+      .putShort(0).putShort(0).putInt(54)
+    out.putInt(40).putInt(w2).putInt(h2).putShort(1).putShort(24)
+      .putInt(0).putInt(dataSize2).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0)
+    var y2 = h2 - 1 // canonical bottom-up output
+    while (y2 >= 0) {
+      val srcY = (y2.toLong * h / h2).toInt
+      val storRow = if (topDown) srcY else h - 1 - srcY
+      var x2 = 0
+      while (x2 < w2) {
+        val srcX = (x2.toLong * w / w2).toInt
+        val off = pixelOff + storRow * rowBytes + srcX * 3
+        out.put(bytes(off)).put(bytes(off + 1)).put(bytes(off + 2))
+        x2 += 1
+      }
+      var pad = rowBytes2 - w2 * 3
+      while (pad > 0) { out.put(0.toByte); pad -= 1 }
+      y2 -= 1
+    }
+    out.array()
+  }
+
   val encodeDescriptor: (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (
     new FunctionIdentifier("bmp_encode"),
     new ExpressionInfo(classOf[BmpEncode].getName, "bmp_encode"),
@@ -136,6 +192,11 @@ object BmpCodec {
     new FunctionIdentifier("bmp_decode"),
     new ExpressionInfo(classOf[BmpDecode].getName, "bmp_decode"),
     (children: Seq[Expression]) => BmpDecode(children.head))
+
+  val resizeDescriptor: (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (
+    new FunctionIdentifier("bmp_resize"),
+    new ExpressionInfo(classOf[BmpResize].getName, "bmp_resize"),
+    (children: Seq[Expression]) => BmpResize(children(0), children(1), children(2)))
 }
 
 /** `bmp_encode(seed BIGINT, w INT, h INT)` → BINARY (see BmpCodec). */
@@ -197,4 +258,41 @@ case class BmpDecode(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 
   override def prettyName: String = "bmp_decode"
+}
+
+/** `bmp_resize(bytes BINARY, w INT, h INT)` → BINARY (nearest-neighbor
+  * thumbnail as a real BMP); NULL on malformed input or bad target
+  * geometry (see BmpCodec.resize). */
+case class BmpResize(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def dataType: DataType = BinaryType
+
+  override def nullable: Boolean = true // malformed input -> NULL
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = first.dataType == BinaryType &&
+      second.dataType == IntegerType && third.dataType == IntegerType
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "bmp_resize requires (binary, int, int), got " +
+        children.map(_.dataType.catalogString).mkString(", "))
+  }
+
+  override protected def nullSafeEval(bytes: Any, w: Any, h: Any): Any =
+    BmpCodec.resize(bytes.asInstanceOf[Array[Byte]],
+      w.asInstanceOf[Int], h.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = BmpCodec.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, (b, w, h) => s"""
+      ${ev.value} = $cls.resize($b, $w, $h);
+      ${ev.isNull} = ${ev.value} == null;""")
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): BmpResize =
+    copy(first = f, second = s, third = t)
+
+  override def prettyName: String = "bmp_resize"
 }

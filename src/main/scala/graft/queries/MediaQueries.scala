@@ -285,5 +285,72 @@ object MediaQueries {
         CAST(SUM(sb) AS DOUBLE) / CAST(SUM(npx) AS DOUBLE) AS mean_b
       FROM sums GROUP BY 1 ORDER BY 1"""))
 
-  val all: Seq[QueryDef] = Seq(q31, q31b, q31c, q31d)
+  // ---------------------------------------------------------------- Q31e
+  // IMAGE RESIZE under the oracle gate — the last multimodal transform
+  // next to decode (q31b/c/d), feature-extract (q31) and frame-sample
+  // (q31d): every image is thumbnailed to a fixed 8×6 grid by
+  // `bmp_resize` (nearest-neighbor, REAL BMP bytes in and out) and the
+  // thumbnail is then re-parsed by the REAL `bmp_decode` — so the
+  // round-trip proves the resized container is well-formed, the target
+  // geometry landed in the header, and the sampled pixels are exactly
+  // the integer index map ⌊x'·w/8⌋, ⌊y'·h/6⌋ (which the oracle replays
+  // arithmetically from the encode formula; an orientation or offset
+  // bug in the resampler changes WHICH pixels are sampled and breaks
+  // the hash). Scale shape identical to q31b: the whole
+  // encode→resize→decode chain is per-row inside the codegen'd scan
+  // stage — map-only, aggregates touch extracted features only; at
+  // 100 TB resize-at-ingest is the standard thumbnail/tiling pass and
+  // this is its plan. The doc_id%4 geometry grid includes w=8,h=6
+  // (identity resize) and three genuine down-samples.
+  private val q31e = QueryDef(
+    "q31e_image_resize",
+    (s, dir) => {
+      import s.implicits._
+      val thumbs = graft.Tables.load(s, dir, "documents")
+        .select($"doc_id",
+          element_at(array(lit("image"), lit("audio"), lit("video")),
+            (pmod($"doc_id", lit(3)) + 1).cast("int")).as("kind"),
+          (pmod($"doc_id", lit(4)) * 4 + 8).cast("int").as("w"),
+          (pmod($"doc_id", lit(4)) * 3 + 6).cast("int").as("h"))
+        .withColumn("img",
+          expr("bmp_decode(bmp_resize(bmp_encode(doc_id, w, h), 8, 6))"))
+      thumbs.groupBy($"kind")
+        .agg(count(lit(1)).as("n_media"),
+          sum(($"img.width" * $"img.height").cast("long")).as("total_px"),
+          sum($"img.sum_r").as("sum_r"),
+          sum($"img.sum_g").as("sum_g"),
+          sum($"img.sum_b").as("sum_b"))
+        .orderBy($"kind")
+    },
+    // The oracle replays the nearest-neighbor index map over the encode
+    // formula: thumbnail pixel q of the 8×6 grid samples source pixel
+    // p = ⌊(q÷8)·h/6⌋·w + ⌊(q mod 8)·w/8⌋ — never touching a byte.
+    Some("""WITH m AS (
+        SELECT doc_id,
+          (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+          CAST(doc_id % 4 AS INT) * 4 + 8 AS w,
+          CAST(doc_id % 4 AS INT) * 3 + 6 AS h
+        FROM documents),
+      tq AS (
+        SELECT kind, doc_id, w, h,
+          unnest(generate_series(0, 47)) AS q
+        FROM m),
+      px AS (
+        SELECT kind, doc_id,
+          (((q // 8) * h) // 6) * w + ((q % 8) * w) // 8 AS p
+        FROM tq),
+      sums AS (
+        SELECT kind, doc_id,
+          SUM((doc_id*31 + (3*p)*7) % 256) AS sr,
+          SUM((doc_id*31 + (3*p+1)*7) % 256) AS sg,
+          SUM((doc_id*31 + (3*p+2)*7) % 256) AS sb
+        FROM px GROUP BY 1, 2)
+      SELECT kind, COUNT(*) AS n_media,
+        CAST(COUNT(*) * 48 AS BIGINT) AS total_px,
+        CAST(SUM(sr) AS BIGINT) AS sum_r,
+        CAST(SUM(sg) AS BIGINT) AS sum_g,
+        CAST(SUM(sb) AS BIGINT) AS sum_b
+      FROM sums GROUP BY 1 ORDER BY 1"""))
+
+  val all: Seq[QueryDef] = Seq(q31, q31b, q31c, q31d, q31e)
 }

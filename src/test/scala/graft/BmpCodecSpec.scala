@@ -63,6 +63,59 @@ class BmpCodecSpec extends AnyFunSuite {
       b.getLong(4)) === decodeViaImageIO(down))
   }
 
+  test("resize agrees with javax.imageio nearest-neighbor on the pixels") {
+    // External witness for the RESAMPLER: read the SOURCE through
+    // ImageIO, apply the same ⌊x'·w/w'⌋,⌊y'·h/h'⌋ index map to its
+    // pixels, and require our resized BYTES — read back through ImageIO,
+    // not our own decoder — to show exactly those pixels. Proves both
+    // the sampling arithmetic and that the output container parses for
+    // an independent reader.
+    for ((seed, w, h, w2, h2) <- Seq((1L, 8, 6, 8, 6), (7L, 20, 15, 8, 6),
+        (42L, 9, 5, 4, 4), (123L, 11, 7, 3, 2), (9L, 2, 2, 5, 5))) {
+      val src = BmpCodec.encode(seed, w, h)
+      val out = BmpCodec.resize(src, w2, h2)
+      assert(out != null, s"resize refused ($seed,$w,$h)->($w2,$h2)")
+      val si = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(src))
+      val oi = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out))
+      assert(oi.getWidth === w2 && oi.getHeight === h2)
+      for (y2 <- 0 until h2; x2 <- 0 until w2) {
+        val sx = (x2.toLong * w / w2).toInt
+        val sy = (y2.toLong * h / h2).toInt
+        assert((oi.getRGB(x2, y2) & 0xFFFFFF) ===
+          (si.getRGB(sx, sy) & 0xFFFFFF),
+          s"($seed,$w,$h)->($w2,$h2) pixel ($x2,$y2)")
+      }
+    }
+  }
+
+  test("resize parses a TOP-DOWN source through its real storage order") {
+    // Orientation is load-bearing for resize (unlike decode's sums):
+    // the hand-flipped top-down file holds the SAME logical image, so
+    // resizing either storage order must give byte-identical output.
+    val w = 9; val h = 4
+    val up = BmpCodec.encode(3L, w, h)
+    val rowBytes = (w * 3 + 3) & ~3
+    val down = up.clone()
+    val negH = -h
+    down(22) = (negH & 0xFF).toByte
+    down(23) = ((negH >> 8) & 0xFF).toByte
+    down(24) = ((negH >> 16) & 0xFF).toByte
+    down(25) = ((negH >> 24) & 0xFF).toByte
+    for (r <- 0 until h)
+      System.arraycopy(up, 54 + (h - 1 - r) * rowBytes, down,
+        54 + r * rowBytes, rowBytes)
+    assert(BmpCodec.resize(up, 4, 2).toSeq === BmpCodec.resize(down, 4, 2).toSeq)
+  }
+
+  test("resize rejects malformed input and bad geometry with NULL") {
+    val good = BmpCodec.encode(1L, 8, 6)
+    assert(BmpCodec.resize(null, 4, 4) == null)
+    assert(BmpCodec.resize(Array[Byte](1, 2, 3), 4, 4) == null)
+    assert(BmpCodec.resize(good, 0, 4) == null)
+    assert(BmpCodec.resize(good, 4, -1) == null)
+    assert(BmpCodec.resize(good.take(40), 4, 4) == null)
+  }
+
   test("malformed inputs decode to NULL, never throw") {
     val good = BmpCodec.encode(1L, 8, 6)
     val truncated = java.util.Arrays.copyOf(good, good.length - 10)

@@ -56,7 +56,10 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // partitioning; the KMV bottom-k (WindowGroupLimit partial limits
     // merging into one global rank) must yield the same v_k regardless
     // of which partition carried which hash
-    "q101_doc_chunking", "q102_semantic_dedup", "q15c_distinct_parts_kmv")
+    "q101_doc_chunking", "q102_semantic_dedup", "q15c_distinct_parts_kmv",
+    // q31e: the encode→resize→decode chain is per-row, but its integer
+    // channel sums must merge identically under any partial-agg layout
+    "q31e_image_resize")
 
   private def canonical(name: String): Seq[String] = {
     val df = Registry.byName(name).run(spark, dir)

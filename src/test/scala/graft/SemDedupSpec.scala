@@ -38,6 +38,37 @@ class SemDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("q102 multi-partner drops attribute to the SMALLEST kept id") {
+    // A corpus where vectors 0 and 1 are identical: the planted copy of
+    // 0 (id 1000000) is a near-dup of BOTH, and 1 itself is a natural
+    // exact dup of 0 — exercising the keep-lowest window's rk=1 branch
+    // (several above-threshold partners per dropped id) and the
+    // natural (non-planted) duplicate path in one fixture.
+    import java.nio.file.Files
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val d = Files.createTempDirectory("graft-semdedup").toString
+    val rnd = new scala.util.Random(13)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextFloat() - 0.5f)
+    val v0 = vec()
+    val rows = (Row(0L, v0.toSeq, 0) +: Row(1L, v0.toSeq, 0) +:
+      (2 until 90).map(i => Row(i.toLong, vec().toSeq, i % 5)))
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 4), schema)
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val out = Registry.byName("q102_semantic_dedup").run(spark, d)
+      .collect().map(r => r.getAs[Long]("dropped_id") ->
+        r.getAs[Long]("kept_id")).toMap
+    // natural dup: 1 dropped for 0; planted copies of 0, 40, 80 dropped;
+    // the copy of 0 has partners {0, 1} and must attribute to 0
+    assert(out === Map(1L -> 0L, 1000000L -> 0L,
+      1000040L -> 40L, 1000080L -> 80L), out.toString)
+  }
+
   test("q102 LSH blocking scores far fewer pairs than all-pairs") {
     import org.apache.spark.sql.functions._
     val corpus = EmbeddingQueries.plantedCorpus(spark, dir)

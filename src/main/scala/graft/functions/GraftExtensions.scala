@@ -11,6 +11,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(QuantizedDot.descriptor)
+    e.injectFunction(QuantizedL2.descriptor)
     e.injectFunction(Rgb565.descriptor)
     e.injectFunction(TopKByScore.descriptor)
     e.injectFunction(RollingMinMd5.descriptor)

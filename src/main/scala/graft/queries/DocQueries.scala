@@ -1321,7 +1321,11 @@ object DocQueries {
   // doc fans out to the 5 admissible length keys (levenshtein <= 4
   // implies |len1 - len2| <= 4 on full strings), so pairs only form
   // inside (lang, length-within-4) blocks — never all-pairs. Each pair
-  // then pays one codegen'd levenshtein over the 60-char prefixes.
+  // then pays one codegen'd THRESHOLD-BOUNDED levenshtein over the
+  // 60-char prefixes: the 3-arg form runs the banded O(len·k) DP with
+  // early exit (UTF8String.levenshteinDistance(threshold)) instead of
+  // the full O(len²) matrix, and returns -1 past the bound — so the
+  // verify cost per candidate is ~60·9 cells, not 60·60.
   // Asymmetric fan-out (probe side emits len1..len1+4, candidate side
   // keeps its exact length) yields each cross-length pair exactly once;
   // equal-length pairs are halved by the id order. At 100 TB the block
@@ -1346,8 +1350,8 @@ object DocQueries {
           $"n_chars".as("len2"), $"prefix".as("p2"))
       probe.join(cand, $"lang1" === $"lang2" && $"len_key" === $"len2")
         .filter($"len2" > $"len1" || $"id1" < $"id2")
-        .withColumn("dist", levenshtein($"p1", $"p2"))
-        .filter($"dist" <= 4)
+        .withColumn("dist", levenshtein($"p1", $"p2", 4))
+        .filter($"dist" >= 0) // 3-arg levenshtein returns -1 above the bound
         .select($"id1", $"id2", $"dist".cast(LongType).as("dist"))
         .orderBy($"id1", $"id2")
     },

@@ -656,5 +656,142 @@ object EmbeddingQueries {
       SELECT label, dropped_id, kept_id, cosine
       FROM ranked WHERE rk = 1 ORDER BY label, dropped_id"""))
 
-  val all: Seq[QueryDef] = Seq(q24, q24b, q24c, q24d, q62, q102)
+  // --------------------------------------------------------------- Q103
+  // K-MEANS CLUSTERING (deterministic quantized Lloyd's) — the curation
+  // operator SemDeDup-style pipelines run BEFORE within-cluster dedup
+  // (Abbas et al. 2023 cluster first, dedup inside clusters; q102 is the
+  // LSH-blocked sibling). k = 8 seeds (the k lowest vec_ids — a fixed,
+  // engine-portable init), ONE Lloyd update, then re-assignment:
+  //   assign(seeds) → centroid update → assign(centroids) → report.
+  // Output per surviving cluster: size, within-cluster sum of squares
+  // (micro² units), and the centroid micro-sum checksum — k rows, exact
+  // integers, hashable cross-engine.
+  //
+  // Determinism scheme (the q62/q24 fixed-point story, extended to an
+  // ITERATIVE algorithm): distances are exact int64 `l2q` sums; argmin
+  // ties break by cid via min(struct(d2, cid)) ≡ ROW_NUMBER(ORDER BY
+  // d2, cid); the centroid update is an exact int64 micro-sum divided
+  // once (sum ≤ n·10⁶ < 2⁵³ ⇒ the double division is of exact operands,
+  // IEEE-identical in both engines) and rounded half-away — and because
+  // the Spark side stores centroids as float[64] for the codegen'd l2q,
+  // the oracle re-rounds its centroid through REAL exactly the same way
+  // (for |c| < 8 the float round-trip is lossless — float spacing ≤
+  // 4.8·10⁻⁷ < the 5·10⁻⁷ quantization half-step — so the re-round is
+  // an identity both sides; it is written out anyway so the oracle
+  // mirrors the computation, not a proof about it).
+  //
+  // Scale shape (100 TB): centroids are k×64 — BROADCAST by
+  // construction; assignment is a map-only codegen'd l2q per (row,
+  // centroid) with a partial-agg argmin (min(struct) collapses map-side
+  // to one row per vector); the update explodes to 64 rows per vector
+  // but partial-agg collapses to k×64 keys map-side, so each Lloyd
+  // round shuffles O(k·64), not the corpus — the classic
+  // broadcast-kmeans MR shape. Rounds are a fixed constant (compare
+  // q39's bounded fixpoint). WSS int64 headroom: ~3.5·10⁴ unit-norm
+  // vectors per cluster per accumulator (l2q Scaladoc); past that the
+  // d2 sum swaps to DECIMAL(38,0) — same plan shape.
+  private val kmK = 8
+
+  /** Nearest-centroid assignment: (vec_id, cid, d2, embedding).
+    * `cents` is (cid long, carr float[64]) and is always broadcast. */
+  private def kmAssign(e: DataFrame, cents: DataFrame)(
+      implicit s: SparkSession): DataFrame = {
+    import s.implicits._
+    e.crossJoin(broadcast(cents))
+      .withColumn("d2", expr("l2q(embedding, carr)"))
+      .groupBy($"vec_id")
+      .agg(min(struct($"d2", $"cid")).as("m"),
+        first($"embedding").as("embedding"))
+      .select($"vec_id", $"m.cid".as("cid"), $"m.d2".as("d2"), $"embedding")
+  }
+
+  private val q103 = QueryDef(
+    "q103_kmeans_clusters",
+    (s, dir) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val e = emb(s, dir).select($"vec_id", $"embedding")
+      // init: the k lowest vec_ids, cid = dense 0..k-1 in id order (the
+      // 8-row global window runs on the driver-side tiny relation)
+      val c0 = e.orderBy($"vec_id").limit(kmK)
+        .select((row_number().over(Window.orderBy($"vec_id")) - 1)
+          .cast(LongType).as("cid"), $"embedding".as("carr"))
+      val a1 = kmAssign(e, c0)
+      // Lloyd update: exact micro-sums per (cid, dim), one rounded
+      // division, float re-materialization for the codegen'd distance
+      val c1 = a1
+        .select($"cid", posexplode($"embedding").as(Seq("dim", "x")))
+        .select($"cid", $"dim",
+          expr("CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)")
+            .as("xq"))
+        .groupBy($"cid", $"dim")
+        .agg(count(lit(1)).as("n"), sum($"xq").as("sq"))
+        .withColumn("cq",
+          expr("CAST(round(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)"))
+        .withColumn("cf", ($"cq".cast(DoubleType) / lit(1e6)).cast(FloatType))
+        .groupBy($"cid")
+        .agg(
+          transform(array_sort(collect_list(struct($"dim", $"cf"))),
+            el => el.getField("cf")).as("carr"),
+          sum($"cq").as("sum_cq"))
+      val a2 = kmAssign(e, c1.select($"cid", $"carr"))
+      a2.groupBy($"cid")
+        .agg(count(lit(1)).as("n"), sum($"d2").as("wss_q"))
+        .join(c1.select($"cid", $"sum_cq"), Seq("cid"))
+        .select($"cid", $"n", $"wss_q", $"sum_cq")
+        .orderBy($"cid")
+    },
+    // Long-form rebuild: identical quantization, identical tie-breaks,
+    // identical REAL re-round of the updated centroids.
+    Some(s"""WITH eq AS (
+        SELECT vec_id,
+          CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+          CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+            AS BIGINT) AS xq
+        FROM embeddings),
+      seeds AS (
+        SELECT vec_id,
+          CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid
+        FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $kmK)),
+      c0 AS (
+        SELECT s.cid, e.dim, e.xq AS cq
+        FROM seeds s JOIN eq e USING (vec_id)),
+      d1 AS (
+        SELECT e.vec_id, c.cid,
+          SUM((e.xq - c.cq) * (e.xq - c.cq)) AS d2
+        FROM eq e JOIN c0 c ON e.dim = c.dim
+        GROUP BY 1, 2),
+      a1 AS (
+        SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+          FROM d1) WHERE rk = 1),
+      c1 AS (
+        SELECT a.cid, e.dim,
+          CAST(round(CAST(SUM(e.xq) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
+        FROM a1 a JOIN eq e USING (vec_id)
+        GROUP BY 1, 2),
+      c1f AS (
+        SELECT cid, dim, cq,
+          CAST(round(CAST(CAST(CAST(cq AS DOUBLE) / 1000000 AS REAL)
+            AS DOUBLE) * 1000000) AS BIGINT) AS cqf
+        FROM c1),
+      d2s AS (
+        SELECT e.vec_id, c.cid,
+          SUM((e.xq - c.cqf) * (e.xq - c.cqf)) AS d2
+        FROM eq e JOIN c1f c ON e.dim = c.dim
+        GROUP BY 1, 2),
+      a2 AS (
+        SELECT vec_id, cid, d2 FROM (
+          SELECT vec_id, cid, d2,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+          FROM d2s) WHERE rk = 1),
+      sums AS (
+        SELECT cid, CAST(SUM(cq) AS BIGINT) AS sum_cq FROM c1f GROUP BY 1)
+      SELECT a.cid, COUNT(*) AS n, CAST(SUM(a.d2) AS BIGINT) AS wss_q,
+        s.sum_cq
+      FROM a2 a JOIN sums s USING (cid)
+      GROUP BY a.cid, s.sum_cq ORDER BY a.cid"""))
+
+  val all: Seq[QueryDef] = Seq(q24, q24b, q24c, q24d, q62, q102, q103)
 }

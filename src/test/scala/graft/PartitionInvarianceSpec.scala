@@ -59,7 +59,12 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q101_doc_chunking", "q102_semantic_dedup", "q15c_distinct_parts_kmv",
     // q31e: the encode→resize→decode chain is per-row, but its integer
     // channel sums must merge identically under any partial-agg layout
-    "q31e_image_resize")
+    "q31e_image_resize",
+    // q103: ITERATIVE determinism — the argmin (min(struct(d2,cid))
+    // partial aggregates), the exact micro-sum centroid update, and the
+    // second assignment must each commute with partitioning, or round-2
+    // centroids would drift per layout and cascade
+    "q103_kmeans_clusters")
 
   private def canonical(name: String): Seq[String] = {
     val df = Registry.byName(name).run(spark, dir)

@@ -1593,7 +1593,79 @@ object DocQueries {
           LEAST(n, k * $ChunkS + $ChunkN)), ' ')) AS chunk_md5
       FROM ch ORDER BY doc_id, chunk_idx"""))
 
+  // --------------------------------------------------------------- Q104
+  // TOKEN-RARITY DOCUMENT SCORING — the perplexity-filter shape (CCNet
+  // scores docs with a corpus LM and drops the tails) re-expressed in
+  // exact integer arithmetic: each document's quality signal is the
+  // MEAN CORPUS FREQUENCY of its tokens, and the 5 rarest-vocabulary
+  // docs per language (likeliest noise/garble under this signal) are
+  // reported. Differs from q74 (per-TERM tf-idf ranking) in direction:
+  // corpus-level statistics are folded BACK onto each document — the
+  // "score every doc against a corpus-derived model" join-back pattern.
+  //
+  // Why no log-probabilities: ln() is not bit-portable across engines
+  // (libm vs DuckDB's implementation may differ in the last ulp), so
+  // the score is the frequency MEAN itself — same ordering information
+  // for the filter-tails use case, exact int64 all the way: sum_freq is
+  // an int64 sum of per-token corpus counts; the only division is the
+  // final presentation round to micro units (exact-operand IEEE double
+  // division + half-away round, the q62/q103 scheme).
+  //
+  // Scale shape (100 TB): the vocabulary aggregate is ONE shuffle over
+  // a Heaps-law-bounded key domain with map-side partial collapse; the
+  // join-back BROADCASTS the vocab table (valid while the vocab fits —
+  // ~10⁷ rows; past that flip to a shuffle join on token, same
+  // semantics, and swap sum_freq·10⁶ to DECIMAL(38,0) once corpus
+  // tokens exceed ~2⁵³/10⁶); per-doc aggregation collapses map-side
+  // (docs live within partitions); the per-lang top-5 gets the q75/q88
+  // WindowGroupLimit map-side limit, so the final exchange carries
+  // O(5·|langs|) rows.
+  private val q104 = QueryDef(
+    "q104_token_rarity",
+    (s, dir) => {
+      import s.implicits._
+      val toks = Tables.load(s, dir, "documents")
+        .select($"doc_id", $"lang",
+          explode(split(lower($"text"), " ")).as("token"))
+        .filter(length($"token") > 0)
+      val freq = toks.groupBy($"token").agg(count(lit(1)).as("f"))
+      val w = Window.partitionBy($"lang")
+        .orderBy($"score_micro", $"doc_id")
+      toks.join(broadcast(freq), Seq("token"))
+        .groupBy($"doc_id", $"lang")
+        .agg(count(lit(1)).as("n_tokens"), sum($"f").as("sum_freq"))
+        .withColumn("score_micro",
+          expr("CAST(round(CAST(sum_freq AS DOUBLE) * 1000000 " +
+            "/ CAST(n_tokens AS DOUBLE)) AS BIGINT)"))
+        .withColumn("rk", row_number().over(w).cast(LongType))
+        .filter($"rk" <= 5)
+        .select($"lang", $"rk", $"doc_id", $"n_tokens", $"sum_freq",
+          $"score_micro")
+        .orderBy($"lang", $"rk")
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, lang,
+          unnest(string_split(lower(text), ' ')) AS token
+        FROM documents),
+      t AS (SELECT * FROM toks WHERE length(token) > 0),
+      freq AS (SELECT token, COUNT(*) AS f FROM t GROUP BY 1),
+      scored AS (
+        SELECT d.doc_id, d.lang, COUNT(*) AS n_tokens,
+          CAST(SUM(f.f) AS BIGINT) AS sum_freq
+        FROM t d JOIN freq f USING (token) GROUP BY 1, 2),
+      r AS (
+        SELECT lang, doc_id, n_tokens, sum_freq,
+          CAST(round(CAST(sum_freq AS DOUBLE) * 1000000
+            / CAST(n_tokens AS DOUBLE)) AS BIGINT) AS score_micro,
+          ROW_NUMBER() OVER (PARTITION BY lang
+            ORDER BY CAST(round(CAST(sum_freq AS DOUBLE) * 1000000
+              / CAST(n_tokens AS DOUBLE)) AS BIGINT), doc_id) AS rk
+        FROM scored)
+      SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id,
+        CAST(n_tokens AS BIGINT) AS n_tokens, sum_freq, score_micro
+      FROM r WHERE rk <= 5 ORDER BY lang, rk"""))
+
   val all: Seq[QueryDef] =
     Seq(q22, q23, q25, q26, q27, q28, q29, q32, q39, q42, q45, q46, q47,
-      q50, q51, q52, q53, q54, q59, q60, q65, q88, q89, q100, q101)
+      q50, q51, q52, q53, q54, q59, q60, q65, q88, q89, q100, q101, q104)
 }

@@ -64,7 +64,11 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // partial aggregates), the exact micro-sum centroid update, and the
     // second assignment must each commute with partitioning, or round-2
     // centroids would drift per layout and cascade
-    "q103_kmeans_clusters")
+    "q103_kmeans_clusters",
+    // q104: the corpus-frequency join-back — vocab counts and per-doc
+    // int64 sums must merge identically under any partial-agg layout,
+    // and the WindowGroupLimit local top-5 must commute with it
+    "q104_token_rarity")
 
   private def canonical(name: String): Seq[String] = {
     val df = Registry.byName(name).run(spark, dir)

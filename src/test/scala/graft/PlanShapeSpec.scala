@@ -73,7 +73,13 @@ class PlanShapeSpec extends AnyFunSuite {
         // q93 fans the ONE-row global total out over the per-year rows
         // (same scalar-fanout shape as q74); both sides come from the
         // same cached summary.
-        "q93_cached_share")(q.name))
+        "q93_cached_share",
+        // q103 cross-joins the corpus against the broadcast k = 8
+        // centroid set — the q24d IVF-assignment shape: bounded by
+        // construction (centroids are k×64 by definition), scored by
+        // one codegen'd l2q per pair; KMeansSpec pins that no SMJ/SHJ
+        // appears in the final plan.
+        "q103_kmeans_clusters")(q.name))
       .flatMap { q =>
         val p = plan(q.name)
         if (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
@@ -347,5 +353,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
       s"q102 planned an all-pairs join:\n$p")
+  }
+
+  test("q104 rarity scoring: broadcast join-back, map-side per-lang limit") {
+    // The corpus-model join-back pattern's 100 TB shape: the vocabulary
+    // frequency table joins back to the exploded tokens by BROADCAST
+    // (never a corpus-side shuffle re-keyed on token), and the per-lang
+    // rarest-5 must lower to a WindowGroupLimit pair — a partial
+    // (map-side) limit BELOW the lang exchange, then the final limit —
+    // so the ranking exchange carries O(5·|langs|) rows, not every doc.
+    val df = Registry.byName("q104_token_rarity").run(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val fin = p.indexOf("== Initial Plan ==") match {
+      case -1 => p; case i => p.substring(0, i)
+    }
+    assert(fin.contains("BroadcastHashJoin") &&
+      !fin.contains("SortMergeJoin") && !fin.contains("ShuffledHashJoin"),
+      s"q104 vocab join-back must broadcast:\n$fin")
+    val wgl = fin.indexOf("WindowGroupLimit")
+    assert(wgl >= 0, s"per-lang top-5 did not lower to WindowGroupLimit:\n$fin")
+    val ex = fin.indexOf("Exchange", wgl)
+    assert(ex >= 0 && fin.indexOf("WindowGroupLimit", ex) >= 0,
+      s"no map-side WindowGroupLimit below the lang exchange:\n$fin")
   }
 }

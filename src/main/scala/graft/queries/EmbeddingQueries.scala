@@ -477,6 +477,140 @@ object EmbeddingQueries {
       SELECT q_id, rk, vec_id, label, cosine
       FROM ranked WHERE rk <= 5 ORDER BY q_id, rk"""))
 
+  // --------------------------------------------------------------- Q24e
+  // SQ8 ANN — the third production ANN family, SCALAR QUANTIZATION
+  // (faiss SQ8): compress each float32 dimension to an 8-bit level
+  // against the global [min, max] range (4× smaller index, integer
+  // arithmetic in the hot loop), rank candidates by the quantized
+  // score, then RESCORE the top-20 exactly and keep 5. Completes the
+  // quantization ladder: q24b prunes by LSH sign BITS, q24d by IVF
+  // cell membership, q24e scans everything but in 8-bit code space —
+  // the memory-bandwidth-bound regime where a 100 TB corpus's index
+  // fits in a quarter of the RAM the float index needs.
+  //
+  // Exactness scheme: codes are integers 0..255 stored as float[64]
+  // so the EXISTING codegen'd `dotq` kernel scores them — q(code·1.0f)
+  // = code·10⁶ exactly, so dotq(codes_a, codes_b) = 10¹²·Σ aᵢbᵢ and an
+  // integer `div` recovers the exact code dot product (≤ 64·255²·10¹²
+  // = 4.2·10¹⁸ < 2⁶³ — no overflow, and no new kernel needed). The
+  // ranking key linearizes the decoded dot: with global scale s =
+  // (fmax−fmin)/255, decoded dot = 64·fmin² + fmin·s·(Σa+Σb) +
+  // s²·Σab; for a FIXED query the first term and Σb are constant, so
+  //   akey = (s·s)·cp + (fmin·s)·csum
+  // ranks identically — evaluated as that exact expression tree (two
+  // products of exact-int-valued doubles, one add) in BOTH engines, so
+  // the candidate sets are bit-identical and the oracle needs no
+  // tolerance. Ties break by vec_id (topk_by_score ≡ ROW_NUMBER).
+  //
+  // Scale shape (100 TB): the [min,max] stats pass is a 1-row agg
+  // (partial-agg collapse, broadcast back — the q74 scalar-fanout
+  // shape); coding is map-only; scoring is one codegen'd dotq per
+  // (row, query) with topk_by_score's O(groups·k) partial/final heap
+  // merge — no corpus shuffle anywhere; the exact rescore touches
+  // 20·|queries| rows by id-keyed join.
+  private val q24e = QueryDef(
+    "q24e_ann_sq8",
+    (s, dir) => {
+      import s.implicits._
+      val base = emb(s, dir)
+      val stats = base.select(posexplode($"embedding").as(Seq("d", "x")))
+        .agg(min($"x").as("fmin"), max($"x").as("fmax"))
+      val coded = base.crossJoin(broadcast(stats))
+        .withColumn("codes", expr(
+          "transform(embedding, x -> CAST(CAST(round(" +
+            "(CAST(x AS DOUBLE) - CAST(fmin AS DOUBLE)) * 255.0D" +
+            " / (CAST(fmax AS DOUBLE) - CAST(fmin AS DOUBLE))) AS BIGINT)" +
+            " AS FLOAT))"))
+        .withColumn("csum", expr(
+          "dotq(codes, transform(codes, c -> CAST(1.0 AS FLOAT)))" +
+            " div 1000000000000"))
+      val qcoded = coded.filter($"vec_id".isin(queryIds: _*))
+        .select($"vec_id".as("q_id"), $"codes".as("q_codes"))
+      val sCol = ($"fmax".cast(DoubleType) - $"fmin".cast(DoubleType)) /
+        lit(255.0)
+      val approx = coded
+        .join(broadcast(qcoded), $"vec_id" =!= $"q_id")
+        .withColumn("cp", expr("dotq(codes, q_codes) div 1000000000000"))
+        .withColumn("s", sCol)
+        .withColumn("akey",
+          ($"s" * $"s") * $"cp".cast(DoubleType) +
+            ($"fmin".cast(DoubleType) * $"s") * $"csum".cast(DoubleType))
+      val cand = approx.groupBy($"q_id")
+        .agg(expr("topk_by_score(akey, vec_id, 20)").as("top"))
+        .select($"q_id", explode($"top.id").as("vec_id"))
+      // exact rescore on the 20·|queries| survivors (id-keyed joins)
+      val norms = base.withColumn("n2", dotQ("embedding", "embedding"))
+      val qn = norms.filter($"vec_id".isin(queryIds: _*))
+        .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
+          $"n2".as("q_n2"))
+      val resc = cand
+        .join(norms.select($"vec_id", $"embedding", $"label", $"n2"),
+          Seq("vec_id"))
+        .join(broadcast(qn), Seq("q_id"))
+        .withColumn("cosine",
+          dotQ("q_emb", "embedding").cast(DoubleType) /
+            (sqrt($"q_n2".cast(DoubleType)) * sqrt($"n2".cast(DoubleType))))
+      resc.groupBy($"q_id")
+        .agg(expr("topk_by_score(cosine, vec_id, 5)").as("top"))
+        .select($"q_id", posexplode($"top"))
+        .select($"q_id", ($"pos" + 1).cast(LongType).as("rk"),
+          $"col.id".as("vec_id"), $"col.score".as("cosine"))
+        .join(emb(s, dir).select($"vec_id", $"label"), Seq("vec_id"))
+        .select($"q_id", $"rk", $"vec_id", $"label", $"cosine")
+        .orderBy($"q_id", $"rk")
+    },
+    Some(s"""WITH st AS (
+        SELECT MIN(x) AS fmin, MAX(x) AS fmax,
+          (CAST(MAX(x) AS DOUBLE) - CAST(MIN(x) AS DOUBLE)) / 255.0 AS s
+        FROM (SELECT unnest(embedding) AS x FROM embeddings)),
+      codes AS (
+        SELECT vec_id, CAST(gs AS BIGINT) AS dim,
+          CAST(round((CAST(x AS DOUBLE) - CAST(st.fmin AS DOUBLE))
+            * 255.0 / (CAST(st.fmax AS DOUBLE) - CAST(st.fmin AS DOUBLE)))
+            AS BIGINT) AS code
+        FROM (SELECT vec_id, unnest(embedding) AS x,
+                generate_subscripts(embedding, 1) AS gs
+              FROM embeddings) t, st),
+      sums AS (
+        SELECT vec_id, CAST(SUM(code) AS BIGINT) AS csum
+        FROM codes GROUP BY 1),
+      qc AS (
+        SELECT vec_id AS q_id, dim, code FROM codes
+        WHERE vec_id IN (${queryIds.mkString(", ")})),
+      cp AS (
+        SELECT q.q_id, c.vec_id, CAST(SUM(q.code * c.code) AS BIGINT) AS cp
+        FROM qc q JOIN codes c ON c.dim = q.dim AND c.vec_id <> q.q_id
+        GROUP BY 1, 2),
+      akeyed AS (
+        SELECT cp.q_id, cp.vec_id,
+          (st.s * st.s) * CAST(cp.cp AS DOUBLE)
+            + (CAST(st.fmin AS DOUBLE) * st.s) * CAST(su.csum AS DOUBLE)
+            AS akey
+        FROM cp JOIN sums su ON su.vec_id = cp.vec_id, st),
+      cand AS (
+        SELECT q_id, vec_id FROM (
+          SELECT q_id, vec_id,
+            ROW_NUMBER() OVER (PARTITION BY q_id
+              ORDER BY akey DESC, vec_id) AS rk20
+          FROM akeyed) WHERE rk20 <= 20),
+      norms AS (
+        SELECT vec_id, embedding, label,
+          ${oDot("embedding", "embedding")} AS n2
+        FROM embeddings),
+      resc AS (
+        SELECT cd.q_id, cd.vec_id, e.label,
+          CAST(${oDot("q.embedding", "e.embedding")} AS DOUBLE)
+            / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(e.n2 AS DOUBLE)))
+            AS cosine
+        FROM cand cd
+        JOIN norms e ON e.vec_id = cd.vec_id
+        JOIN norms q ON q.vec_id = cd.q_id)
+      SELECT q_id, rk, vec_id, label, cosine FROM (
+        SELECT q_id, vec_id, label, cosine,
+          CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY cosine DESC, vec_id) AS BIGINT) AS rk
+        FROM resc) WHERE rk <= 5 ORDER BY q_id, rk"""))
+
   // ---------------------------------------------------------------- Q62
   // Per-label centroids — the vector-AGGREGATION operator (class
   // prototypes for balancing/clustering; q24d's IVF centroids are the
@@ -793,5 +927,5 @@ object EmbeddingQueries {
       FROM a2 a JOIN sums s USING (cid)
       GROUP BY a.cid, s.sum_cq ORDER BY a.cid"""))
 
-  val all: Seq[QueryDef] = Seq(q24, q24b, q24c, q24d, q62, q102, q103)
+  val all: Seq[QueryDef] = Seq(q24, q24b, q24c, q24d, q24e, q62, q102, q103)
 }

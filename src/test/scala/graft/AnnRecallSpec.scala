@@ -70,6 +70,32 @@ class AnnRecallSpec extends AnyFunSuite {
     }
   }
 
+  test("q24e SQ8 ANN recalls each planted near-copy at rank 1") {
+    // An 8-bit code differs from the original's by at most 1 level per
+    // dimension under a 1e-3 perturbation of a ~1-wide range, so the
+    // quantized dot of the near-copy dominates the candidate list the
+    // same way the exact dot does — the copy must survive the top-20
+    // code-space cut and win the exact rescore.
+    val top = rank1("q24e_ann_sq8")
+    (0 until 3).foreach { q =>
+      assert(top.get(q.toLong).contains(1000L + q),
+        s"planted near-copy of $q not recalled: $top")
+    }
+  }
+
+  test("q24e top-5 equals the exact q24 top-5 on the real corpus") {
+    // Stronger than recall-at-1: on sf0.001, SQ8's top-20 code-space
+    // candidates must contain the true top-5, and the exact rescore
+    // must then reproduce q24's ranking verbatim (same ids, same
+    // cosines). Deterministic — both sides are seeded data + exact
+    // arithmetic.
+    def topk(name: String) = Registry.byName(name)
+      .run(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rk"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cosine"))).toSeq
+    assert(topk("q24e_ann_sq8") === topk("q24_cosine_topk"))
+  }
+
   test("q24b bucket sizes stay sublinear in corpus size (4 tables x 2^16)") {
     // Round-3 verdict item 3: the old single 8-bit table had 256 fixed
     // buckets, so bucket size grew LINEARLY (corpus/256). The banded

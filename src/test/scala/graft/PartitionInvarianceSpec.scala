@@ -68,7 +68,12 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // q104: the corpus-frequency join-back — vocab counts and per-doc
     // int64 sums must merge identically under any partial-agg layout,
     // and the WindowGroupLimit local top-5 must commute with it
-    "q104_token_rarity")
+    "q104_token_rarity",
+    // q24e: the global min/max stats, the integer code dots, and the
+    // topk_by_score heap merges must all commute with partitioning —
+    // a float min/max is partition-order-free, and everything after it
+    // is exact integers + fixed-tree double arithmetic
+    "q24e_ann_sq8")
 
   private def canonical(name: String): Seq[String] = {
     val df = Registry.byName(name).run(spark, dir)

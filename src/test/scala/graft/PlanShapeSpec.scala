@@ -79,7 +79,11 @@ class PlanShapeSpec extends AnyFunSuite {
         // construction (centroids are k×64 by definition), scored by
         // one codegen'd l2q per pair; KMeansSpec pins that no SMJ/SHJ
         // appears in the final plan.
-        "q103_kmeans_clusters")(q.name))
+        "q103_kmeans_clusters",
+        // q24e fans the ONE-row [min,max] stats out over the corpus
+        // (q74's scalar-fanout shape) and BNLJs the 3-row query-code
+        // set against it — the same bounded broadcast sides as q24.
+        "q24e_ann_sq8")(q.name))
       .flatMap { q =>
         val p = plan(q.name)
         if (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))

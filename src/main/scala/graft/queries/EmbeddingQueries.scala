@@ -839,35 +839,46 @@ object EmbeddingQueries {
       .select($"vec_id", $"m.cid".as("cid"), $"m.d2".as("d2"), $"embedding")
   }
 
+  /** Lloyd centroid update from an assignment: (cid, carr float[64],
+    * sum_cq). Exact micro-sums per (cid, dim), one rounded division,
+    * float re-materialization for the codegen'd distance. */
+  private def kmUpdate(assigned: DataFrame)(
+      implicit s: SparkSession): DataFrame = {
+    import s.implicits._
+    assigned
+      .select($"cid", posexplode($"embedding").as(Seq("dim", "x")))
+      .select($"cid", $"dim",
+        expr("CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)")
+          .as("xq"))
+      .groupBy($"cid", $"dim")
+      .agg(count(lit(1)).as("n"), sum($"xq").as("sq"))
+      .withColumn("cq",
+        expr("CAST(round(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)"))
+      .withColumn("cf", ($"cq".cast(DoubleType) / lit(1e6)).cast(FloatType))
+      .groupBy($"cid")
+      .agg(
+        transform(array_sort(collect_list(struct($"dim", $"cf"))),
+          el => el.getField("cf")).as("carr"),
+        sum($"cq").as("sum_cq"))
+  }
+
+  /** Fixed k-lowest-id seed centroids: (cid 0..k-1 in id order, carr).
+    * The k-row global window runs on a driver-side tiny relation. */
+  private def kmSeeds(e: DataFrame)(implicit s: SparkSession): DataFrame = {
+    import s.implicits._
+    e.orderBy($"vec_id").limit(kmK)
+      .select((row_number().over(Window.orderBy($"vec_id")) - 1)
+        .cast(LongType).as("cid"), $"embedding".as("carr"))
+  }
+
   private val q103 = QueryDef(
     "q103_kmeans_clusters",
     (s, dir) => {
       implicit val sp: SparkSession = s
       import s.implicits._
       val e = emb(s, dir).select($"vec_id", $"embedding")
-      // init: the k lowest vec_ids, cid = dense 0..k-1 in id order (the
-      // 8-row global window runs on the driver-side tiny relation)
-      val c0 = e.orderBy($"vec_id").limit(kmK)
-        .select((row_number().over(Window.orderBy($"vec_id")) - 1)
-          .cast(LongType).as("cid"), $"embedding".as("carr"))
-      val a1 = kmAssign(e, c0)
-      // Lloyd update: exact micro-sums per (cid, dim), one rounded
-      // division, float re-materialization for the codegen'd distance
-      val c1 = a1
-        .select($"cid", posexplode($"embedding").as(Seq("dim", "x")))
-        .select($"cid", $"dim",
-          expr("CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)")
-            .as("xq"))
-        .groupBy($"cid", $"dim")
-        .agg(count(lit(1)).as("n"), sum($"xq").as("sq"))
-        .withColumn("cq",
-          expr("CAST(round(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)"))
-        .withColumn("cf", ($"cq".cast(DoubleType) / lit(1e6)).cast(FloatType))
-        .groupBy($"cid")
-        .agg(
-          transform(array_sort(collect_list(struct($"dim", $"cf"))),
-            el => el.getField("cf")).as("carr"),
-          sum($"cq").as("sum_cq"))
+      val a1 = kmAssign(e, kmSeeds(e))
+      val c1 = kmUpdate(a1)
       val a2 = kmAssign(e, c1.select($"cid", $"carr"))
       a2.groupBy($"cid")
         .agg(count(lit(1)).as("n"), sum($"d2").as("wss_q"))
@@ -927,5 +938,132 @@ object EmbeddingQueries {
       FROM a2 a JOIN sums s USING (cid)
       GROUP BY a.cid, s.sum_cq ORDER BY a.cid"""))
 
-  val all: Seq[QueryDef] = Seq(q24, q24b, q24c, q24d, q24e, q62, q102, q103)
+  // --------------------------------------------------------------- Q105
+  // SemDeDup VERBATIM (Abbas et al. 2023): the paper's pipeline is
+  // k-means cluster → pairwise cosine WITHIN each cluster → drop
+  // near-duplicates. q102 is the LSH-blocked variant; q105 composes the
+  // registry's own operators into the published algorithm — q103's
+  // deterministic quantized Lloyd rounds provide the blocking, q102's
+  // planted corpus + keep-lowest rule provide the dedup semantics, so
+  // the two blocking strategies are directly comparable on identical
+  // input.
+  //
+  // Scale shape (100 TB): the cluster self-join is EQUI-KEYED on cid —
+  // never all-pairs; per-cluster pair count is (n/k)², and the paper's
+  // parameterization scales k WITH the corpus (k = n / target cluster
+  // size) so per-cluster work stays bounded — exactly the argument the
+  // fixed k = 8 demonstrates in miniature here. Uneven clusters at
+  // extreme scale get the q-skew treatment (AQE skew-join split on the
+  // cid shuffle). Recall model: a planted copy lands in its original's
+  // cluster unless the pair straddles a Voronoi boundary at the ~0.1%
+  // scaling margin; the assignment is exact integer arithmetic, so both
+  // engines split (or don't) IDENTICALLY and the oracle is exact either
+  // way — recall on this corpus is pinned in SemDedupSpec.
+  private val q105 = QueryDef(
+    "q105_semantic_dedup_kmeans",
+    (s, dir) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val corpus = plantedCorpus(s, dir)
+      val e = corpus.select($"vec_id", $"embedding")
+      val a1 = kmAssign(e, kmSeeds(e))
+      val a2 = kmAssign(e, kmUpdate(a1).select($"cid", $"carr"))
+      val withN2 = corpus.withColumn("n2", dotQ("embedding", "embedding"))
+      val side = a2.select($"vec_id", $"cid").join(withN2, Seq("vec_id"))
+      val l = side.select($"vec_id".as("id1"), $"cid",
+        $"embedding".as("e1"), $"n2".as("n1"))
+      val r = side.select($"vec_id".as("id2"), $"cid",
+        $"embedding".as("e2"), $"n2".as("n2b"), $"label")
+      val edges = l.join(r, Seq("cid")).filter($"id1" < $"id2")
+        .withColumn("cosine",
+          dotQ("e1", "e2").cast(DoubleType) /
+            (sqrt($"n1".cast(DoubleType)) * sqrt($"n2b".cast(DoubleType))))
+        .filter($"cosine" >= dupThreshold)
+      val w = Window.partitionBy($"id2").orderBy($"id1")
+      edges
+        .select($"label", $"id2".as("dropped_id"), $"id1".as("kept_id"),
+          $"cosine", row_number().over(w).as("rk"))
+        .filter($"rk" === 1)
+        .select($"label", $"dropped_id", $"kept_id", $"cosine")
+        .orderBy($"label", $"dropped_id")
+    },
+    // q102's planted corpus + q103's Lloyd CTEs + q102's edge/keep CTEs,
+    // stitched: the blocking key is the round-2 cluster id.
+    Some(s"""WITH corpus AS (
+        SELECT vec_id, embedding, label FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000,
+          list_transform(embedding,
+            x -> CAST(CAST(x AS DOUBLE) * 1.001 AS REAL)),
+          label
+        FROM embeddings WHERE vec_id % 40 = 0),
+      eq AS (
+        SELECT vec_id, CAST(gs AS BIGINT) AS dim,
+          CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS xq
+        FROM (SELECT vec_id, unnest(embedding) AS x,
+                generate_subscripts(embedding, 1) AS gs
+              FROM corpus) t),
+      seeds AS (
+        SELECT vec_id,
+          CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid
+        FROM (SELECT vec_id FROM corpus ORDER BY vec_id LIMIT $kmK)),
+      c0 AS (
+        SELECT s.cid, e.dim, e.xq AS cq
+        FROM seeds s JOIN eq e USING (vec_id)),
+      d1 AS (
+        SELECT e.vec_id, c.cid,
+          SUM((e.xq - c.cq) * (e.xq - c.cq)) AS d2
+        FROM eq e JOIN c0 c ON e.dim = c.dim
+        GROUP BY 1, 2),
+      a1 AS (
+        SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+          FROM d1) WHERE rk = 1),
+      c1 AS (
+        SELECT a.cid, e.dim,
+          CAST(round(CAST(SUM(e.xq) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
+        FROM a1 a JOIN eq e USING (vec_id)
+        GROUP BY 1, 2),
+      c1f AS (
+        SELECT cid, dim,
+          CAST(round(CAST(CAST(CAST(cq AS DOUBLE) / 1000000 AS REAL)
+            AS DOUBLE) * 1000000) AS BIGINT) AS cqf
+        FROM c1),
+      d2s AS (
+        SELECT e.vec_id, c.cid,
+          SUM((e.xq - c.cqf) * (e.xq - c.cqf)) AS d2
+        FROM eq e JOIN c1f c ON e.dim = c.dim
+        GROUP BY 1, 2),
+      a2 AS (
+        SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+          FROM d2s) WHERE rk = 1),
+      norms AS (
+        SELECT vec_id, embedding, label,
+          ${oDot("embedding", "embedding")} AS n2
+        FROM corpus),
+      cand AS (
+        SELECT a.vec_id AS id1, b.vec_id AS id2
+        FROM a2 a JOIN a2 b
+          ON a.cid = b.cid AND a.vec_id < b.vec_id),
+      edges AS (
+        SELECT e2.label, cd.id2 AS dropped_id, cd.id1 AS kept_id,
+          CAST(${oDot("e1.embedding", "e2.embedding")} AS DOUBLE)
+            / (sqrt(CAST(e1.n2 AS DOUBLE)) * sqrt(CAST(e2.n2 AS DOUBLE)))
+            AS cosine
+        FROM cand cd
+        JOIN norms e1 ON e1.vec_id = cd.id1
+        JOIN norms e2 ON e2.vec_id = cd.id2),
+      ranked AS (
+        SELECT label, dropped_id, kept_id, cosine,
+          ROW_NUMBER() OVER (PARTITION BY dropped_id ORDER BY kept_id)
+            AS rk
+        FROM edges WHERE cosine >= $dupThreshold)
+      SELECT label, dropped_id, kept_id, cosine
+      FROM ranked WHERE rk = 1 ORDER BY label, dropped_id"""))
+
+  val all: Seq[QueryDef] =
+    Seq(q24, q24b, q24c, q24d, q24e, q62, q102, q103, q105)
 }

@@ -73,7 +73,10 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // topk_by_score heap merges must all commute with partitioning —
     // a float min/max is partition-order-free, and everything after it
     // is exact integers + fixed-tree double arithmetic
-    "q24e_ann_sq8")
+    "q24e_ann_sq8",
+    // q105: k-means blocking feeding a dedup — cluster assignment AND
+    // the within-cluster pair set must be layout-independent end-to-end
+    "q105_semantic_dedup_kmeans")
 
   private def canonical(name: String): Seq[String] = {
     val df = Registry.byName(name).run(spark, dir)

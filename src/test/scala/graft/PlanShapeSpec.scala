@@ -80,6 +80,10 @@ class PlanShapeSpec extends AnyFunSuite {
         // one codegen'd l2q per pair; KMeansSpec pins that no SMJ/SHJ
         // appears in the final plan.
         "q103_kmeans_clusters",
+        // q105 runs q103's centroid cross-joins for its blocking stage
+        // (same bounded k-row broadcast); its dedup self-join is
+        // equi-keyed on cid — SemDedupSpec pins no CartesianProduct.
+        "q105_semantic_dedup_kmeans",
         // q24e fans the ONE-row [min,max] stats out over the corpus
         // (q74's scalar-fanout shape) and BNLJs the 3-row query-code
         // set against it — the same bounded broadcast sides as q24.

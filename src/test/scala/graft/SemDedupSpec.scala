@@ -86,4 +86,48 @@ class SemDedupSpec extends AnyFunSuite {
     assert(cand < allPairs / 10,
       s"blocking scored $cand of $allPairs pairs — not sublinear")
   }
+
+  test("q105 cluster-blocked SemDeDup drops the same planted set as q102") {
+    // The paper's verbatim pipeline (k-means blocking) and the
+    // LSH-blocked variant must agree on WHAT is a duplicate — the
+    // planted copies — even though their candidate sets come from
+    // different blocking structures. A copy could in principle split
+    // from its original across a Voronoi boundary (the ~0.1% scaling
+    // margin); on this corpus none does, and the assertion pins that.
+    val n = Tables.rowCount(spark, dir, "embeddings")
+    val plantedIds = (0L until n by 40L).map(_ + 1000000L).toSet
+    val dropped = Registry.byName("q105_semantic_dedup_kmeans")
+      .run(spark, dir).collect()
+      .map(_.getAs[Long]("dropped_id")).toSet
+    assert(dropped === plantedIds,
+      s"missed=${plantedIds -- dropped} extra=${dropped -- plantedIds}")
+  }
+
+  test("q105 cluster blocking scores far fewer pairs than all-pairs") {
+    // Σ_clusters C(size, 2) must stay well under C(m, 2): with k = 8
+    // roughly balanced clusters the expected ratio is ~1/k; the paper's
+    // scaling argument (k grows with the corpus) rests on exactly this
+    // quantity staying bounded per cluster.
+    val df = Registry.byName("q105_semantic_dedup_kmeans").run(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val fin = p.indexOf("== Initial Plan ==") match {
+      case -1 => p; case i => p.substring(0, i)
+    }
+    // the cid self-join must be EQUI-keyed (hash/merge), never a
+    // cartesian — the all-pairs shape the blocking exists to avoid
+    assert(!fin.contains("CartesianProduct"),
+      s"q105 planned an all-pairs join:\n$fin")
+    val corpus = EmbeddingQueries.plantedCorpus(spark, dir)
+    val m = corpus.count()
+    val sizes = Registry.byName("q103_kmeans_clusters")
+      .run(spark, dir).collect().map(_.getAs[Long]("n"))
+    // q103 clusters the UNplanted corpus; the planted one adds m/40
+    // rows — bound the pair count with a (size+margin)² overestimate
+    val margin = m / 40 + 8
+    val pairBound = sizes.map(s => (s + margin) * (s + margin) / 2).sum
+    val allPairs = m * (m - 1) / 2
+    assert(pairBound < allPairs / 2,
+      s"cluster pair bound $pairBound not sublinear vs $allPairs")
+  }
 }

@@ -1,10 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.analysis.{FunctionRegistry, TypeCheckResult}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
 /** `dotq(a, b)` — exact int64 dot product of two float arrays under
@@ -30,55 +29,13 @@ import org.apache.spark.sql.types._
   * contract (embeddings are dense float[64]) and treated as 0.
   */
 case class QuantizedDot(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends QuantizedArrayFold {
 
-  override def dataType: DataType = LongType
+  override protected def step(qa: Long, qb: Long): Long = qa * qb
 
-  // Expression.foldable defaults to false for custom expressions; with
-  // this override Catalyst's ConstantFolding evaluates all-literal calls
-  // at plan time (asserted in PlanShapeSpec).
-  override def foldable: Boolean = children.forall(_.foldable)
-
-  override def checkInputDataTypes(): TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(FloatType, _) => true
-      case _ => false
-    })
-    if (ok) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"dotq requires two array<float> arguments, got " +
-        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
-  }
-
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var acc = 0L
-    var i = 0
-    while (i < n) {
-      acc += QuantizedDot.q(x.getFloat(i)) * QuantizedDot.q(y.getFloat(i))
-      i += 1
-    }
-    acc
-  }
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val cls = QuantizedDot.getClass.getName.stripSuffix("$") + "$.MODULE$"
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      val n = ctx.freshName("n")
-      val i = ctx.freshName("i")
-      val acc = ctx.freshName("acc")
-      s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $cls.q($a.getFloat($i)) * $cls.q($b.getFloat($i));
-         |}
-         |${ev.value} = $acc;
-       """.stripMargin
-    })
-  }
+  override protected def stepCode(qa: String, qb: String, acc: String,
+      ctx: CodegenContext): String =
+    s"$acc += $qa * $qb;"
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): QuantizedDot =

@@ -1,10 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.analysis.{FunctionRegistry, TypeCheckResult}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
 /** `l2q(a, b)` — exact int64 SQUARED EUCLIDEAN distance of two float
@@ -33,54 +32,18 @@ import org.apache.spark.sql.types._
   * length mismatch takes the common prefix, mirroring `dotq`.
   */
 case class QuantizedL2(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends QuantizedArrayFold {
 
-  override def dataType: DataType = LongType
-
-  override def foldable: Boolean = children.forall(_.foldable)
-
-  override def checkInputDataTypes(): TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(FloatType, _) => true
-      case _ => false
-    })
-    if (ok) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"l2q requires two array<float> arguments, got " +
-        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  override protected def step(qa: Long, qb: Long): Long = {
+    val d = qa - qb
+    d * d
   }
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var acc = 0L
-    var i = 0
-    while (i < n) {
-      val d = QuantizedDot.q(x.getFloat(i)) - QuantizedDot.q(y.getFloat(i))
-      acc += d * d
-      i += 1
-    }
-    acc
-  }
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val cls = QuantizedDot.getClass.getName.stripSuffix("$") + "$.MODULE$"
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      val n = ctx.freshName("n")
-      val i = ctx.freshName("i")
-      val acc = ctx.freshName("acc")
-      val d = ctx.freshName("d")
-      s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  long $d = $cls.q($a.getFloat($i)) - $cls.q($b.getFloat($i));
-         |  $acc += $d * $d;
-         |}
-         |${ev.value} = $acc;
-       """.stripMargin
-    })
+  override protected def stepCode(qa: String, qb: String, acc: String,
+      ctx: CodegenContext): String = {
+    val d = ctx.freshName("d")
+    s"""long $d = $qa - $qb;
+       |  $acc += $d * $d;""".stripMargin
   }
 
   override protected def withNewChildrenInternal(

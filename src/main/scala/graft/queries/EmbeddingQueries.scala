@@ -515,14 +515,23 @@ object EmbeddingQueries {
       val base = emb(s, dir)
       val stats = base.select(posexplode($"embedding").as(Seq("d", "x")))
         .agg(min($"x").as("fmin"), max($"x").as("fmax"))
+      // greatest(range, 1e-12) guards the all-constant-corpus edge: on
+      // real data the range dwarfs it (codes unchanged), and on a
+      // degenerate corpus BOTH engines produce all-zero codes instead
+      // of Spark silently yielding NaN→0 while DuckDB errors
       val coded = base.crossJoin(broadcast(stats))
         .withColumn("codes", expr(
           "transform(embedding, x -> CAST(CAST(round(" +
             "(CAST(x AS DOUBLE) - CAST(fmin AS DOUBLE)) * 255.0D" +
-            " / (CAST(fmax AS DOUBLE) - CAST(fmin AS DOUBLE))) AS BIGINT)" +
-            " AS FLOAT))"))
+            " / greatest(CAST(fmax AS DOUBLE) - CAST(fmin AS DOUBLE)," +
+            " 1e-12D)) AS BIGINT) AS FLOAT))"))
+        // Σcodes via dotq against a LITERAL ones array (embeddings are
+        // fixed float[64], FIXTURES.md §1) — array_repeat of literals
+        // constant-folds, so only the codegen'd dotq runs per row (the
+        // per-row transform(codes, _ -> 1.0f) HOF form would rebuild
+        // the same array interpreted, the q24b anti-pattern)
         .withColumn("csum", expr(
-          "dotq(codes, transform(codes, c -> CAST(1.0 AS FLOAT)))" +
+          "dotq(codes, array_repeat(CAST(1.0 AS FLOAT), 64))" +
             " div 1000000000000"))
       val qcoded = coded.filter($"vec_id".isin(queryIds: _*))
         .select($"vec_id".as("q_id"), $"codes".as("q_codes"))
@@ -538,14 +547,17 @@ object EmbeddingQueries {
       val cand = approx.groupBy($"q_id")
         .agg(expr("topk_by_score(akey, vec_id, 20)").as("top"))
         .select($"q_id", explode($"top.id").as("vec_id"))
-      // exact rescore on the 20·|queries| survivors (id-keyed joins)
-      val norms = base.withColumn("n2", dotQ("embedding", "embedding"))
-      val qn = norms.filter($"vec_id".isin(queryIds: _*))
+      // exact rescore on the 20·|queries| survivors ONLY: the cand ids
+      // broadcast into the corpus scan and n2/dotq run post-join — no
+      // second full-corpus float pass (that bandwidth is what the SQ8
+      // compression exists to avoid); q_n2 prunes via the pushed-down
+      // vec_id IN filter
+      val qn = base.filter($"vec_id".isin(queryIds: _*))
         .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
-          $"n2".as("q_n2"))
-      val resc = cand
-        .join(norms.select($"vec_id", $"embedding", $"label", $"n2"),
-          Seq("vec_id"))
+          dotQ("embedding", "embedding").as("q_n2"))
+      val resc = base.select($"vec_id", $"embedding")
+        .join(broadcast(cand), Seq("vec_id"))
+        .withColumn("n2", dotQ("embedding", "embedding"))
         .join(broadcast(qn), Seq("q_id"))
         .withColumn("cosine",
           dotQ("q_emb", "embedding").cast(DoubleType) /
@@ -566,7 +578,8 @@ object EmbeddingQueries {
       codes AS (
         SELECT vec_id, CAST(gs AS BIGINT) AS dim,
           CAST(round((CAST(x AS DOUBLE) - CAST(st.fmin AS DOUBLE))
-            * 255.0 / (CAST(st.fmax AS DOUBLE) - CAST(st.fmin AS DOUBLE)))
+            * 255.0 / greatest(CAST(st.fmax AS DOUBLE)
+              - CAST(st.fmin AS DOUBLE), 1e-12))
             AS BIGINT) AS code
         FROM (SELECT vec_id, unnest(embedding) AS x,
                 generate_subscripts(embedding, 1) AS gs

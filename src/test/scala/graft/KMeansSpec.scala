@@ -54,13 +54,10 @@ class KMeansSpec extends AnyFunSuite {
   test("q103 plan broadcasts the centroids — no shuffled join anywhere") {
     val df = Registry.byName("q103_kmeans_clusters").run(spark, dir)
     df.collect()
-    val p = df.queryExecution.executedPlan.toString
-    // AQE toString prints Final AND Initial sections; the pre-runtime
-    // Initial plan legitimately carries an SMJ that AQE demotes to a
-    // broadcast join once it sees the k-row side — judge the FINAL plan
-    val fin = p.indexOf("== Initial Plan ==") match {
-      case -1 => p; case i => p.substring(0, i)
-    }
+    // the pre-runtime Initial plan legitimately carries an SMJ that AQE
+    // demotes to a broadcast join once it sees the k-row side — judge
+    // the FINAL plan only
+    val fin = TestSpark.finalPlan(df)
     assert(!fin.contains("SortMergeJoin") && !fin.contains("ShuffledHashJoin"),
       s"q103 shuffled a join side — centroids must broadcast:\n$fin")
     assert(fin.contains("BroadcastHashJoin") || fin.contains("BroadcastNestedLoopJoin"),

@@ -285,12 +285,9 @@ class PlanShapeSpec extends AnyFunSuite {
       s"q100 join shuffled a corpus side instead of broadcasting:\n$p")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
       s"expected semi+anti broadcast joins:\n$p")
-    // AQE toString prints Final AND Initial plan sections — count
-    // shuffles only in the final one (5 expected: dedup, bench-gram
-    // distinct, contaminated-id distinct, final agg, final sort)
-    val fin = p.indexOf("== Initial Plan ==") match {
-      case -1 => p; case i => p.substring(0, i)
-    }
+    // count shuffles only in the FINAL plan section (5 expected: dedup,
+    // bench-gram distinct, contaminated-id distinct, final agg, sort)
+    val fin = TestSpark.finalPlan(df)
     val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(fin).size
     assert(exchanges <= 6, s"q100 exchange count grew to $exchanges:\n$p")
   }
@@ -372,10 +369,7 @@ class PlanShapeSpec extends AnyFunSuite {
     // so the ranking exchange carries O(5·|langs|) rows, not every doc.
     val df = Registry.byName("q104_token_rarity").run(spark, dir)
     df.collect()
-    val p = df.queryExecution.executedPlan.toString
-    val fin = p.indexOf("== Initial Plan ==") match {
-      case -1 => p; case i => p.substring(0, i)
-    }
+    val fin = TestSpark.finalPlan(df)
     assert(fin.contains("BroadcastHashJoin") &&
       !fin.contains("SortMergeJoin") && !fin.contains("ShuffledHashJoin"),
       s"q104 vocab join-back must broadcast:\n$fin")

@@ -110,10 +110,7 @@ class SemDedupSpec extends AnyFunSuite {
     // quantity staying bounded per cluster.
     val df = Registry.byName("q105_semantic_dedup_kmeans").run(spark, dir)
     df.collect()
-    val p = df.queryExecution.executedPlan.toString
-    val fin = p.indexOf("== Initial Plan ==") match {
-      case -1 => p; case i => p.substring(0, i)
-    }
+    val fin = TestSpark.finalPlan(df)
     // the cid self-join must be EQUI-keyed (hash/merge), never a
     // cartesian — the all-pairs shape the blocking exists to avoid
     assert(!fin.contains("CartesianProduct"),

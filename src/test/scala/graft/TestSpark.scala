@@ -12,4 +12,18 @@ object TestSpark {
     Sessions.local("graft-test")
   }
   val sf0001 = "/root/testdata/sf0.001"
+
+  /** The FINAL section of an executed AQE plan string. AQE's toString
+    * prints "== Final Plan ==" followed by "== Initial Plan ==", and
+    * the Initial section legitimately contains shapes (e.g. an SMJ
+    * later demoted to broadcast) that plan-shape assertions forbid —
+    * asserting on the raw string checks the wrong plan. Call after the
+    * df has been executed. */
+  def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    val p = df.queryExecution.executedPlan.toString
+    p.indexOf("== Initial Plan ==") match {
+      case -1 => p
+      case i => p.substring(0, i)
+    }
+  }
 }

@@ -164,5 +164,5 @@ object FreqSketch {
   val descriptor: (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (
     new FunctionIdentifier("mg_sketch"),
     new ExpressionInfo(classOf[FreqSketch].getName, "mg_sketch"),
-    (children: Seq[Expression]) => FreqSketch(children(0), children(1)))
+    FunctionArity.expect("mg_sketch", 2)(c => FreqSketch(c(0), c(1))))
 }

@@ -56,5 +56,5 @@ object QuantizedDot {
   val descriptor: (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (
     new FunctionIdentifier("dotq"),
     new ExpressionInfo(classOf[QuantizedDot].getName, "dotq"),
-    (children: Seq[Expression]) => QuantizedDot(children(0), children(1)))
+    FunctionArity.expect("dotq", 2)(c => QuantizedDot(c(0), c(1))))
 }

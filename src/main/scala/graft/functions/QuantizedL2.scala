@@ -58,5 +58,5 @@ object QuantizedL2 {
   val descriptor: (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (
     new FunctionIdentifier("l2q"),
     new ExpressionInfo(classOf[QuantizedL2].getName, "l2q"),
-    (children: Seq[Expression]) => QuantizedL2(children(0), children(1)))
+    FunctionArity.expect("l2q", 2)(c => QuantizedL2(c(0), c(1))))
 }

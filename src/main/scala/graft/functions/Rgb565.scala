@@ -57,5 +57,5 @@ object Rgb565 {
   val descriptor: (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (
     new FunctionIdentifier("rgb565"),
     new ExpressionInfo(classOf[Rgb565].getName, "rgb565"),
-    (children: Seq[Expression]) => Rgb565(children(0), children(1), children(2)))
+    FunctionArity.expect("rgb565", 3)(c => Rgb565(c(0), c(1), c(2))))
 }

@@ -87,5 +87,5 @@ object RollingMinMd5 {
   val descriptor: (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (
     new FunctionIdentifier("rolling_min_md5"),
     new ExpressionInfo(classOf[RollingMinMd5].getName, "rolling_min_md5"),
-    (children: Seq[Expression]) => RollingMinMd5(children(0), children(1)))
+    FunctionArity.expect("rolling_min_md5", 2)(c => RollingMinMd5(c(0), c(1))))
 }

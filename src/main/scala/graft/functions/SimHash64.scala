@@ -115,5 +115,5 @@ object SimHash64 {
   val descriptor: (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (
     new FunctionIdentifier("simhash64"),
     new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-    (children: Seq[Expression]) => SimHash64(children.head))
+    FunctionArity.expect("simhash64", 1)(c => SimHash64(c(0))))
 }

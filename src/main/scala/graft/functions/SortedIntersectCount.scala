@@ -29,7 +29,9 @@ import org.apache.spark.sql.types._
   * gives an UNDERCOUNT, not an error — FunctionsSpec pins the sorted
   * law against array_intersect on random inputs.
   *
-  * Nulls: null array → null (BinaryExpression default).
+  * Nulls: null array → null (BinaryExpression default); a null ELEMENT
+  * reached by the merge also yields null (see the eval comment) rather
+  * than an NPE.
   */
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -37,6 +39,17 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override def dataType: DataType = LongType
 
   override def foldable: Boolean = children.forall(_.foldable)
+
+  // The null-element poison path can fire even when neither ARRAY is
+  // null, so nullability must also follow the element-level
+  // containsNull flags — without this the engine treats the output as
+  // non-nullable and silently drops the null (codegen writes isNull
+  // into a constant-false slot).
+  override def nullable: Boolean =
+    super.nullable || children.exists(_.dataType match {
+      case ArrayType(_, containsNull) => containsNull
+      case _ => false
+    })
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
@@ -49,6 +62,15 @@ case class SortedIntersectCount(left: Expression, right: Expression)
         s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
   }
 
+  // A null ELEMENT reached by the merge poisons the result to null
+  // (SQL three-valued logic: whether it matches is unknowable), instead
+  // of the NPE the raw merge would throw — the type check accepts
+  // containsNull=true arrays because most array-producing expressions
+  // are typed that way even when every element is present. Nulls past
+  // the merge frontier (after one side is exhausted) are never touched
+  // and cannot change the count, so the result stays defined there —
+  // under Spark's array_sort convention (nulls last) this makes the
+  // count exact over the non-null prefix in every case.
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -56,6 +78,7 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     var (i, j) = (0, 0)
     var acc = 0L
     while (i < nx && j < ny) {
+      if (x.isNullAt(i) || y.isNullAt(j)) return null
       val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
       if (c < 0) i += 1
       else if (c > 0) j += 1
@@ -78,6 +101,7 @@ case class SortedIntersectCount(left: Expression, right: Expression)
          |int $i = 0; int $j = 0;
          |long $acc = 0L;
          |while ($i < $nx && $j < $ny) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($j)) { ${ev.isNull} = true; break; }
          |  int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
          |  if ($c < 0) { $i++; }
          |  else if ($c > 0) { $j++; }
@@ -99,5 +123,5 @@ object SortedIntersectCount {
   val descriptor: (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (
     new FunctionIdentifier("sorted_icount"),
     new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_icount"),
-    (children: Seq[Expression]) => SortedIntersectCount(children(0), children(1)))
+    FunctionArity.expect("sorted_icount", 2)(c => SortedIntersectCount(c(0), c(1))))
 }

@@ -129,6 +129,5 @@ object TopKByScore {
   val descriptor: (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (
     new FunctionIdentifier("topk_by_score"),
     new ExpressionInfo(classOf[TopKByScore].getName, "topk_by_score"),
-    (children: Seq[Expression]) =>
-      TopKByScore(children(0), children(1), children(2)))
+    FunctionArity.expect("topk_by_score", 3)(c => TopKByScore(c(0), c(1), c(2))))
 }

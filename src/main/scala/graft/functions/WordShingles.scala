@@ -102,5 +102,5 @@ object WordShingles {
   val descriptor: (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (
     new FunctionIdentifier("word_shingles"),
     new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
-    (children: Seq[Expression]) => WordShingles(children(0), children(1)))
+    FunctionArity.expect("word_shingles", 2)(c => WordShingles(c(0), c(1))))
 }

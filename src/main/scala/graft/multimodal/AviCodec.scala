@@ -274,7 +274,7 @@ object AviCodec {
   val metaDescriptor: (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (
     new FunctionIdentifier("avi_meta"),
     new ExpressionInfo(classOf[AviMeta].getName, "avi_meta"),
-    (children: Seq[Expression]) => AviMeta(children.head))
+    graft.functions.FunctionArity.expect("avi_meta", 1)(c => AviMeta(c(0))))
 
   val framesDescriptor: (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (
     new FunctionIdentifier("avi_frames"),

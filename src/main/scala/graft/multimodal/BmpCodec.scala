@@ -87,11 +87,19 @@ object BmpCodec {
     (a(off) & 0xFF) | ((a(off + 1) & 0xFF) << 8) |
       ((a(off + 2) & 0xFF) << 16) | ((a(off + 3) & 0xFF) << 24)
 
-  /** Parse + reduce in one pass; NULL on anything malformed or outside
-    * the 24-bit/uncompressed profile. Handles top-down (negative
-    * height) files even though `encode` never writes them — a decoder
-    * only for bytes we wrote ourselves would not be a decoder. */
-  def decode(bytes: Array[Byte]): InternalRow = {
+  /** Validated 24-bit/BI_RGB header facts — ONE parse shared by decode
+    * and resize, so the two can never accept different profiles (a
+    * profile change applied to one but not the other would make the
+    * q31e round-trip bmp_decode(bmp_resize(...)) accept/reject
+    * different inputs on each side). */
+  private final case class BmpHeader(
+      pixelOff: Int, w: Int, h: Int, topDown: Boolean, rowBytes: Int)
+
+  /** null on anything malformed or outside the profile: BM signature,
+    * BITMAPINFOHEADER+ (>= 40), positive bounded dims (top-down
+    * negative height normalized), 1 plane, 24-bit, BI_RGB, and pixel
+    * data fully inside the buffer. */
+  private def parseHeader(bytes: Array[Byte]): BmpHeader = {
     if (bytes == null || bytes.length < 54) return null
     if (bytes(0) != 'B' || bytes(1) != 'M') return null
     val pixelOff = i32(bytes, 10)
@@ -108,14 +116,24 @@ object BmpCodec {
     val rowBytes = (w * 3 + 3) & ~3
     if (pixelOff < 14 + hdrSize ||
       pixelOff.toLong + rowBytes.toLong * h > bytes.length) return null
+    BmpHeader(pixelOff, w, h, topDown, rowBytes)
+  }
+
+  /** Parse + reduce in one pass; NULL on anything malformed or outside
+    * the 24-bit/uncompressed profile. Handles top-down (negative
+    * height) files even though `encode` never writes them — a decoder
+    * only for bytes we wrote ourselves would not be a decoder. */
+  def decode(bytes: Array[Byte]): InternalRow = {
+    val hd = parseHeader(bytes)
+    if (hd == null) return null
     var sr = 0L; var sg = 0L; var sb = 0L
     var row = 0
-    while (row < h) {
+    while (row < hd.h) {
       // storage row -> logical row is irrelevant for channel SUMS, but
       // walk in storage order for sequential access
-      var off = pixelOff + row * rowBytes
+      var off = hd.pixelOff + row * hd.rowBytes
       var x = 0
-      while (x < w) {
+      while (x < hd.w) {
         sb += bytes(off) & 0xFF
         sg += bytes(off + 1) & 0xFF
         sr += bytes(off + 2) & 0xFF
@@ -124,7 +142,7 @@ object BmpCodec {
       }
       row += 1
     }
-    new GenericInternalRow(Array[Any](w, h, sr, sg, sb))
+    new GenericInternalRow(Array[Any](hd.w, hd.h, sr, sg, sb))
   }
 
   /** Nearest-neighbor RESIZE, real bytes to real bytes: parses the
@@ -139,23 +157,13 @@ object BmpCodec {
     * located through the file's actual storage order, or the sampled
     * pixel set — and the oracle hash — changes. */
   def resize(bytes: Array[Byte], w2: Int, h2: Int): Array[Byte] = {
-    if (bytes == null || bytes.length < 54) return null
     if (w2 <= 0 || h2 <= 0 || w2 > (1 << 12) || h2 > (1 << 12)) return null
-    if (bytes(0) != 'B' || bytes(1) != 'M') return null
-    val pixelOff = i32(bytes, 10)
-    val hdrSize = i32(bytes, 14)
-    if (hdrSize < 40) return null
-    val w = i32(bytes, 18)
-    val rawH = i32(bytes, 22)
-    val topDown = rawH < 0
-    val h = if (topDown) -rawH else rawH
-    if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20)) return null
-    if (u16(bytes, 26) != 1) return null
-    if (u16(bytes, 28) != 24) return null
-    if (i32(bytes, 30) != 0) return null
-    val rowBytes = (w * 3 + 3) & ~3
-    if (pixelOff < 14 + hdrSize ||
-      pixelOff.toLong + rowBytes.toLong * h > bytes.length) return null
+    val hd = parseHeader(bytes)
+    if (hd == null) return null
+    val pixelOff = hd.pixelOff
+    val w = hd.w; val h = hd.h
+    val topDown = hd.topDown
+    val rowBytes = hd.rowBytes
     val rowBytes2 = (w2 * 3 + 3) & ~3
     val dataSize2 = rowBytes2 * h2
     val out = java.nio.ByteBuffer.allocate(54 + dataSize2)
@@ -186,17 +194,17 @@ object BmpCodec {
   val encodeDescriptor: (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (
     new FunctionIdentifier("bmp_encode"),
     new ExpressionInfo(classOf[BmpEncode].getName, "bmp_encode"),
-    (children: Seq[Expression]) => BmpEncode(children(0), children(1), children(2)))
+    graft.functions.FunctionArity.expect("bmp_encode", 3)(c => BmpEncode(c(0), c(1), c(2))))
 
   val decodeDescriptor: (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (
     new FunctionIdentifier("bmp_decode"),
     new ExpressionInfo(classOf[BmpDecode].getName, "bmp_decode"),
-    (children: Seq[Expression]) => BmpDecode(children.head))
+    graft.functions.FunctionArity.expect("bmp_decode", 1)(c => BmpDecode(c(0))))
 
   val resizeDescriptor: (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (
     new FunctionIdentifier("bmp_resize"),
     new ExpressionInfo(classOf[BmpResize].getName, "bmp_resize"),
-    (children: Seq[Expression]) => BmpResize(children(0), children(1), children(2)))
+    graft.functions.FunctionArity.expect("bmp_resize", 3)(c => BmpResize(c(0), c(1), c(2))))
 }
 
 /** `bmp_encode(seed BIGINT, w INT, h INT)` → BINARY (see BmpCodec). */

@@ -149,12 +149,12 @@ object WavCodec {
   val encodeDescriptor: (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (
     new FunctionIdentifier("wav_encode"),
     new ExpressionInfo(classOf[WavEncode].getName, "wav_encode"),
-    (children: Seq[Expression]) => WavEncode(children(0), children(1), children(2)))
+    graft.functions.FunctionArity.expect("wav_encode", 3)(c => WavEncode(c(0), c(1), c(2))))
 
   val decodeDescriptor: (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (
     new FunctionIdentifier("wav_decode"),
     new ExpressionInfo(classOf[WavDecode].getName, "wav_decode"),
-    (children: Seq[Expression]) => WavDecode(children.head))
+    graft.functions.FunctionArity.expect("wav_decode", 1)(c => WavDecode(c(0))))
 }
 
 /** `wav_encode(seed BIGINT, sample_rate INT, n_frames INT)` → BINARY

@@ -193,6 +193,37 @@ object EmbeddingQueries {
       s"($p, [${w.map(graft.functions.QuantizedDot.q).mkString(",")}])"
     }.mkString(",\n          ")
 
+  /** The DuckDB LSH-INDEX preamble (cnt/rbits/planes/sigbits/sigs
+    * CTEs) — ONE text shared by every oracle that rebuilds the index
+    * (q24b, q102), so the SQL rebuilds cannot drift from each other or
+    * from the Scala `bandBits`/`lshBands` they mirror, and the multi-KB
+    * planes literal is written once. `src` is the relation whose rows
+    * get signatures (must expose vec_id, embedding); r sizing always
+    * reads `embeddings` — q102's planted +n/40 rows don't move
+    * ⌈log2 n⌉. Meant to be spliced into a WITH list. */
+  private def oracleLshIndex(src: String): String =
+    s"""cnt AS (SELECT COUNT(*) AS n FROM embeddings),
+      rbits AS (
+        SELECT LEAST($maxBitsPerTable,
+            GREATEST(8, COALESCE(MAX(k.k) + 1, 1))) AS r
+        FROM range(63) k(k), cnt
+        WHERE ((n - 1) >> k.k) & 1 = 1),
+      planes(p, w) AS (VALUES
+          $oraclePlanes),
+      sigbits AS (
+        SELECT e.vec_id, CAST(p.p // $maxBitsPerTable AS BIGINT) AS table_idx,
+          CASE WHEN (SELECT CAST(SUM(
+                CAST(round(CAST(ax AS DOUBLE) * 1000000) AS BIGINT) * wx)
+              AS BIGINT)
+              FROM (SELECT unnest(e.embedding) AS ax, unnest(p.w) AS wx) z)
+            >= 0
+          THEN (CAST(1 AS BIGINT) << (p.p % $maxBitsPerTable)) ELSE 0 END AS bit
+        FROM $src e, planes p, rbits
+        WHERE (p.p % $maxBitsPerTable) < rbits.r),
+      sigs AS (
+        SELECT vec_id, table_idx, CAST(SUM(bit) AS BIGINT) AS sig
+        FROM sigbits GROUP BY 1, 2)"""
+
   private val q24b = QueryDef(
     "q24b_ann_lsh",
     (s, dir) => {
@@ -245,27 +276,7 @@ object EmbeddingQueries {
         SELECT vec_id, embedding, label,
           ${oDot("embedding", "embedding")} AS n2
         FROM embeddings),
-      cnt AS (SELECT COUNT(*) AS n FROM embeddings),
-      rbits AS (
-        SELECT LEAST($maxBitsPerTable,
-            GREATEST(8, COALESCE(MAX(k.k) + 1, 1))) AS r
-        FROM range(63) k(k), cnt
-        WHERE ((n - 1) >> k.k) & 1 = 1),
-      planes(p, w) AS (VALUES
-          $oraclePlanes),
-      sigbits AS (
-        SELECT e.vec_id, CAST(p.p // $maxBitsPerTable AS BIGINT) AS table_idx,
-          CASE WHEN (SELECT CAST(SUM(
-                CAST(round(CAST(ax AS DOUBLE) * 1000000) AS BIGINT) * wx)
-              AS BIGINT)
-              FROM (SELECT unnest(e.embedding) AS ax, unnest(p.w) AS wx) z)
-            >= 0
-          THEN (CAST(1 AS BIGINT) << (p.p % $maxBitsPerTable)) ELSE 0 END AS bit
-        FROM embeddings e, planes p, rbits
-        WHERE (p.p % $maxBitsPerTable) < rbits.r),
-      sigs AS (
-        SELECT vec_id, table_idx, CAST(SUM(bit) AS BIGINT) AS sig
-        FROM sigbits GROUP BY 1, 2),
+      ${oracleLshIndex("embeddings")},
       probes AS (
         SELECT s.vec_id AS q_id, s.table_idx,
           CASE WHEN f.i < 0 THEN s.sig
@@ -757,27 +768,7 @@ object EmbeddingQueries {
             x -> CAST(CAST(x AS DOUBLE) * 1.001 AS REAL)),
           label
         FROM embeddings WHERE vec_id % 40 = 0),
-      cnt AS (SELECT COUNT(*) AS n FROM embeddings),
-      rbits AS (
-        SELECT LEAST($maxBitsPerTable,
-            GREATEST(8, COALESCE(MAX(k.k) + 1, 1))) AS r
-        FROM range(63) k(k), cnt
-        WHERE ((n - 1) >> k.k) & 1 = 1),
-      planes(p, w) AS (VALUES
-          $oraclePlanes),
-      sigbits AS (
-        SELECT c.vec_id, CAST(p.p // $maxBitsPerTable AS BIGINT) AS table_idx,
-          CASE WHEN (SELECT CAST(SUM(
-                CAST(round(CAST(ax AS DOUBLE) * 1000000) AS BIGINT) * wx)
-              AS BIGINT)
-              FROM (SELECT unnest(c.embedding) AS ax, unnest(p.w) AS wx) z)
-            >= 0
-          THEN (CAST(1 AS BIGINT) << (p.p % $maxBitsPerTable)) ELSE 0 END AS bit
-        FROM corpus c, planes p, rbits
-        WHERE (p.p % $maxBitsPerTable) < rbits.r),
-      sigs AS (
-        SELECT vec_id, table_idx, CAST(SUM(bit) AS BIGINT) AS sig
-        FROM sigbits GROUP BY 1, 2),
+      ${oracleLshIndex("corpus")},
       cand AS (
         SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
         FROM sigs a JOIN sigs b

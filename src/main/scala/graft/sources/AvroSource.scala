@@ -201,6 +201,25 @@ final class AvroFileReader(
   private val reader = new DataFileReader[GenericRecord](
     new File(file), new GenericDatumReader[GenericRecord](null, readerSchema))
   private var rec: GenericRecord = _
+  // Per-row work is the scan hot path: resolve each required field's
+  // Avro POSITION and conversion once here, so get() does array-indexed
+  // rec.get(pos) + a pre-picked converter per field instead of a
+  // name→field hash lookup and a type match per field per row
+  // (round-10 review finding).
+  private val fieldPos: Array[Int] =
+    required.fields.map(f => readerSchema.getField(f.name).pos())
+  private val convert: Array[AnyRef => AnyRef] =
+    required.fields.map[AnyRef => AnyRef] { f =>
+      f.dataType match {
+        case StringType => v => UTF8String.fromString(v.toString)
+        case BinaryType => {
+          case bb: java.nio.ByteBuffer =>
+            val b = new Array[Byte](bb.remaining()); bb.duplicate().get(b); b
+          case v => v
+        }
+        case _ => identity // long/int/double/float/boolean box directly
+      }
+    }
 
   override def next(): Boolean = {
     val h = reader.hasNext
@@ -208,16 +227,16 @@ final class AvroFileReader(
     h
   }
 
-  override def get(): InternalRow =
-    InternalRow.fromSeq(required.fields.toSeq.map { f =>
-      (rec.get(f.name), f.dataType) match {
-        case (null, _) => null
-        case (v, StringType) => UTF8String.fromString(v.toString)
-        case (v: java.nio.ByteBuffer, BinaryType) =>
-          val b = new Array[Byte](v.remaining()); v.duplicate().get(b); b
-        case (v, _) => v // long/int/double/float/boolean box directly
-      }
-    })
+  override def get(): InternalRow = {
+    val out = new Array[Any](fieldPos.length)
+    var i = 0
+    while (i < fieldPos.length) {
+      val v = rec.get(fieldPos(i))
+      out(i) = if (v == null) null else convert(i)(v.asInstanceOf[AnyRef])
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
+  }
 
   override def close(): Unit = reader.close()
 }
@@ -302,7 +321,10 @@ final class AvroDataWriter(
           case other => throw new IllegalArgumentException(
             s"graftavro does not support ${other.catalogString}")
         }
-      rec.put(f.name, v)
+      // positional put: toAvroSchema folds st.fields in order, so Avro
+      // field positions equal StructType indices — no name hash lookup
+      // per field per row
+      rec.put(i, v)
       i += 1
     }
     writer.append(rec)

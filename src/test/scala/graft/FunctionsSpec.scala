@@ -326,6 +326,41 @@ class FunctionsSpec extends AnyFunSuite {
     assert(df.filter("fast <> ref").count() === 0)
   }
 
+  test("sorted_icount null elements: reached null poisons, tail null doesn't") {
+    // Session-registered SQL can hand the merge arrays with null
+    // elements (the type check accepts containsNull=true). A null the
+    // merge REACHES yields SQL null — not the NPE the raw compareTo
+    // would throw — in both the interpreted and codegen paths; a null
+    // past the frontier (after one side is exhausted) can't change the
+    // count and leaves the result defined.
+    import spark.implicits._
+    val rows = spark.sql(
+      """SELECT
+        |  sorted_icount(array('b', CAST(NULL AS STRING)), array('b')) AS tail_ok,
+        |  sorted_icount(array(CAST(NULL AS STRING)), array('b')) AS poisoned,
+        |  sorted_icount(array('a', CAST(NULL AS STRING)), array('z')) AS poisoned2
+        |""".stripMargin).head()
+    assert(rows.getLong(0) === 1L) // 'b' matches; null never reached
+    assert(rows.isNullAt(1))
+    assert(rows.isNullAt(2)) // merge advances past 'a' into the null
+    // interpreted path agrees
+    import graft.functions.SortedIntersectCount
+    val viaEval = SortedIntersectCount(
+      Literal.create(Seq(null.asInstanceOf[String], "b"), ArrayType(StringType)),
+      Literal.create(Seq("b"), ArrayType(StringType))).eval(null)
+    assert(viaEval === null)
+  }
+
+  test("graft function builders reject wrong arity with a clear error") {
+    val e = intercept[Exception](
+      spark.sql("SELECT sorted_icount(array('a'))").collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("requires exactly 2 arguments")),
+      s"unexpected error chain: ${msgs(e).mkString(" | ")}")
+  }
+
   test("sorted_icount codegen (DataFrame) agrees with interpreted eval") {
     import graft.functions.SortedIntersectCount
     import spark.implicits._

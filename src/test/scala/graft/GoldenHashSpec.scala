@@ -29,6 +29,21 @@ class GoldenHashSpec extends AnyFunSuite {
     assert(golden.keySet === Registry.all.map(_.name).toSet)
   }
 
+  test("sf0.01 golden file covers exactly the registered queries") {
+    // Coverage-only (hashes re-executed at sf0.001 above; re-running
+    // all queries at sf0.01 would double the suite time): the key SET
+    // must track the registry so the file stays GoldenGen-reproducible
+    // instead of drifting by hand-edit (round-10 review finding — three
+    // new queries were missing while their families were present).
+    val src = Source.fromInputStream(
+      getClass.getResourceAsStream("/golden/sf0.01.json"), "UTF-8")
+    val keys =
+      try """"(q[^"]+)": \{""".r.findAllMatchIn(src.mkString)
+        .map(_.group(1)).toSet
+      finally src.close()
+    assert(keys === Registry.all.map(_.name).toSet)
+  }
+
   for (q <- Registry.all) test(s"${q.name} matches its golden hash") {
     val lines = Canon.rows(q.run(spark, TestSpark.sf0001))
     val (rows, hash) = golden(q.name)

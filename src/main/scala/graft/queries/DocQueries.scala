@@ -1665,7 +1665,74 @@ object DocQueries {
         CAST(n_tokens AS BIGINT) AS n_tokens, sum_freq, score_micro
       FROM r WHERE rk <= 5 ORDER BY lang, rk"""))
 
+  // --------------------------------------------------------------- Q106
+  // BUDGETED CORPUS SELECTION — the "fill a token budget with the best
+  // documents" step of dataset assembly (every mixture recipe ends
+  // with per-source token quotas): rank each source's docs by a
+  // deterministic quality order (longest first — the scale proxy; any
+  // scoring column slots in), take documents in rank order while the
+  // RUNNING token total stays within the per-source budget, report the
+  // realized selection per source. Completes the sampling triptych:
+  // q54 controls the RATE (Bernoulli to a budget in expectation), q88
+  // takes exact-k rows, q106 takes exact-TOKENS — the greedy
+  // quota fill, which is deterministic where a rate draw is only
+  // right on average.
+  //
+  // Determinism: ORDER BY (n_chars DESC, doc_id) is total; the running
+  // sum is over exact int64 token counts with an EXPLICIT ROWS frame
+  // (both engines; the default RANGE frame would coincide here since
+  // the order is total, but writing ROWS removes the reliance).
+  // Scale shape (100 TB): one window partitioned by source — the same
+  // per-partition sort-and-scan class as q47's packing (source
+  // partitions sort in parallel; a giant source widens to (source,
+  // shard) exactly as documented there); the per-source report is a
+  // partial-agg collapse, so the final exchange carries |sources| rows.
+  private val BudgetTok = 2000L
+
+  private val q106 = QueryDef(
+    "q106_token_budget_select",
+    (s, dir) => {
+      import s.implicits._
+      val perDoc = docs(s, dir).select($"source", $"doc_id", $"n_chars",
+        expr("CAST(size(filter(split(lower(text), ' '), " +
+          "t -> length(t) > 0)) AS BIGINT)").as("n_tok"))
+      val w = Window.partitionBy($"source")
+        .orderBy($"n_chars".desc, $"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perDoc
+        .withColumn("cum_tok", sum($"n_tok").over(w))
+        .withColumn("kept", ($"cum_tok" <= BudgetTok).cast(IntegerType))
+        .groupBy($"source")
+        .agg(
+          count(lit(1)).as("candidates"),
+          sum($"kept").cast(LongType).as("kept_docs"),
+          max(when($"kept" === 1, $"cum_tok")).as("kept_tokens"),
+          min(when($"kept" === 1, $"n_chars")).as("min_kept_chars"))
+        .orderBy($"source")
+    },
+    Some(s"""WITH perdoc AS (
+        SELECT source, doc_id, n_chars,
+          CAST(len(list_filter(string_split(lower(text), ' '),
+            t -> length(t) > 0)) AS BIGINT) AS n_tok
+        FROM documents),
+      ranked AS (
+        SELECT source, doc_id, n_chars, n_tok,
+          SUM(n_tok) OVER (PARTITION BY source
+            ORDER BY n_chars DESC, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+        FROM perdoc)
+      SELECT source,
+        COUNT(*) AS candidates,
+        CAST(SUM(CASE WHEN cum_tok <= $BudgetTok THEN 1 ELSE 0 END)
+          AS BIGINT) AS kept_docs,
+        CAST(MAX(CASE WHEN cum_tok <= $BudgetTok THEN cum_tok END)
+          AS BIGINT) AS kept_tokens,
+        MIN(CASE WHEN cum_tok <= $BudgetTok THEN n_chars END)
+          AS min_kept_chars
+      FROM ranked GROUP BY source ORDER BY source"""))
+
   val all: Seq[QueryDef] =
     Seq(q22, q23, q25, q26, q27, q28, q29, q32, q39, q42, q45, q46, q47,
-      q50, q51, q52, q53, q54, q59, q60, q65, q88, q89, q100, q101, q104)
+      q50, q51, q52, q53, q54, q59, q60, q65, q88, q89, q100, q101, q104,
+      q106)
 }

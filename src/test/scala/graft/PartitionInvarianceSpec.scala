@@ -76,7 +76,11 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q24e_ann_sq8",
     // q105: k-means blocking feeding a dedup — cluster assignment AND
     // the within-cluster pair set must be layout-independent end-to-end
-    "q105_semantic_dedup_kmeans")
+    "q105_semantic_dedup_kmeans",
+    // q106: the greedy budget fill — the per-source running token sum
+    // (total-order window) and the kept-set cutoff must not depend on
+    // which partition carried which document
+    "q106_token_budget_select")
 
   private def canonical(name: String): Seq[String] = {
     val df = Registry.byName(name).run(spark, dir)

@@ -1731,8 +1731,69 @@ object DocQueries {
           AS min_kept_chars
       FROM ranked GROUP BY source ORDER BY source"""))
 
+  // --------------------------------------------------------------- Q107
+  // HASHED-FEATURE LINEAR CLASSIFIER INFERENCE — the "apply a trained
+  // quality classifier to every document" step (CCNet/GPT-3-style
+  // fastText filters): each token is feature-hashed into one of 64
+  // weight buckets, the document's score is bias + Σ w[bucket(token)],
+  // and the keep decision is score > 0. The weight vector here is a
+  // deterministic fixture (w[b] = (b·2654435761 mod 17) − 8, a Knuth
+  // multiplicative spread over [−8, 8]) — a trained model swaps in the
+  // same shape; the hashing trick means the model is a FIXED-width
+  // vector regardless of vocabulary size, which is why this scales
+  // where a vocab-keyed join-back (q104's shape) needs corpus
+  // statistics first.
+  //
+  // Exactness: one md5 per token, first 8 hex chars → int64 (the q54
+  // idiom, identical in both engines), then pure int64 modular
+  // arithmetic — bucket·2654435761 ≤ 63·2.7e9 < 2⁶³, every operand
+  // non-negative so `%` agrees across engines. No floats anywhere.
+  //
+  // Scale shape (100 TB): scoring is SCAN-STAGE and map-only — the
+  // model is compiled into the row expression (an `aggregate` HOF over
+  // the token array inside whole-stage codegen: no explode, no
+  // per-token rows, no join, no shuffle). The ONLY exchange is the
+  // final |source|×|lang|-row report aggregate, which collapses
+  // map-side. This is the strictest scale shape in the pipeline family:
+  // inference cost is one pass over the bytes, independent of corpus
+  // size or vocabulary.
+  private val q107 = QueryDef(
+    "q107_quality_classifier",
+    (s, dir) => {
+      import s.implicits._
+      val scored = docs(s, dir).select($"source", $"lang",
+        expr("""aggregate(
+            filter(split(lower(text), ' '), t -> length(t) > 0),
+            CAST(-2 AS BIGINT),
+            (acc, t) -> acc
+              + (((CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT)
+                   % 64) * 2654435761) % 17) - 8)""").as("score"))
+      scored.groupBy($"source", $"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          count_if($"score" > 0).as("kept_docs"),
+          sum($"score").as("sum_score"),
+          min($"score").as("min_score"),
+          max($"score").as("max_score"))
+        .orderBy($"source", $"lang")
+    },
+    Some("""WITH scored AS (
+        SELECT source, lang,
+          COALESCE(list_sum(list_transform(
+            list_filter(string_split(lower(text), ' '),
+              t -> length(t) > 0),
+            t -> (((('0x' || substr(md5(t), 1, 8))::BIGINT % 64)
+                   * 2654435761) % 17) - 8)), 0) - 2 AS score
+        FROM documents)
+      SELECT source, lang, COUNT(*) AS n_docs,
+        CAST(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS kept_docs,
+        CAST(SUM(score) AS BIGINT) AS sum_score,
+        CAST(MIN(score) AS BIGINT) AS min_score,
+        CAST(MAX(score) AS BIGINT) AS max_score
+      FROM scored GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[QueryDef] =
     Seq(q22, q23, q25, q26, q27, q28, q29, q32, q39, q42, q45, q46, q47,
       q50, q51, q52, q53, q54, q59, q60, q65, q88, q89, q100, q101, q104,
-      q106)
+      q106, q107)
 }

@@ -80,7 +80,11 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // q106: the greedy budget fill — the per-source running token sum
     // (total-order window) and the kept-set cutoff must not depend on
     // which partition carried which document
-    "q106_token_budget_select")
+    "q106_token_budget_select",
+    // q107: map-only classifier inference — the per-document score is a
+    // pure row function (no cross-row state at all), so only the report
+    // aggregate's int64 partial sums can vary with layout; they must not
+    "q107_quality_classifier")
 
   private def canonical(name: String): Seq[String] = {
     val df = Registry.byName(name).run(spark, dir)

@@ -379,4 +379,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(ex >= 0 && fin.indexOf("WindowGroupLimit", ex) >= 0,
       s"no map-side WindowGroupLimit below the lang exchange:\n$fin")
   }
+
+  test("q107 classifier inference: map-only scoring — no explode, no join, 2 exchanges") {
+    // Model inference must stay a scan-stage row function: the token
+    // fan-out happens inside an `aggregate` HOF (no Generate node, so
+    // no per-token rows ever materialize), the model needs no join
+    // (weights are compiled into the expression), and the ONLY
+    // exchanges are the report aggregate's hash partitioning plus the
+    // final presentation sort. A third exchange — or any join/Generate
+    // — means inference stopped being the one-pass map it must be at
+    // 100 TB.
+    val df = Registry.byName("q107_quality_classifier").run(spark, dir)
+    df.collect()
+    val fin = TestSpark.finalPlan(df)
+    assert(!fin.contains("Generate"),
+      s"q107 exploded tokens instead of folding in-place:\n$fin")
+    assert(!fin.contains("Join"), s"q107 planned a join for the model:\n$fin")
+    val nEx = "(?<!Broadcast)Exchange".r.findAllIn(fin).size
+    assert(nEx <= 2, s"q107 has $nEx exchanges (expected <= 2):\n$fin")
+  }
 }

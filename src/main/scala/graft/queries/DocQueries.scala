@@ -1687,7 +1687,15 @@ object DocQueries {
   // partitions sort in parallel; a giant source widens to (source,
   // shard) exactly as documented there); the per-source report is a
   // partial-agg collapse, so the final exchange carries |sources| rows.
-  private val BudgetTok = 2000L
+  // 500 (not 2000): the budget must BIND at the golden/oracle scale
+  // factors — at sf0.001/sf0.01 the largest source carries ~1.6k
+  // tokens, so a 2000-token quota kept every document and the greedy
+  // cutoff (the entire point of the query) went unexercised by the
+  // hash gate. At 500 every source truncates at both SFs (verified on
+  // the fixtures), so a boundary error (<= vs <), a frame divergence,
+  // or broken NULL handling of the zero-kept aggregates would fail the
+  // goldens and the DuckDB oracle, not just the sf0.1 spot check.
+  private val BudgetTok = 500L
 
   private val q106 = QueryDef(
     "q106_token_budget_select",
@@ -1737,16 +1745,18 @@ object DocQueries {
   // fastText filters): each token is feature-hashed into one of 64
   // weight buckets, the document's score is bias + Σ w[bucket(token)],
   // and the keep decision is score > 0. The weight vector here is a
-  // deterministic fixture (w[b] = (b·2654435761 mod 17) − 8, a Knuth
-  // multiplicative spread over [−8, 8]) — a trained model swaps in the
-  // same shape; the hashing trick means the model is a FIXED-width
+  // deterministic fixture (w[b] = (b·1000003 mod 17) − 8; 1000003 ≡ 12
+  // (mod 17) is coprime to 17, so the multiply genuinely permutes the
+  // residues — the first-draft constant 2654435761 was ≡ 1 (mod 17),
+  // collapsing the "spread" to a plain ramp) — a trained model swaps
+  // in the same shape; the hashing trick means the model is a FIXED-width
   // vector regardless of vocabulary size, which is why this scales
   // where a vocab-keyed join-back (q104's shape) needs corpus
   // statistics first.
   //
   // Exactness: one md5 per token, first 8 hex chars → int64 (the q54
   // idiom, identical in both engines), then pure int64 modular
-  // arithmetic — bucket·2654435761 ≤ 63·2.7e9 < 2⁶³, every operand
+  // arithmetic — bucket·1000003 ≤ 63·10⁶ ≪ 2⁶³, every operand
   // non-negative so `%` agrees across engines. No floats anywhere.
   //
   // Scale shape (100 TB): scoring is SCAN-STAGE and map-only — the
@@ -1767,7 +1777,7 @@ object DocQueries {
             CAST(-2 AS BIGINT),
             (acc, t) -> acc
               + (((CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT)
-                   % 64) * 2654435761) % 17) - 8)""").as("score"))
+                   % 64) * 1000003) % 17) - 8)""").as("score"))
       scored.groupBy($"source", $"lang")
         .agg(count(lit(1)).as("n_docs"),
           count_if($"score" > 0).as("kept_docs"),
@@ -1782,7 +1792,7 @@ object DocQueries {
             list_filter(string_split(lower(text), ' '),
               t -> length(t) > 0),
             t -> (((('0x' || substr(md5(t), 1, 8))::BIGINT % 64)
-                   * 2654435761) % 17) - 8)), 0) - 2 AS score
+                   * 1000003) % 17) - 8)), 0) - 2 AS score
         FROM documents)
       SELECT source, lang, COUNT(*) AS n_docs,
         CAST(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT)

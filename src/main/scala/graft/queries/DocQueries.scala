@@ -1762,18 +1762,26 @@ object DocQueries {
   // Scale shape (100 TB): scoring is SCAN-STAGE and map-only — the
   // model is compiled into the row expression (an `aggregate` HOF over
   // the token array inside whole-stage codegen: no explode, no
-  // per-token rows, no join, no shuffle). The ONLY exchange is the
-  // final |source|×|lang|-row report aggregate, which collapses
-  // map-side. This is the strictest scale shape in the pipeline family:
-  // inference cost is one pass over the bytes, independent of corpus
-  // size or vocabulary.
+  // per-token rows, no join, no shuffle). The only exchanges are the
+  // |source|×|lang|-row report aggregate (map-side collapse) and the
+  // final presentation sort's range partitioning — the 2-exchange
+  // shape PlanShapeSpec pins. This is the strictest scale shape in the
+  // pipeline family: inference cost is one pass over the bytes,
+  // independent of corpus size or vocabulary.
+  //
+  // NULL text: both sides score a NULL document as bias only (-2).
+  // coalesce(text, '') makes the Spark token array empty (aggregate
+  // over NULL would yield NULL and silently drop the doc from
+  // count_if/sum/min/max), mirroring the oracle's COALESCE(list_sum,
+  // 0) - 2 — the engines agree even though the shipped fixtures carry
+  // no NULL text (round-10 ADVICE item 1).
   private val q107 = QueryDef(
     "q107_quality_classifier",
     (s, dir) => {
       import s.implicits._
       val scored = docs(s, dir).select($"source", $"lang",
         expr("""aggregate(
-            filter(split(lower(text), ' '), t -> length(t) > 0),
+            filter(split(lower(coalesce(text, '')), ' '), t -> length(t) > 0),
             CAST(-2 AS BIGINT),
             (acc, t) -> acc
               + (((CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT)

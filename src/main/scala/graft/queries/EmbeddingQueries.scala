@@ -798,8 +798,9 @@ object EmbeddingQueries {
   // K-MEANS CLUSTERING (deterministic quantized Lloyd's) — the curation
   // operator SemDeDup-style pipelines run BEFORE within-cluster dedup
   // (Abbas et al. 2023 cluster first, dedup inside clusters; q102 is the
-  // LSH-blocked sibling). k = 8 seeds (the k lowest vec_ids — a fixed,
-  // engine-portable init), ONE Lloyd update, then re-assignment:
+  // LSH-blocked sibling). k = kmK(n) corpus-sized seeds (the k lowest
+  // vec_ids — a fixed, engine-portable init), ONE Lloyd update, then
+  // re-assignment:
   //   assign(seeds) → centroid update → assign(centroids) → report.
   // Output per surviving cluster: size, within-cluster sum of squares
   // (micro² units), and the centroid micro-sum checksum — k rows, exact
@@ -828,7 +829,34 @@ object EmbeddingQueries {
   // q39's bounded fixpoint). WSS int64 headroom: ~3.5·10⁴ unit-norm
   // vectors per cluster per accumulator (l2q Scaladoc); past that the
   // d2 sum swaps to DECIMAL(38,0) — same plan shape.
-  private val kmK = 8
+  //
+  // k IS SIZED FROM THE CORPUS (round-10 verdict item 1, mirroring
+  // q102's bandBits(n)): k = max(8, ⌈n / TargetClusterSize⌉) — the
+  // SemDeDup parameterization (Abbas et al. 2023 scale k with the
+  // corpus so the EXPECTED cluster size, hence q105's per-cluster pair
+  // count, stays bounded as n grows: candidates ≈ k·(n/k)²/2 =
+  // n·target/2, LINEAR in the corpus where a fixed k degenerates to
+  // (n/k)² quadratic). The sizing scalar is the same memoized
+  // ingest-phase rowCount q24b/q102 read (a catalog statistic at
+  // 100 TB); like q102's r it always reads the base `embeddings` count
+  // — q105's planted +n/40 rows don't move a ⌈n/64⌉-granular k, and
+  // both engines must derive the IDENTICAL k for the oracle gate, so
+  // the DuckDB rebuild computes the same GREATEST(8, (COUNT(*)+63)//64)
+  // from the same table. Exact integer ceil on both sides — no float
+  // log/div that could misround at a boundary. At the shipped fixtures:
+  // n=500 → k=8 (the floor), n=2000 (sf0.1) → k=32 — the formula is
+  // exercised off its floor by KMeansSpec and the sublinearity law in
+  // SemDedupSpec.
+  private[graft] val TargetClusterSize = 64L
+  private[graft] def kmK(n: Long): Int =
+    math.max(8L, (n + TargetClusterSize - 1L) / TargetClusterSize).toInt
+
+  /** The DuckDB twin of kmK — spliced into both k-means oracles so the
+    * two rebuilds cannot drift from each other or from the Scala. */
+  private val oracleKmK: String =
+    "kp AS (SELECT CAST(GREATEST(8, (COUNT(*) + " +
+      s"${TargetClusterSize - 1}) // $TargetClusterSize) AS BIGINT) " +
+      "AS k FROM embeddings)"
 
   /** Nearest-centroid assignment: (vec_id, cid, d2, embedding).
     * `cents` is (cid long, carr float[64]) and is always broadcast. */
@@ -866,11 +894,12 @@ object EmbeddingQueries {
         sum($"cq").as("sum_cq"))
   }
 
-  /** Fixed k-lowest-id seed centroids: (cid 0..k-1 in id order, carr).
+  /** k-lowest-id seed centroids: (cid 0..k-1 in id order, carr).
     * The k-row global window runs on a driver-side tiny relation. */
-  private def kmSeeds(e: DataFrame)(implicit s: SparkSession): DataFrame = {
+  private def kmSeeds(e: DataFrame, k: Int)(
+      implicit s: SparkSession): DataFrame = {
     import s.implicits._
-    e.orderBy($"vec_id").limit(kmK)
+    e.orderBy($"vec_id").limit(k)
       .select((row_number().over(Window.orderBy($"vec_id")) - 1)
         .cast(LongType).as("cid"), $"embedding".as("carr"))
   }
@@ -881,7 +910,8 @@ object EmbeddingQueries {
       implicit val sp: SparkSession = s
       import s.implicits._
       val e = emb(s, dir).select($"vec_id", $"embedding")
-      val a1 = kmAssign(e, kmSeeds(e))
+      val k = kmK(Tables.rowCount(s, dir, "embeddings"))
+      val a1 = kmAssign(e, kmSeeds(e, k))
       val c1 = kmUpdate(a1)
       val a2 = kmAssign(e, c1.select($"cid", $"carr"))
       a2.groupBy($"cid")
@@ -898,10 +928,13 @@ object EmbeddingQueries {
           CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
             AS BIGINT) AS xq
         FROM embeddings),
+      $oracleKmK,
       seeds AS (
         SELECT vec_id,
           CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid
-        FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $kmK)),
+        FROM embeddings
+        QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id)
+          <= (SELECT k FROM kp)),
       c0 AS (
         SELECT s.cid, e.dim, e.xq AS cq
         FROM seeds s JOIN eq e USING (vec_id)),
@@ -953,10 +986,12 @@ object EmbeddingQueries {
   // input.
   //
   // Scale shape (100 TB): the cluster self-join is EQUI-KEYED on cid —
-  // never all-pairs; per-cluster pair count is (n/k)², and the paper's
-  // parameterization scales k WITH the corpus (k = n / target cluster
-  // size) so per-cluster work stays bounded — exactly the argument the
-  // fixed k = 8 demonstrates in miniature here. Uneven clusters at
+  // never all-pairs; per-cluster pair count is (n/k)², and k IS SIZED
+  // FROM THE CORPUS (kmK(n) = max(8, ⌈n/64⌉), the paper's k = n/target
+  // parameterization — round-10 verdict item 1) so the expected
+  // cluster size, hence per-cluster work, stays BOUNDED as the corpus
+  // grows: total candidates ≈ n·target/2, linear in n, pinned by the
+  // cross-SF sublinearity law in SemDedupSpec. Uneven clusters at
   // extreme scale get the q-skew treatment (AQE skew-join split on the
   // cid shuffle). Recall model: a planted copy lands in its original's
   // cluster unless the pair straddles a Voronoi boundary at the ~0.1%
@@ -970,7 +1005,8 @@ object EmbeddingQueries {
       import s.implicits._
       val corpus = plantedCorpus(s, dir)
       val e = corpus.select($"vec_id", $"embedding")
-      val a1 = kmAssign(e, kmSeeds(e))
+      val k = kmK(Tables.rowCount(s, dir, "embeddings"))
+      val a1 = kmAssign(e, kmSeeds(e, k))
       val a2 = kmAssign(e, kmUpdate(a1).select($"cid", $"carr"))
       val withN2 = corpus.withColumn("n2", dotQ("embedding", "embedding"))
       val side = a2.select($"vec_id", $"cid").join(withN2, Seq("vec_id"))
@@ -1007,10 +1043,13 @@ object EmbeddingQueries {
         FROM (SELECT vec_id, unnest(embedding) AS x,
                 generate_subscripts(embedding, 1) AS gs
               FROM corpus) t),
+      $oracleKmK,
       seeds AS (
         SELECT vec_id,
           CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid
-        FROM (SELECT vec_id FROM corpus ORDER BY vec_id LIMIT $kmK)),
+        FROM corpus
+        QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id)
+          <= (SELECT k FROM kp)),
       c0 AS (
         SELECT s.cid, e.dim, e.xq AS cq
         FROM seeds s JOIN eq e USING (vec_id)),

@@ -27,9 +27,32 @@ class KMeansSpec extends AnyFunSuite {
 
   test("q103 partitions the corpus: cluster sizes sum to the corpus") {
     val n = Tables.rowCount(spark, dir, "embeddings")
+    val k = queries.EmbeddingQueries.kmK(n)
     assert(out.map(_.getAs[Long]("n")).sum === n)
-    assert(out.map(_.getAs[Long]("cid")).toSet === (0L until 8L).toSet,
-      "all 8 seeded clusters should survive on this corpus")
+    assert(out.map(_.getAs[Long]("cid")).toSet === (0L until k.toLong).toSet,
+      s"all $k seeded clusters should survive on this corpus")
+  }
+
+  test("kmK sizes k from the corpus: max(8, ceil(n/64)) exact-integer") {
+    import queries.EmbeddingQueries.kmK
+    assert(kmK(1) === 8)       // floor
+    assert(kmK(500) === 8)     // golden fixtures sit at the floor
+    assert(kmK(512) === 8)     // exact boundary
+    assert(kmK(513) === 9)     // first step off the floor
+    assert(kmK(2000) === 32)   // the sf0.1 bench corpus
+    assert(kmK(1000000) === 15625) // k keeps growing with the corpus
+  }
+
+  test("q103 at sf0.1 runs OFF the k floor: 32 corpus-sized clusters") {
+    // n=2000 → kmK=32 — the parameterization exercised away from its
+    // max(8, ·) floor, with the full-partition invariant intact
+    val dir01 = "/root/testdata/sf0.1"
+    val o = Registry.byName("q103_kmeans_clusters").run(spark, dir01)
+      .collect()
+    val n = Tables.rowCount(spark, dir01, "embeddings")
+    assert(queries.EmbeddingQueries.kmK(n) === 32)
+    assert(o.map(_.getAs[Long]("cid")).toSet === (0L until 32L).toSet)
+    assert(o.map(_.getAs[Long]("n")).sum === n)
   }
 
   test("q103 WSS is monotone: reported WSS <= initial-assignment WSS") {

@@ -103,11 +103,37 @@ class SemDedupSpec extends AnyFunSuite {
       s"missed=${plantedIds -- dropped} extra=${dropped -- plantedIds}")
   }
 
+  test("q105 cluster blocking is SUBLINEAR across corpus sizes (kmK law)") {
+    // The SemDeDup parameterization (round-10 verdict item 1): k =
+    // kmK(n) = max(8, ceil(n/64)) scales WITH the corpus, so candidate
+    // pairs Σ_clusters C(size, 2) grow ~LINEARLY in n (≈ n·target/2
+    // under balance) instead of the (n/k)²-quadratic a fixed k decays
+    // to. Measured on the real fixtures: sf0.001 (n=500, k=8 — the
+    // floor) vs sf0.1 (n=2000, k=32 — off the floor). The law mirrors
+    // q24b's bucket-size sublinearity test for the LSH sibling.
+    def pairSum(d: String): (Long, Long) = {
+      val sizes = Registry.byName("q103_kmeans_clusters").run(spark, d)
+        .collect().map(_.getAs[Long]("n"))
+      (sizes.sum, sizes.map(s => s * (s - 1) / 2).sum)
+    }
+    val (n1, p1) = pairSum(dir)
+    val (n2, p2) = pairSum("/root/testdata/sf0.1")
+    val nRatio = n2.toDouble / n1            // 4x corpus
+    val growth = p2.toDouble / p1
+    assert(growth < nRatio * nRatio / 2,
+      s"candidate growth $growth vs corpus growth $nRatio — " +
+        "quadratic-class blow-up; k is not tracking the corpus")
+    assert(growth < nRatio * 4,
+      s"candidate growth $growth vs corpus growth $nRatio — " +
+        "more than 4x skew over the linear model")
+  }
+
   test("q105 cluster blocking scores far fewer pairs than all-pairs") {
-    // Σ_clusters C(size, 2) must stay well under C(m, 2): with k = 8
-    // roughly balanced clusters the expected ratio is ~1/k; the paper's
-    // scaling argument (k grows with the corpus) rests on exactly this
-    // quantity staying bounded per cluster.
+    // Σ_clusters C(size, 2) must stay well under C(m, 2): with k =
+    // kmK(n) roughly balanced clusters the expected ratio is ~1/k; the
+    // paper's scaling argument (k grows with the corpus — pinned in
+    // the cross-SF law above) rests on exactly this quantity staying
+    // bounded per cluster.
     val df = Registry.byName("q105_semantic_dedup_kmeans").run(spark, dir)
     df.collect()
     val fin = TestSpark.finalPlan(df)

@@ -1613,10 +1613,17 @@ object DocQueries {
   //
   // Scale shape (100 TB): the vocabulary aggregate is ONE shuffle over
   // a Heaps-law-bounded key domain with map-side partial collapse; the
-  // join-back BROADCASTS the vocab table (valid while the vocab fits —
-  // ~10⁷ rows; past that flip to a shuffle join on token, same
-  // semantics, and swap sum_freq·10⁶ to DECIMAL(38,0) once corpus
-  // tokens exceed ~2⁵³/10⁶); per-doc aggregation collapses map-side
+  // join-back BROADCASTS the vocab table by default (valid while the
+  // vocab fits — ~10⁷ rows). The flip documented for past-that corpora
+  // is WIRED, not just described (round-10 verdict item 2, the
+  // `graft.shingles.native` flag precedent): spark.conf
+  // `graft.vocab.broadcast=false` routes the join-back through a
+  // shuffle join on token instead (merge-hinted so the plan provably
+  // exchanges both sides rather than letting AQE re-broadcast) — same
+  // semantics, output pinned identical end-to-end and both plan shapes
+  // asserted in VocabJoinbackSpec. (Past ~2⁵³/10⁶ corpus tokens,
+  // sum_freq·10⁶ additionally swaps to DECIMAL(38,0).) Per-doc
+  // aggregation collapses map-side
   // (docs live within partitions); the per-lang top-5 gets the q75/q88
   // WindowGroupLimit map-side limit, so the final exchange carries
   // O(5·|langs|) rows.
@@ -1629,9 +1636,13 @@ object DocQueries {
           explode(split(lower($"text"), " ")).as("token"))
         .filter(length($"token") > 0)
       val freq = toks.groupBy($"token").agg(count(lit(1)).as("f"))
+      val vocabSide =
+        if (s.conf.getOption("graft.vocab.broadcast").forall(_.toBoolean))
+          broadcast(freq)
+        else freq.hint("merge")
       val w = Window.partitionBy($"lang")
         .orderBy($"score_micro", $"doc_id")
-      toks.join(broadcast(freq), Seq("token"))
+      toks.join(vocabSide, Seq("token"))
         .groupBy($"doc_id", $"lang")
         .agg(count(lit(1)).as("n_tokens"), sum($"f").as("sum_freq"))
         .withColumn("score_micro",

@@ -80,6 +80,27 @@ object Bench {
     case c => c.toString
   }
 
+  /** Per-query scan-telemetry JSON block ("scan": files touched, bytes
+    * read, min scan ms across passes). This is the instrumentation that
+    * diagnosed the round-9 q03b driver-floor mystery (cold warehouse
+    * files on a fresh box) — pulled out of main() and spec-pinned in
+    * BenchAggSpec (round-10 verdict item 6) so the five warehouse-
+    * layout readers (q03b/q55/q56/q95/q94) are guaranteed a scan block
+    * in bench_out.json and a future cold driver box is diagnosable
+    * from the artifact alone. Missing metrics render as -1, never as
+    * an absent key. */
+  def scanJson(
+      names: Seq[String],
+      files: scala.collection.Map[String, Long],
+      bytes: scala.collection.Map[String, Long],
+      ms: scala.collection.Map[String, Long]): String =
+    names.map { k =>
+      val m = ms.getOrElse(k, Long.MaxValue)
+      "\"" + k + "\":{\"files\":" + files.getOrElse(k, -1L) +
+        ",\"bytes\":" + bytes.getOrElse(k, -1L) +
+        ",\"scan_ms\":" + (if (m == Long.MaxValue) -1L else m) + "}"
+    }.mkString("{", ",", "}")
+
   /** name -> compact stdout key. Short keys are qNN tokens (+initials
     * where the token repeats). Collisions are disambiguated PER
     * COLLIDING GROUP with a numeric suffix (round-7 ADVICE item 2: the
@@ -129,6 +150,16 @@ object Bench {
     }.mkString("{", ",", "}")
     s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs2,"reps_min":$repsMin,$tailCommon}"""
   }
+
+  /** One untimed throwaway execution of a registry query's own plan
+    * (toRdd, like the timed passes) — the warm-up primitive for the
+    * warehouse-layout readers. Unknown names are a silent no-op so a
+    * renamed query degrades to "cold again" rather than a bench abort
+    * (the artifact's scan_ms then shows the regression). */
+  private def warmQuery(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, name: String): Unit =
+    SparkEntry.queries.get(name)
+      .foreach(fn => fn(spark, sfDir).queryExecution.toRdd.count())
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -197,15 +228,25 @@ object Bench {
       "events_replay" -> (() => graft.streaming.StreamingJobs.replayDirFor(spark, sfDir)),
       "events_replay_dup" -> (() => graft.streaming.StreamingJobs.replayDirDup(spark, sfDir)),
       "events_replay_multi" -> (() => graft.streaming.StreamingJobs.replayDirMulti(spark, sfDir)),
-      // UNTIMED WARM-UP of q03b's plan (round-9 verdict item 1): the
-      // warehouse-dir bucketed copies live at /tmp/graft-warehouse, which
-      // persists across JVMs — when a prior run already wrote them, this
-      // process never touches those bytes before q03b's first TIMED pass,
-      // so q03b alone pays a cold 32-file disk read while every other
-      // query scans /root/testdata page-cache-warm from ingest. One
-      // throwaway execution makes the comparison like-for-like.
-      "q03b_warm" -> (() => SparkEntry.queries.get("q03b_bucketed_revenue")
-        .foreach(fn => fn(spark, sfDir).queryExecution.toRdd.count())))
+      // UNTIMED WARM-UP of every warehouse-layout reader (round-9
+      // verdict item 1 for q03b; extended to its siblings per round-10
+      // verdict item 6): the warehouse-dir copies — bucketed lineitem/
+      // orders (q03b), the hive-date-partitioned orders (q55/q56), the
+      // Morton-clustered orders (q95) and the standing daily MV (q94)
+      // — live at /tmp/graft-warehouse, which persists across JVMs.
+      // When a prior run already wrote them, the idempotent ingest
+      // builders above skip the write and this process never touches
+      // those bytes before the query's first TIMED pass, so the layout
+      // queries alone pay a cold disk read while everything else scans
+      // /root/testdata page-cache-warm. One throwaway execution per
+      // reader makes the comparison like-for-like; the per-query
+      // "scan" block (files/bytes/min scan_ms) stays in the output so
+      // a future cold box is diagnosed from the artifact alone.
+      "q03b_warm" -> (() => warmQuery(spark, sfDir, "q03b_bucketed_revenue")),
+      "q55_warm" -> (() => warmQuery(spark, sfDir, "q55_pruned_year_revenue")),
+      "q56_warm" -> (() => warmQuery(spark, sfDir, "q56_dpp_era_revenue")),
+      "q95_warm" -> (() => warmQuery(spark, sfDir, "q95_zorder_box")),
+      "q94_warm" -> (() => warmQuery(spark, sfDir, "q94_incremental_mv")))
     val ingestT0 = System.nanoTime()
     val ingestResults: Seq[(String, Boolean, Double, Option[String])] =
       ingestArtifacts.map { case (name, thunk) =>
@@ -327,12 +368,7 @@ object Bench {
     val floorRatio = good.map { case (k, med, mn, _, _) =>
       "\"" + k + "\":" + f"${if (mn > 0) med / mn else 1.0}%.2f"
     }.mkString("{", ",", "}")
-    val scanJson = good.map { case (k, _, _, _, _) =>
-      val ms = scanMs.getOrElse(k, Long.MaxValue)
-      "\"" + k + "\":{\"files\":" + scanFiles.getOrElse(k, -1L) +
-        ",\"bytes\":" + scanBytes.getOrElse(k, -1L) +
-        ",\"scan_ms\":" + (if (ms == Long.MaxValue) -1L else ms) + "}"
-    }.mkString("{", ",", "}")
+    val scanBlock = scanJson(good.map(_._1), scanFiles, scanBytes, scanMs)
     val repsOk = good.map { case (k, _, _, _, n) => "\"" + k + "\":" + n }
       .mkString("{", ",", "}")
     val failed = names.filter(times(_).isEmpty).map("\"" + _ + "\"")
@@ -359,7 +395,7 @@ object Bench {
       s"""{"name":"$n","ok":$ok,"secs":${f"$secs%.3f"}$e}"""
     }.mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","value_min":${f"$totalMin%.3f"},"qps":${f"$qps%.3f"},"queries":$qs,"spread":$spread,"floor_ratio":$floorRatio,"scan":$scanJson,"reps_ok":$repsOk,"keymap":$keymap,"ingest":$ingestJson,$tailCommon}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","value_min":${f"$totalMin%.3f"},"qps":${f"$qps%.3f"},"queries":$qs,"spread":$spread,"floor_ratio":$floorRatio,"scan":$scanBlock,"reps_ok":$repsOk,"keymap":$keymap,"ingest":$ingestJson,$tailCommon}"""
     // the compact stdout line must survive the driver's 2000-char tail
     // capture at 100+ queries: short keys, 2-decimal medians, no
     // value_min/qps/spread (all live in the full JSON renderings)

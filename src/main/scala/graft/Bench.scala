@@ -140,15 +140,35 @@ object Bench {
   /** The single compact stdout line (short keys, 2-decimal medians, no
     * spread/qps diagnostics). Pulled out of main() so BenchAggSpec can
     * pin the length headroom against the driver's 2000-char stdout-tail
-    * window at the CURRENT registry size (round-7 verdict item 7). */
+    * window at the CURRENT registry size (round-7 verdict item 7).
+    *
+    * GRACEFUL DEGRADATION (round 11 — the 123-query registry's
+    * worst-case 4-digit-median rendering crossed the 1900-char pin):
+    * if the 2-decimal line exceeds the budget, re-render medians at 1
+    * decimal (~1 char/query back); if even that overflows, drop the
+    * per-query map entirely and keep total/reps/failed — a parseable
+    * line with less detail beats a truncated one with none. The full
+    * 3-decimal map always rides in bench_out.json + the stderr line,
+    * so degradation costs stdout precision only. At realistic medians
+    * (< 100 s) the 2-decimal form fits to ~150 queries and no
+    * degradation occurs — both behaviors pinned in BenchAggSpec. */
   def compactLine(
       good: Seq[(String, Double, Double, Double, Int)],
       total: Double, repsMin: Int, tailCommon: String): String = {
     val shortKey = shortKeys(good.map(_._1))
-    val qs2 = good.map { case (k, med, _, _, _) =>
-      "\"" + shortKey(k) + "\":" + f"$med%.2f"
-    }.mkString("{", ",", "}")
-    s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs2,"reps_min":$repsMin,$tailCommon}"""
+    def render(dec: Int): String = {
+      val qs2 = good.map { case (k, med, _, _, _) =>
+        "\"" + shortKey(k) + "\":" + s"%.${dec}f".formatLocal(java.util.Locale.ROOT, med)
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs2,"reps_min":$repsMin,$tailCommon}"""
+    }
+    val two = render(2)
+    if (two.length <= 1900) two
+    else {
+      val one = render(1)
+      if (one.length <= 1900) one
+      else s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":{},"reps_min":$repsMin,$tailCommon}"""
+    }
   }
 
   /** One untimed throwaway execution of a registry query's own plan

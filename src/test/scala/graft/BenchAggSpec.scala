@@ -126,7 +126,8 @@ class BenchAggSpec extends AnyFunSuite {
     // size with worst-case field widths (4-digit medians, 4-digit
     // total) so registry growth cannot silently recreate the round-5
     // parse failure (full line > 2000-char stdout-tail window →
-    // "parsed": null). ~150-query headroom at current name shapes.
+    // "parsed": null). As of round 11 the worst case engages the
+    // 1-decimal degradation step — the pin is on the FINAL line.
     val names = SparkEntry.queries.keys.toSeq.sorted
     val good = names.map(n => (n, 9999.99, 9999.99, 9999.99, 3))
     val tail = """"reps":3,"failed":[],"ingest_ok":true,""" +
@@ -135,5 +136,30 @@ class BenchAggSpec extends AnyFunSuite {
     assert(line.length < 1900,
       s"compact line is ${line.length} chars at ${names.size} queries — " +
         "the driver's 2000-char stdout tail is at risk")
+  }
+
+  test("compact line keeps 2-decimal medians at realistic widths") {
+    // degradation must not fire spuriously: with every median < 100 s
+    // (two orders above anything observed) the full-precision form
+    // fits and is the one emitted
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val good = names.map(n => (n, 42.35, 42.35, 42.35, 3))
+    val tail = """"reps":3,"failed":[],"ingest_ok":true,""" +
+      """"ingest_secs":99.999,"sf":"/root/testdata/sf0.1""""
+    val line = Bench.compactLine(good, 5000.0, 3, tail)
+    assert(line.length < 1900)
+    assert(line.contains(":42.35"), "2-decimal medians were degraded")
+  }
+
+  test("compact line degrades to an EMPTY queries map rather than overflow") {
+    // pathological widths (5-digit medians at double the registry) must
+    // still yield a parseable sub-budget line — total survives, the
+    // per-query map falls back to bench_out.json
+    val names = (0 until 300).map(i => f"q$i%03d_synthetic_name_pad")
+    val good = names.map(n => (n, 99999.99, 99999.99, 99999.99, 3))
+    val line = Bench.compactLine(good, 999999.0, 3, """"reps":3""")
+    assert(line.length < 1900)
+    assert(line.contains(""""queries":{}"""))
+    assert(line.contains(""""value":999999.000"""))
   }
 }

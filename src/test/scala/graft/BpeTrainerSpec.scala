@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.{DocQueries, Registry}
+
+/** q89b's greedy merge semantics and the multi-round trainer contract.
+  *
+  * The DuckDB oracle proves engine parity on the real corpus; this spec
+  * pins the GREEDY RULE itself on the adversarial words where
+  * left-to-right non-overlapping application differs from naive
+  * replace-everything: overlapping runs ("aaa" + (a,a) must yield
+  * [aa, a], not [aa, aa]), and the no-cascade property (a symbol
+  * created by this round's merge never immediately re-merges, because
+  * p1p2 can't equal p1). Both implementations — the Spark fold and the
+  * oracle's run-parity window — encode exactly these cases.
+  */
+class BpeTrainerSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Runs BOTH in-engine implementations — the native `bpe_merge`
+    * codegen kernel (q89b's hot path) and the aggregate-HOF fold — and
+    * asserts them identical before returning the result. Every case in
+    * this spec therefore pins both. */
+  private def fold(word: String, p1: String, p2: String): Seq[String] = {
+    import spark.implicits._
+    val r = Seq(word).toDF("w")
+      .select(expr("filter(split(w, ''), c -> c <> '')").as("syms"))
+      .select(
+        call_function("bpe_merge", col("syms"), lit(p1), lit(p2)).as("nat"),
+        DocQueries.bpeMergeFold(col("syms"), p1, p2).as("hof"))
+      .head()
+    assert(r.getSeq[String](0) === r.getSeq[String](1),
+      s"native bpe_merge diverges from the HOF fold on '$word'")
+    r.getSeq[String](0)
+  }
+
+  test("native bpe_merge ≡ HOF fold over the whole real corpus") {
+    import spark.implicits._
+    val diverged = DocQueries.bpeWords(spark, TestSpark.sf0001)
+      .select(
+        call_function("bpe_merge", $"syms", lit("e"), lit("r")).as("nat"),
+        DocQueries.bpeMergeFold($"syms", "e", "r").as("hof"))
+      .filter(not($"nat" <=> $"hof"))
+      .count()
+    assert(diverged === 0L)
+  }
+
+  test("greedy merge is left-to-right non-overlapping on runs") {
+    assert(fold("aaa", "a", "a") === Seq("aa", "a"))
+    assert(fold("aaaa", "a", "a") === Seq("aa", "aa"))
+    assert(fold("aaaaa", "a", "a") === Seq("aa", "aa", "a"))
+  }
+
+  test("greedy merge takes every disjoint occurrence") {
+    assert(fold("abab", "a", "b") === Seq("ab", "ab"))
+    assert(fold("aab", "a", "b") === Seq("a", "ab"))
+    assert(fold("xbay", "a", "b") === Seq("x", "b", "a", "y"))
+  }
+
+  test("a freshly merged symbol does not cascade within the round") {
+    // after a→(a,b)→ab, the ab symbol must not itself consume a
+    // following b even though the STRING "ab"+"b" contains "ab"
+    assert(fold("abb", "a", "b") === Seq("ab", "b"))
+  }
+
+  test("q89b learns 3 distinct merges with consistent final counts") {
+    val rows = Registry.byName("q89b_bpe_trainer")
+      .run(spark, TestSpark.sf0001).collect()
+    assert(rows.map(_.getAs[Long]("round")).toSeq === Seq(1L, 2L, 3L))
+    // merge table rows are distinct pairs, selection counts positive,
+    // and a merged symbol can only LOSE occurrences to later merges
+    assert(rows.map(r => (r.getAs[String]("p1"), r.getAs[String]("p2")))
+      .distinct.length === 3)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_merge") > 0L)
+      assert(r.getAs[Long]("n_final") <= r.getAs[Long]("n_merge"))
+      assert(r.getAs[String]("merged") ===
+        r.getAs[String]("p1") + r.getAs[String]("p2"))
+    }
+  }
+}

@@ -84,7 +84,12 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // q107: map-only classifier inference — the per-document score is a
     // pure row function (no cross-row state at all), so only the report
     // aggregate's int64 partial sums can vary with layout; they must not
-    "q107_quality_classifier")
+    "q107_quality_classifier",
+    // q89b (round 11): the trainer's per-round argmax comes off a
+    // partial-aggregated pair count — the driver-side merge table, and
+    // with it every downstream fold, must be identical however pair
+    // occurrences fall into partitions
+    "q89b_bpe_trainer")
 
   private def canonical(name: String): Seq[String] = {
     val df = Registry.byName(name).run(spark, dir)

@@ -380,6 +380,45 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no map-side WindowGroupLimit below the lang exchange:\n$fin")
   }
 
+  test("q108 bigram LM: broadcast model join-back, map-side per-lang limit") {
+    // q104's contract one n-gram order up: the bigram model must join
+    // back by BROADCAST under the default strategy flag (never a
+    // corpus-side shuffle re-keyed on bigram), and the per-lang
+    // bottom-5 must lower to the map-side WindowGroupLimit pair so the
+    // ranking exchange carries O(5·|langs|) rows.
+    val df = Registry.byName("q108_bigram_lm_score").run(spark, dir)
+    df.collect()
+    val fin = TestSpark.finalPlan(df)
+    assert(fin.contains("BroadcastHashJoin") &&
+      !fin.contains("SortMergeJoin") && !fin.contains("ShuffledHashJoin"),
+      s"q108 LM join-back must broadcast:\n$fin")
+    val wgl = fin.indexOf("WindowGroupLimit")
+    assert(wgl >= 0, s"per-lang bottom-5 did not lower to WindowGroupLimit:\n$fin")
+    val ex = fin.indexOf("Exchange", wgl)
+    assert(ex >= 0 && fin.indexOf("WindowGroupLimit", ex) >= 0,
+      s"no map-side WindowGroupLimit below the lang exchange:\n$fin")
+  }
+
+  test("q89b trainer final job: checkpointed input, no word-level shuffle") {
+    // The final job's exchanges belong only to the bounded aggregates
+    // (final symbol counts + the 3-row merge-table join, which must
+    // broadcast) — never a shuffle keyed per word/symbol position; and
+    // its input must be the round-3 localCheckpoint, not a re-derivation
+    // of all three merge rounds from parquet (lineage truncation is
+    // what caps the trainer at 3 merge passes — the kernel itself is
+    // pinned by BpeTrainerSpec's three-way equivalence).
+    val df = Registry.byName("q89b_bpe_trainer").run(spark, dir)
+    df.collect()
+    val fin = TestSpark.finalPlan(df)
+    assert(!fin.contains("SortMergeJoin") && !fin.contains("ShuffledHashJoin"),
+      s"q89b merge-table join must broadcast:\n$fin")
+    // the final job reads the checkpointed round-3 words; its lineage
+    // must NOT re-derive rounds from parquet (lineage truncation is
+    // what caps the trainer at 3 merge passes)
+    assert(fin.contains("Scan ExistingRDD") || fin.contains("LocalTableScan"),
+      s"q89b final job is not reading checkpointed words:\n$fin")
+  }
+
   test("q107 classifier inference: map-only scoring — no explode, no join, 2 exchanges") {
     // Model inference must stay a scan-stage row function: the token
     // fan-out happens inside an `aggregate` HOF (no Generate node, so

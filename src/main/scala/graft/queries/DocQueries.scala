@@ -1563,30 +1563,40 @@ object DocQueries {
           WHERE d.pos IS NULL) q)"""
   }
 
+  /** The 3 training rounds over the 'en' word corpus: (merge table,
+    * final checkpointed words). Shared by q89b (reports the model) and
+    * q89c (applies it corpus-wide). */
+  private def bpeTrain(s: SparkSession, dir: String)
+      : (Seq[(Long, String, String, Long)], DataFrame) = {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    var words = bpeWords(s, dir)
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    for (r <- 1 to BpeRounds) {
+      val (p1, p2, n) = bpeTopPair(words)
+      merges += ((r.toLong, p1, p2, n))
+      // LINEAGE TRUNCATION (the q39 pattern): without it round r's
+      // argmax re-applies every previous round's merge from the
+      // parquet scan — the 4 actions would pay 0+1+2+3 merge passes
+      // instead of 3. localCheckpoint materializes the merged words
+      // once per round.
+      words = words
+        .select(call_function("bpe_merge",
+          $"syms", lit(p1), lit(p2)).as("syms"))
+        .localCheckpoint()
+    }
+    (merges.toSeq, words)
+  }
+
   private val q89b = QueryDef(
     "q89b_bpe_trainer",
     (s, dir) => {
-      implicit val sp: SparkSession = s
       import s.implicits._
-      var words = bpeWords(s, dir)
-      val merges =
-        scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
-      for (r <- 1 to BpeRounds) {
-        val (p1, p2, n) = bpeTopPair(words)
-        merges += ((r.toLong, p1, p2, n))
-        // LINEAGE TRUNCATION (the q39 pattern): without it round r's
-        // argmax re-applies every previous round's merge from the
-        // parquet scan — the 4 actions would pay 0+1+2+3 merge passes
-        // instead of 3. localCheckpoint materializes the merged words
-        // once per round.
-        words = words
-          .select(call_function("bpe_merge",
-            $"syms", lit(p1), lit(p2)).as("syms"))
-          .localCheckpoint()
-      }
+      val (merges, words) = bpeTrain(s, dir)
       val finalCounts = words.select(explode($"syms").as("merged"))
         .groupBy($"merged").agg(count(lit(1)).as("n_final"))
-      merges.toSeq
+      merges
         .map { case (r, p1, p2, n) => (r, p1, p2, p1 + p2, n) }
         .toDF("round", "p1", "p2", "merged", "n_merge")
         .join(finalCounts, Seq("merged"), "left")
@@ -1620,6 +1630,140 @@ object DocQueries {
         CAST(COALESCE(f.n_final, 0) AS BIGINT) AS n_final
       FROM merges m LEFT JOIN finals f ON f.merged = m.p1 || m.p2
       ORDER BY round"""))
+
+  // --------------------------------------------------------------- Q89c
+  // BPE ENCODING — the trainer's output APPLIED: the 3 merge rules
+  // q89b learns on the 'en' slice are compiled into a single map
+  // expression and run over EVERY document (all languages — the
+  // cross-lingual application a shared tokenizer performs), reporting
+  // per-language word count, symbol counts before/after, and the
+  // compression ratio in exact micro units. Completes the tokenizer
+  // story: q89 statistics → q89b training → q89c encoding; the
+  // per-lang ratios are the signal a tokenizer-fit report reads
+  // (merges learned on 'en' compress 'en' most).
+  //
+  // Scale shape (100 TB): this is q107's inference shape applied to
+  // tokenization — the MODEL IS LITERALS (three nested `bpe_merge`
+  // calls; a production 32k-merge vocabulary compiles to a trie the
+  // same way), so encoding is ONE scan-stage map pass with no
+  // training-state join, no explode, no shuffle before the |langs|-row
+  // report aggregate. The training rounds run first as q89b's bounded
+  // driver-paced jobs (the model must reach the driver to become
+  // literals — same at any scale); encoding cost is one pass over the
+  // bytes regardless of corpus size. The DuckDB oracle re-derives the
+  // SAME rules relationally (q89b's training CTE chain verbatim) and
+  // applies them with 3 more run-parity rounds over the full corpus —
+  // the hash gate covers training AND application end-to-end.
+  private def bpeOracleApply(r: Int): String = {
+    val prev = s"a${r - 1}"
+    s"""acand$r AS (
+        SELECT a.doc_id, a.wpos, a.pos
+        FROM $prev a JOIN $prev b
+          ON a.doc_id = b.doc_id AND a.wpos = b.wpos
+          AND b.pos = a.pos + 1
+        JOIN top$r t ON a.sym = t.p1 AND b.sym = t.p2),
+      aapp$r AS (
+        SELECT doc_id, wpos, pos FROM (
+          SELECT doc_id, wpos, pos,
+            ROW_NUMBER() OVER (PARTITION BY doc_id, wpos, grp
+              ORDER BY pos) AS ri
+          FROM (
+            SELECT doc_id, wpos, pos,
+              pos - ROW_NUMBER() OVER (PARTITION BY doc_id, wpos
+                ORDER BY pos) AS grp
+            FROM acand$r) g) h
+        WHERE ri % 2 = 1),
+      a$r AS MATERIALIZED (
+        SELECT doc_id, wpos, lang,
+          CAST(ROW_NUMBER() OVER (PARTITION BY doc_id, wpos
+            ORDER BY pos) AS BIGINT) AS pos,
+          sym
+        FROM (
+          SELECT o.doc_id, o.wpos, o.lang, o.pos,
+            CASE WHEN m.pos IS NOT NULL
+              THEN (SELECT p1 || p2 FROM top$r) ELSE o.sym END AS sym
+          FROM $prev o
+          LEFT JOIN aapp$r m ON m.doc_id = o.doc_id AND m.wpos = o.wpos
+            AND m.pos = o.pos
+          LEFT JOIN aapp$r d ON d.doc_id = o.doc_id AND d.wpos = o.wpos
+            AND d.pos = o.pos - 1
+          WHERE d.pos IS NULL) q)"""
+  }
+
+  private val q89c = QueryDef(
+    "q89c_bpe_encode",
+    (s, dir) => {
+      import s.implicits._
+      val (rules, _) = bpeTrain(s, dir)
+      // the learned model as ONE nested map expression (rule order
+      // matters: round 1 innermost, exactly the training order)
+      def encode(c: Column): Column =
+        rules.foldLeft(c) { case (acc, (_, p1, p2, _)) =>
+          call_function("bpe_merge", acc, lit(p1), lit(p2))
+        }
+      docs(s, dir)
+        .select($"lang", explode(split(lower($"text"), " ")).as("w"))
+        .select($"lang",
+          expr("filter(split(w, ''), c -> c <> '')").as("syms"))
+        .filter(size($"syms") >= 1)
+        .select($"lang", size($"syms").cast(LongType).as("nb"),
+          size(encode($"syms")).cast(LongType).as("na"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_words"),
+          sum($"nb").as("syms_before"),
+          sum($"na").as("syms_after"))
+        .withColumn("saved", $"syms_before" - $"syms_after")
+        .withColumn("compression_micro",
+          expr("CAST(round(CAST(syms_after AS DOUBLE) * 1000000 " +
+            "/ CAST(syms_before AS DOUBLE)) AS BIGINT)"))
+        .select($"lang", $"n_words", $"syms_before", $"syms_after",
+          $"saved", $"compression_micro")
+        .orderBy($"lang")
+    },
+    // q89b's training chain verbatim (words/s0/rounds → top1..top3),
+    // then the full-corpus char table and 3 run-parity applications.
+    Some(s"""WITH words AS (
+        SELECT doc_id, wpos, w FROM (
+          SELECT doc_id,
+            unnest(string_split(lower(text), ' ')) AS w,
+            generate_subscripts(string_split(lower(text), ' '), 1)
+              AS wpos
+          FROM documents WHERE lang = 'en') t
+        WHERE length(w) >= 2),
+      s0 AS MATERIALIZED (
+        SELECT doc_id, wpos, CAST(g AS BIGINT) AS pos,
+          substr(w, g, 1) AS sym
+        FROM words CROSS JOIN unnest(range(1, length(w) + 1)) AS u(g)),
+      ${bpeOracleRound(1)},
+      ${bpeOracleRound(2)},
+      ${bpeOracleRound(3)},
+      aw AS (
+        SELECT doc_id, lang, wpos, w FROM (
+          SELECT doc_id, lang,
+            unnest(string_split(lower(text), ' ')) AS w,
+            generate_subscripts(string_split(lower(text), ' '), 1)
+              AS wpos
+          FROM documents) t
+        WHERE length(w) >= 1),
+      a0 AS MATERIALIZED (
+        SELECT doc_id, wpos, lang, CAST(g AS BIGINT) AS pos,
+          substr(w, g, 1) AS sym
+        FROM aw CROSS JOIN unnest(range(1, length(w) + 1)) AS u(g)),
+      ${bpeOracleApply(1)},
+      ${bpeOracleApply(2)},
+      ${bpeOracleApply(3)},
+      base AS (
+        SELECT lang, COUNT(*) AS n_words,
+          CAST(SUM(length(w)) AS BIGINT) AS syms_before
+        FROM aw GROUP BY 1),
+      aft AS (SELECT lang, COUNT(*) AS syms_after FROM a3 GROUP BY 1)
+      SELECT b.lang, CAST(b.n_words AS BIGINT) AS n_words,
+        b.syms_before, CAST(a.syms_after AS BIGINT) AS syms_after,
+        b.syms_before - a.syms_after AS saved,
+        CAST(round(CAST(a.syms_after AS DOUBLE) * 1000000
+          / CAST(b.syms_before AS DOUBLE)) AS BIGINT)
+          AS compression_micro
+      FROM base b JOIN aft a USING (lang) ORDER BY b.lang"""))
 
   // --------------------------------------------------------------- Q100
   // END-TO-END TRAINING-DATA PIPELINE as ONE declarative plan — the
@@ -2099,6 +2243,6 @@ object DocQueries {
 
   val all: Seq[QueryDef] =
     Seq(q22, q23, q25, q26, q27, q28, q29, q32, q39, q42, q45, q46, q47,
-      q50, q51, q52, q53, q54, q59, q60, q65, q88, q89, q89b, q100, q101,
-      q104, q106, q107, q108)
+      q50, q51, q52, q53, q54, q59, q60, q65, q88, q89, q89b, q89c, q100,
+      q101, q104, q106, q107, q108)
 }

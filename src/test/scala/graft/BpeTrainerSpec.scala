@@ -65,6 +65,24 @@ class BpeTrainerSpec extends AnyFunSuite {
     assert(fold("abb", "a", "b") === Seq("ab", "b"))
   }
 
+  test("q89c encoding: ratios are well-formed and 'en' genuinely compresses") {
+    val rows = Registry.byName("q89c_bpe_encode")
+      .run(spark, TestSpark.sf0001).collect()
+    val byLang = rows.map(r => r.getAs[String]("lang") -> r).toMap
+    assert(byLang.contains("en"), "training slice missing from the report")
+    rows.foreach { r =>
+      val before = r.getAs[Long]("syms_before")
+      val after = r.getAs[Long]("syms_after")
+      assert(after >= 1L && after <= before,
+        s"${r.getAs[String]("lang")}: $after symbols from $before chars")
+      assert(r.getAs[Long]("saved") === before - after)
+      assert(r.getAs[Long]("compression_micro") <= 1000000L)
+    }
+    // the merges were LEARNED on 'en' — they must actually fire there
+    assert(byLang("en").getAs[Long]("saved") > 0L,
+      "en-trained merges saved zero symbols on en")
+  }
+
   test("q89b learns 3 distinct merges with consistent final counts") {
     val rows = Registry.byName("q89b_bpe_trainer")
       .run(spark, TestSpark.sf0001).collect()

@@ -419,6 +419,20 @@ class PlanShapeSpec extends AnyFunSuite {
       s"q89b final job is not reading checkpointed words:\n$fin")
   }
 
+  test("q89c tokenizer apply: no join, no window, 2 exchanges") {
+    // the learned model is LITERALS (3 nested bpe_merge calls), so
+    // encoding must plan as scan → word explode → map → report
+    // aggregate → sort: no training-state join, no window, and only
+    // the report aggregate + presentation sort exchanges
+    val df = Registry.byName("q89c_bpe_encode").run(spark, dir)
+    df.collect()
+    val fin = TestSpark.finalPlan(df)
+    assert(!fin.contains("Join"), s"q89c planned a join for the model:\n$fin")
+    assert(!fin.contains("Window"), s"q89c planned a window:\n$fin")
+    val nEx = "Exchange".r.findAllIn(fin).size
+    assert(nEx <= 2, s"q89c has $nEx exchanges (expected <= 2):\n$fin")
+  }
+
   test("q107 classifier inference: map-only scoring — no explode, no join, 2 exchanges") {
     // Model inference must stay a scan-stage row function: the token
     // fan-out happens inside an `aggregate` HOF (no Generate node, so

@@ -41,6 +41,26 @@ class VocabJoinbackSpec extends AnyFunSuite {
     } finally spark.conf.unset(Flag)
   }
 
+  test("q108 honors the same flag: both paths identical, both shapes planned") {
+    // the bigram-LM join-back shares q104's strategy flag — same
+    // contract, one n-gram order up (bigram vocabularies outgrow the
+    // broadcast budget sooner, so the flip matters MORE here)
+    def runQ108(): (Seq[String], String) = {
+      val df = Registry.byName("q108_bigram_lm_score").run(spark, dir)
+      (df.collect().map(_.toString).toSeq, TestSpark.finalPlan(df))
+    }
+    val (defRows, defPlan) = runQ108()
+    spark.conf.set(Flag, "false")
+    try {
+      val (shufRows, shufPlan) = runQ108()
+      assert(shufRows === defRows)
+      assert(defPlan.contains("BroadcastHashJoin"),
+        s"q108 default did not broadcast the LM:\n$defPlan")
+      assert(shufPlan.contains("SortMergeJoin"),
+        s"q108 fallback did not shuffle-join the LM:\n$shufPlan")
+    } finally spark.conf.unset(Flag)
+  }
+
   test("q104 default path plans NO sort-merge join anywhere") {
     // the Heaps-bounded vocab and the top-5 tails are the only joins;
     // both must ride broadcasts in the default configuration

@@ -144,31 +144,45 @@ object Bench {
     *
     * GRACEFUL DEGRADATION (round 11 — the 123-query registry's
     * worst-case 4-digit-median rendering crossed the 1900-char pin):
-    * if the 2-decimal line exceeds the budget, re-render medians at 1
-    * decimal (~1 char/query back); if even that overflows, drop the
-    * per-query map entirely and keep total/reps/failed — a parseable
-    * line with less detail beats a truncated one with none. The full
-    * 3-decimal map always rides in bench_out.json + the stderr line,
-    * so degradation costs stdout precision only. At realistic medians
-    * (< 100 s) the 2-decimal form fits to ~150 queries and no
-    * degradation occurs — both behaviors pinned in BenchAggSpec. */
+    * a ladder of renderings, first fit wins — (2-dec medians, full
+    * failed list) → (1-dec, full failed) → (2-dec, failed count +
+    * 5-name sample) → (1-dec, short failed) → (no queries map, short
+    * failed). A parseable line with less detail beats a truncated one
+    * with none; the full 3-decimal map and complete failed list always
+    * ride in bench_out.json + the stderr line, so degradation costs
+    * stdout precision only. At realistic medians (< 100 s) and zero
+    * failures the 2-decimal form fits to ~150 queries and no
+    * degradation occurs — behaviors pinned in BenchAggSpec. */
   def compactLine(
       good: Seq[(String, Double, Double, Double, Int)],
-      total: Double, repsMin: Int, tailCommon: String): String = {
+      total: Double, repsMin: Int, reps: Int, failed: Seq[String],
+      ingestOk: Boolean, ingestSecs: Double, sfDir: String): String = {
     val shortKey = shortKeys(good.map(_._1))
-    def render(dec: Int): String = {
-      val qs2 = good.map { case (k, med, _, _, _) =>
-        "\"" + shortKey(k) + "\":" + s"%.${dec}f".formatLocal(java.util.Locale.ROOT, med)
-      }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs2,"reps_min":$repsMin,$tailCommon}"""
-    }
-    val two = render(2)
-    if (two.length <= 1900) two
-    else {
-      val one = render(1)
-      if (one.length <= 1900) one
-      else s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":{},"reps_min":$repsMin,$tailCommon}"""
-    }
+    def tail(failedJson: String): String =
+      s""""reps":$reps,"failed":$failedJson,"ingest_ok":$ingestOk,"ingest_secs":${f"$ingestSecs%.3f"},"sf":"$sfDir""""
+    val failedFull = failed.map("\"" + jesc(_) + "\"").mkString("[", ",", "]")
+    def render(qs2: String, failedJson: String): String =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs2,"reps_min":$repsMin,${tail(failedJson)}}"""
+    def qsAt(dec: Int): String = good.map { case (k, med, _, _, _) =>
+      "\"" + shortKey(k) + "\":" +
+        s"%.${dec}f".formatLocal(java.util.Locale.ROOT, med)
+    }.mkString("{", ",", "}")
+    // the failed-list rung MUST come last-but-one: a systemic breakage
+    // (half the registry failing) puts ~25 chars per full query name
+    // into the tail, which no queries-map shrinkage can compensate —
+    // the round-5 truncated-JSON failure mode, in exactly the disaster
+    // run where the artifact matters most (review-round finding). The
+    // count + first-5 sample keeps the line diagnostic; full names
+    // always ride in bench_out.json / the stderr line.
+    val failedShort =
+      s"""{"failed_count":${failed.size},"failed_sample":${failed.take(5).map("\"" + jesc(_) + "\"").mkString("[", ",", "]")}}"""
+    val ladder = Iterator(
+      render(qsAt(2), failedFull),
+      render(qsAt(1), failedFull),
+      render(qsAt(2), failedShort),
+      render(qsAt(1), failedShort),
+      render("{}", failedShort))
+    ladder.find(_.length <= 1900).getOrElse(render("{}", failedShort))
   }
 
   /** One untimed throwaway execution of a registry query's own plan
@@ -391,8 +405,8 @@ object Bench {
     val scanBlock = scanJson(good.map(_._1), scanFiles, scanBytes, scanMs)
     val repsOk = good.map { case (k, _, _, _, n) => "\"" + k + "\":" + n }
       .mkString("{", ",", "}")
-    val failed = names.filter(times(_).isEmpty).map("\"" + _ + "\"")
-      .mkString("[", ",", "]")
+    val failedNames = names.filter(times(_).isEmpty)
+    val failed = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = good.map(_._2).sum
     val totalMin = good.map(_._3).sum
     val qps = if (total > 0) good.size / total else 0.0
@@ -419,7 +433,8 @@ object Bench {
     // the compact stdout line must survive the driver's 2000-char tail
     // capture at 100+ queries: short keys, 2-decimal medians, no
     // value_min/qps/spread (all live in the full JSON renderings)
-    val compact = compactLine(good, total, repsMin, tailCommon)
+    val compact = compactLine(good, total, repsMin, Passes, failedNames,
+      ingestOk, ingestSecs, sfDir)
     if (compact.length > 1900) System.err.println(
       s"[bench] WARNING compact stdout line is ${compact.length} chars — nearing the driver's 2000-char tail window")
     // Greppable stderr copy + JSON files FIRST, then the bare stdout

@@ -32,11 +32,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * Greedy rule, flagless: the tail of the output never needs a
   * "just-merged" marker because the fused symbol p1||p2 is strictly
   * longer than p1 and thus never equal to it — "tail == p1 ∧ next ==
-  * p2" is exactly the non-overlapping left-to-right semantics.
+  * p2" is exactly the non-overlapping left-to-right semantics. That
+  * strictly-longer argument requires NON-EMPTY pair symbols (with
+  * p2 = '' the fused symbol equals p1 and the tail check would re-fire,
+  * cascading "aaa"+(a,'') down to one symbol), so an empty p1 or p2 is
+  * defined as a NO-OP merge — the input array comes back unchanged, in
+  * both the kernel and the HOF twin (a BPE pair is two real symbols by
+  * construction; review-round finding, BpeTrainerSpec pins it).
   *
   * Nulls: null array → null (TernaryExpression default); a null
   * ELEMENT poisons the result to null (whether it matches is
-  * unknowable — the sorted_icount convention).
+  * unknowable — the sorted_icount convention; the HOF twin mirrors
+  * this via its poisoned-flag accumulator).
   */
 case class BpeMerge(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression {
@@ -85,6 +92,17 @@ object BpeMerge {
   /** One greedy pass; out is reused UTF8String handles except for the
     * fused symbol, allocated once per actual merge. */
   def compute(arr: ArrayData, p1: UTF8String, p2: UTF8String): ArrayData = {
+    if (p1.numBytes() == 0 || p2.numBytes() == 0) {
+      // no-op merge — but the null-element poison contract (and the
+      // containsNull=false output type) must hold on this path too
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) {
+        if (arr.isNullAt(i)) return null
+        i += 1
+      }
+      return arr
+    }
     val n = arr.numElements()
     val out = new Array[AnyRef](n)
     var m = 0 // logical size of out

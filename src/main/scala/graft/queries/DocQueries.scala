@@ -1481,15 +1481,34 @@ object DocQueries {
     * element when (tail, next) == (p1, p2). NOT used by q89b's hot
     * path (interpreted lambda, O(len²) accumulator copies) — it exists
     * as an independently-derived implementation of the greedy rule,
-    * pinned identical to the native kernel in BpeTrainerSpec. `get`
-    * (0-based, null-safe) keeps the empty-accumulator probe ANSI-safe
-    * where element_at(-1) would throw. */
+    * pinned identical to the native kernel in BpeTrainerSpec ON THE
+    * FULL CONTRACT (review-round finding): an empty p1/p2 is a no-op
+    * merge, and a null ELEMENT poisons the result to null — carried
+    * through the fold as a poisoned flag in the accumulator struct and
+    * resolved by the finish lambda. `get` (0-based, null-safe) keeps
+    * the empty-accumulator probe ANSI-safe where element_at(-1) would
+    * throw. */
   private[graft] def bpeMergeFold(syms: Column, p1: String, p2: String): Column =
-    aggregate(syms, lit(Array.empty[String]),
-      (acc, x) =>
-        when(get(acc, size(acc) - 1) === lit(p1) && (x === lit(p2)),
-          concat(slice(acc, lit(1), size(acc) - 1), array(lit(p1 + p2))))
-          .otherwise(concat(acc, array(x))))
+    if (p1.isEmpty || p2.isEmpty)
+      // no-op merge, but nulls still poison (the kernel's contract)
+      when(exists(syms, _.isNull), lit(null).cast("array<string>"))
+        .otherwise(syms)
+    else
+      aggregate(syms,
+        struct(lit(Array.empty[String]).as("a"), lit(false).as("p")),
+        (acc, x) => {
+          val a = acc.getField("a")
+          val p = acc.getField("p")
+          val poisoned = p || x.isNull
+          val merged =
+            when(get(a, size(a) - 1) === lit(p1) && (x === lit(p2)),
+              concat(slice(a, lit(1), size(a) - 1), array(lit(p1 + p2))))
+              .otherwise(concat(a, array(x)))
+          struct(when(poisoned, a).otherwise(merged).as("a"),
+            poisoned.as("p"))
+        },
+        acc => when(acc.getField("p"), lit(null).cast("array<string>"))
+          .otherwise(acc.getField("a")))
 
   /** q89's corpus slice as one symbol array per word occurrence. */
   private[graft] def bpeWords(s: SparkSession, dir: String): DataFrame = {
@@ -1565,8 +1584,13 @@ object DocQueries {
 
   /** The 3 training rounds over the 'en' word corpus: (merge table,
     * final checkpointed words). Shared by q89b (reports the model) and
-    * q89c (applies it corpus-wide). */
-  private def bpeTrain(s: SparkSession, dir: String)
+    * q89c (applies it corpus-wide). The LAST round's merge application
+    * is only materialized when `applyLast` — its rule is already known
+    * from the argmax BEFORE the merge runs, so a caller that needs
+    * only the model (q89c) skips one full map pass + eager checkpoint
+    * of the en corpus per execution (review-round finding; such a
+    * caller must not use the returned DataFrame). */
+  private def bpeTrain(s: SparkSession, dir: String, applyLast: Boolean)
       : (Seq[(Long, String, String, Long)], DataFrame) = {
     implicit val sp: SparkSession = s
     import s.implicits._
@@ -1581,10 +1605,12 @@ object DocQueries {
       // parquet scan — the 4 actions would pay 0+1+2+3 merge passes
       // instead of 3. localCheckpoint materializes the merged words
       // once per round.
-      words = words
-        .select(call_function("bpe_merge",
-          $"syms", lit(p1), lit(p2)).as("syms"))
-        .localCheckpoint()
+      if (r < BpeRounds || applyLast) {
+        words = words
+          .select(call_function("bpe_merge",
+            $"syms", lit(p1), lit(p2)).as("syms"))
+          .localCheckpoint()
+      }
     }
     (merges.toSeq, words)
   }
@@ -1593,7 +1619,7 @@ object DocQueries {
     "q89b_bpe_trainer",
     (s, dir) => {
       import s.implicits._
-      val (merges, words) = bpeTrain(s, dir)
+      val (merges, words) = bpeTrain(s, dir, applyLast = true)
       val finalCounts = words.select(explode($"syms").as("merged"))
         .groupBy($"merged").agg(count(lit(1)).as("n_final"))
       merges
@@ -1645,8 +1671,9 @@ object DocQueries {
   // Scale shape (100 TB): this is q107's inference shape applied to
   // tokenization — the MODEL IS LITERALS (three nested `bpe_merge`
   // calls; a production 32k-merge vocabulary compiles to a trie the
-  // same way), so encoding is ONE scan-stage map pass with no
-  // training-state join, no explode, no shuffle before the |langs|-row
+  // same way), so encoding is ONE scan-stage pass (the word fan-out is
+  // a Generate in the same stage; per-word merging is the map) with no
+  // training-state join and no shuffle before the |langs|-row
   // report aggregate. The training rounds run first as q89b's bounded
   // driver-paced jobs (the model must reach the driver to become
   // literals — same at any scale); encoding cost is one pass over the
@@ -1694,7 +1721,7 @@ object DocQueries {
     "q89c_bpe_encode",
     (s, dir) => {
       import s.implicits._
-      val (rules, _) = bpeTrain(s, dir)
+      val (rules, _) = bpeTrain(s, dir, applyLast = false)
       // the learned model as ONE nested map expression (rule order
       // matters: round 1 innermost, exactly the training order)
       def encode(c: Column): Column =
@@ -2172,10 +2199,11 @@ object DocQueries {
   // same ordering information for tail filtering and stays int64-exact
   // until one final presentation division of exact operands.
   //
-  // Scale shape (100 TB): bigram extraction is MAP-ONLY (transform
-  // over the token array — no explode before the model aggregate's own
-  // shuffle); the model aggregate is one shuffle over a Heaps-bounded
-  // bigram domain with map-side collapse; the join-back rides the SAME
+  // Scale shape (100 TB): bigram extraction is SCAN-STAGE (transform
+  // over the token array, then a Generate fanning out one row per
+  // bigram occurrence inside the same stage — no shuffle of per-bigram
+  // rows except the model aggregate's own, which collapses map-side
+  // over a Heaps-bounded bigram domain); the join-back rides the SAME
   // `graft.vocab.broadcast` strategy flag as q104 (bigram vocabularies
   // outgrow broadcast sooner than unigram ones — the flip is the same
   // merge-hinted shuffle join, VocabJoinbackSpec's contract); per-doc

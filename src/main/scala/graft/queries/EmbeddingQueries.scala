@@ -838,11 +838,14 @@ object EmbeddingQueries {
   // n·target/2, LINEAR in the corpus where a fixed k degenerates to
   // (n/k)² quadratic). The sizing scalar is the same memoized
   // ingest-phase rowCount q24b/q102 read (a catalog statistic at
-  // 100 TB); like q102's r it always reads the base `embeddings` count
-  // — q105's planted +n/40 rows don't move a ⌈n/64⌉-granular k, and
-  // both engines must derive the IDENTICAL k for the oracle gate, so
-  // the DuckDB rebuild computes the same GREATEST(8, (COUNT(*)+63)//64)
-  // from the same table. Exact integer ceil on both sides — no float
+  // 100 TB); like q102's r it always reads the base `embeddings` count.
+  // THE BASE TABLE IS THE CONTRACT, not a harmless approximation:
+  // q105's planted +n/40 rows CAN move a ⌈n/64⌉-granular k (n=2000 →
+  // k=32 but the 2050-row planted corpus → 33), so both engines must
+  // size k from the SAME relation or the oracle gate diverges exactly
+  // at off-floor SFs — the DuckDB `kp` CTE therefore computes the same
+  // GREATEST(8, (COUNT(*)+63)//64) FROM embeddings, never from the
+  // planted corpus. Exact integer ceil on both sides — no float
   // log/div that could misround at a boundary. At the shipped fixtures:
   // n=500 → k=8 (the floor), n=2000 (sf0.1) → k=32 — the formula is
   // exercised off its floor by KMeansSpec and the sublinearity law in

@@ -130,9 +130,8 @@ class BenchAggSpec extends AnyFunSuite {
     // 1-decimal degradation step — the pin is on the FINAL line.
     val names = SparkEntry.queries.keys.toSeq.sorted
     val good = names.map(n => (n, 9999.99, 9999.99, 9999.99, 3))
-    val tail = """"reps":3,"failed":[],"ingest_ok":true,""" +
-      """"ingest_secs":9999.999,"sf":"/root/testdata/sf0.1""""
-    val line = Bench.compactLine(good, 99999.999, 3, tail)
+    val line = Bench.compactLine(good, 99999.999, 3, 3, Nil,
+      ingestOk = true, 9999.999, "/root/testdata/sf0.1")
     assert(line.length < 1900,
       s"compact line is ${line.length} chars at ${names.size} queries — " +
         "the driver's 2000-char stdout tail is at risk")
@@ -144,11 +143,27 @@ class BenchAggSpec extends AnyFunSuite {
     // fits and is the one emitted
     val names = SparkEntry.queries.keys.toSeq.sorted
     val good = names.map(n => (n, 42.35, 42.35, 42.35, 3))
-    val tail = """"reps":3,"failed":[],"ingest_ok":true,""" +
-      """"ingest_secs":99.999,"sf":"/root/testdata/sf0.1""""
-    val line = Bench.compactLine(good, 5000.0, 3, tail)
+    val line = Bench.compactLine(good, 5000.0, 3, 3, Nil,
+      ingestOk = true, 99.999, "/root/testdata/sf0.1")
     assert(line.length < 1900)
     assert(line.contains(":42.35"), "2-decimal medians were degraded")
+  }
+
+  test("a mass failure keeps the queries map and shortens the failed list") {
+    // review-round finding: ~60 failed full names (~1.5 KB) can sink
+    // the line no matter how the queries map shrinks — in exactly the
+    // disaster run where the artifact matters most. The ladder must
+    // prefer keeping the per-query medians (the driver's gate input)
+    // and degrade the failed list to a count + 5-name sample.
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val (bad, ok) = names.splitAt(60)
+    val good = ok.map(n => (n, 12.34, 12.34, 12.34, 3))
+    val line = Bench.compactLine(good, 1000.0, 3, 3, bad,
+      ingestOk = true, 9.999, "/root/testdata/sf0.1")
+    assert(line.length < 1900, s"mass-failure line is ${line.length} chars")
+    assert(line.contains(""""failed_count":60"""))
+    assert(line.contains(""""failed_sample":["""))
+    assert(line.contains(":12.34"), "per-query medians were dropped")
   }
 
   test("compact line degrades to an EMPTY queries map rather than overflow") {
@@ -157,7 +172,8 @@ class BenchAggSpec extends AnyFunSuite {
     // per-query map falls back to bench_out.json
     val names = (0 until 300).map(i => f"q$i%03d_synthetic_name_pad")
     val good = names.map(n => (n, 99999.99, 99999.99, 99999.99, 3))
-    val line = Bench.compactLine(good, 999999.0, 3, """"reps":3""")
+    val line = Bench.compactLine(good, 999999.0, 3, 3, Nil,
+      ingestOk = true, 9.999, "/root/testdata/sf0.1")
     assert(line.length < 1900)
     assert(line.contains(""""queries":{}"""))
     assert(line.contains(""""value":999999.000"""))

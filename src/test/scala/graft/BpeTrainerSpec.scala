@@ -65,6 +65,33 @@ class BpeTrainerSpec extends AnyFunSuite {
     assert(fold("abb", "a", "b") === Seq("ab", "b"))
   }
 
+  test("contract edges: empty pair is a no-op, null elements poison — in BOTH impls") {
+    // review-round findings: (1) with p2 = '' the fused symbol equals
+    // p1 and a naive tail check cascades ("a","","" + (a,'') would
+    // collapse to ["a"]) — both implementations must instead treat an
+    // empty pair symbol as a no-op merge; (2) a null ELEMENT must
+    // poison the result to null in the fold exactly as in the kernel.
+    import spark.implicits._
+    def both(syms: Seq[String], p1: String, p2: String)
+        : (Option[Seq[String]], Option[Seq[String]]) = {
+      val r = Seq(Tuple1(syms)).toDF("syms")
+        .select(
+          call_function("bpe_merge", col("syms"), lit(p1), lit(p2)).as("nat"),
+          DocQueries.bpeMergeFold(col("syms"), p1, p2).as("hof"))
+        .head()
+      (Option(r.getSeq[String](0)), Option(r.getSeq[String](1)))
+    }
+    // empty p2: no-op, NOT a cascade to ["a"]
+    assert(both(Seq("a", "", ""), "a", "") ===
+      (Some(Seq("a", "", "")), Some(Seq("a", "", ""))))
+    assert(both(Seq("x", "y"), "", "y") ===
+      (Some(Seq("x", "y")), Some(Seq("x", "y"))))
+    // null element: poisoned to null, not skipped over
+    assert(both(Seq("a", null, "a", "b"), "a", "b") === (None, None))
+    // null element under the empty-pair no-op path: still poisoned
+    assert(both(Seq("a", null), "a", "") === (None, None))
+  }
+
   test("q89c encoding: ratios are well-formed and 'en' genuinely compresses") {
     val rows = Registry.byName("q89c_bpe_encode")
       .run(spark, TestSpark.sf0001).collect()

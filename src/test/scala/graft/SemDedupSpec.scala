@@ -120,12 +120,15 @@ class SemDedupSpec extends AnyFunSuite {
     val (n2, p2) = pairSum("/root/testdata/sf0.1")
     val nRatio = n2.toDouble / n1            // 4x corpus
     val growth = p2.toDouble / p1
-    assert(growth < nRatio * nRatio / 2,
+    // ONE binding bound (review-round finding: the original pair of
+    // asserts had the "linear" one strictly weaker than the
+    // "quadratic" one at these fixtures, so the law was dead code):
+    // measured growth is ~4.03 on the 4x corpus — essentially exact
+    // linear — and 1.5x headroom covers cluster-balance drift while
+    // staying far below the fixed-k quadratic class (nRatio²/2 = 8).
+    assert(growth < nRatio * 1.5,
       s"candidate growth $growth vs corpus growth $nRatio — " +
-        "quadratic-class blow-up; k is not tracking the corpus")
-    assert(growth < nRatio * 4,
-      s"candidate growth $growth vs corpus growth $nRatio — " +
-        "more than 4x skew over the linear model")
+        "k is not keeping candidate pairs linear in the corpus")
   }
 
   test("q105 cluster blocking scores far fewer pairs than all-pairs") {

@@ -635,6 +635,235 @@ object EmbeddingQueries {
             ORDER BY cosine DESC, vec_id) AS BIGINT) AS rk
         FROM resc) WHERE rk <= 5 ORDER BY q_id, rk"""))
 
+  // --------------------------------------------------------------- Q24f
+  // PQ-ADC ANN — the FOURTH production ANN family (faiss-style product
+  // quantization, Jégou et al. 2011): the 64-dim space splits into
+  // m = 8 subspaces of 8 dims; each subspace gets a k = 16-centroid
+  // codebook (k-lowest-id seeds + ONE quantized Lloyd round — q103's
+  // training scheme per subspace, all 8 trained in one relational
+  // pass); every vector compresses to 8 codes of 4 bits. Query-time
+  // scoring is ASYMMETRIC DISTANCE COMPUTATION: the query precomputes
+  // one m×k table of exact int64 partial dots against the codebook
+  // (the per-query LUT faiss builds in registers — it reaches the
+  // driver and re-enters the plan as LITERALS, the q89b/q89c
+  // model-as-literals pattern), so scoring a corpus vector is EIGHT
+  // ARRAY LOOKUPS over its codes — no float math, no embedding bytes
+  // touched. Top-20 ADC candidates get the exact rescore (q24e's
+  // tail), so the final ranking is true cosine.
+  //
+  // Unlike q102/q103/q105's corpus-sized k, the PQ codebook size is a
+  // fixed MODEL constant (production PQ uses k = 256 per subspace
+  // regardless of corpus scale — compression ratio and LUT size are
+  // properties of the model, not the data; corpus growth improves the
+  // training sample, it does not widen the codebook).
+  //
+  // Scale shape (100 TB): training touches the corpus twice (assign +
+  // update, both broadcast-centroid map passes with O(m·k·D) shuffle);
+  // the INDEX is the codes table — 8 codes/vector ≈ 4 bytes against
+  // 256 float bytes, a 64× compression, which is the entire point:
+  // the ADC scan reads 4 bytes/vector where q24 reads 256; candidates
+  // = full corpus but in code space (same trade as q24e, deeper
+  // compression); the exact rescore touches 20·|queries| rows by
+  // broadcast. Determinism: micro-int quantization end-to-end, argmin
+  // ties (d2, cid), ADC ties (adc DESC, vec_id) — the DuckDB oracle
+  // rebuilds training, encoding, LUT and ADC relationally, exact.
+  private val pqM = 8
+  private val pqD = 8
+  private val pqK = 16
+
+  /** Nearest-codebook-entry per (vector, subspace): (vec_id, sub,
+    * code, svec). `cents` is (cid, sub, carr float[pqD]) — m·k rows,
+    * always broadcast. */
+  private def pqAssign(e: DataFrame, cents: DataFrame)(
+      implicit s: SparkSession): DataFrame = {
+    import s.implicits._
+    e.crossJoin(broadcast(cents))
+      .withColumn("svec", expr(s"slice(embedding, sub * $pqD + 1, $pqD)"))
+      .withColumn("d2", expr("l2q(svec, carr)"))
+      .groupBy($"vec_id", $"sub")
+      .agg(min(struct($"d2", $"cid")).as("m"), first($"svec").as("svec"))
+      .select($"vec_id", $"sub", $"m.cid".as("code"), $"svec")
+  }
+
+  /** Seed codebooks: the k lowest vec_ids' subvectors, cid 0..k-1,
+    * all m subspaces in one explode. */
+  private def pqSeeds(e: DataFrame)(implicit s: SparkSession): DataFrame = {
+    import s.implicits._
+    e.orderBy($"vec_id").limit(pqK)
+      .select((row_number().over(Window.orderBy($"vec_id")) - 1)
+        .cast(LongType).as("cid"), $"embedding")
+      .select($"cid", explode(expr(
+        s"transform(sequence(0, ${pqM - 1}), sb -> struct(" +
+          s"CAST(sb AS BIGINT) AS sub, " +
+          s"slice(embedding, sb * $pqD + 1, $pqD) AS carr))")).as("z"))
+      .select($"cid", $"z.sub".as("sub"), $"z.carr".as("carr"))
+  }
+
+  /** One Lloyd update over all m codebooks at once — q103's kmUpdate
+    * with (cid, sub) keys: exact micro-sums, one rounded division,
+    * float re-materialization for the codegen'd l2q. */
+  private def pqUpdate(assigned: DataFrame)(
+      implicit s: SparkSession): DataFrame = {
+    import s.implicits._
+    assigned
+      .select($"code".as("cid"), $"sub", posexplode($"svec").as(Seq("dim", "x")))
+      .select($"cid", $"sub", $"dim",
+        expr("CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)").as("xq"))
+      .groupBy($"cid", $"sub", $"dim")
+      .agg(count(lit(1)).as("n"), sum($"xq").as("sq"))
+      .withColumn("cq",
+        expr("CAST(round(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)"))
+      .withColumn("cf", ($"cq".cast(DoubleType) / lit(1e6)).cast(FloatType))
+      .groupBy($"cid", $"sub")
+      .agg(transform(array_sort(collect_list(struct($"dim", $"cf"))),
+        el => el.getField("cf")).as("carr"))
+  }
+
+  private val q24f = QueryDef(
+    "q24f_ann_pq",
+    (s, dir) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val base = emb(s, dir)
+      val e = base.select($"vec_id", $"embedding")
+      val a0 = pqAssign(e, pqSeeds(e))
+      val c1 = pqUpdate(a0)
+      val a1 = pqAssign(e, c1)
+      val codes = a1.groupBy($"vec_id")
+        .agg(transform(array_sort(collect_list(struct($"sub", $"code"))),
+          el => el.getField("code")).as("codes"))
+      // the per-query LUT: |queries|·m·k exact partial dots — a
+      // model-sized relation collected to the driver and re-entered as
+      // literals (what faiss ADC does per query, at any corpus scale)
+      val lutRows = base.filter($"vec_id".isin(queryIds: _*))
+        .select($"vec_id".as("q_id"), $"embedding")
+        .crossJoin(broadcast(c1))
+        .withColumn("pdot",
+          expr(s"dotq(slice(embedding, sub * $pqD + 1, $pqD), carr)"))
+        .select($"q_id", $"sub", $"cid", $"pdot")
+        .collect()
+      val luts = queryIds.map { q =>
+        val arr = Array.fill[Long](pqM * pqK)(0L) // vanished-centroid slots stay 0, never read
+        lutRows.filter(_.getAs[Long]("q_id") == q).foreach { r =>
+          arr((r.getAs[Long]("sub") * pqK + r.getAs[Long]("cid")).toInt) =
+            r.getAs[Long]("pdot")
+        }
+        (q, arr.toSeq)
+      }.toDF("q_id", "lut")
+      val scored = codes.crossJoin(broadcast(luts))
+        .filter($"vec_id" =!= $"q_id")
+        .withColumn("adc", expr(
+          s"aggregate(sequence(0, ${pqM - 1}), CAST(0 AS BIGINT), " +
+            s"(acc, sb) -> acc + element_at(lut, " +
+            s"CAST(sb * $pqK + element_at(codes, CAST(sb + 1 AS INT)) + 1 AS INT)))"))
+      val cand = scored.groupBy($"q_id")
+        .agg(expr("topk_by_score(CAST(adc AS DOUBLE), vec_id, 20)").as("top"))
+        .select($"q_id", explode($"top.id").as("vec_id"))
+      // exact rescore on the 20·|queries| survivors only (q24e's tail)
+      val qn = base.filter($"vec_id".isin(queryIds: _*))
+        .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
+          dotQ("embedding", "embedding").as("q_n2"))
+      val resc = base.select($"vec_id", $"embedding")
+        .join(broadcast(cand), Seq("vec_id"))
+        .withColumn("n2", dotQ("embedding", "embedding"))
+        .join(broadcast(qn), Seq("q_id"))
+        .withColumn("cosine",
+          dotQ("q_emb", "embedding").cast(DoubleType) /
+            (sqrt($"q_n2".cast(DoubleType)) * sqrt($"n2".cast(DoubleType))))
+      resc.groupBy($"q_id")
+        .agg(expr("topk_by_score(cosine, vec_id, 5)").as("top"))
+        .select($"q_id", posexplode($"top"))
+        .select($"q_id", ($"pos" + 1).cast(LongType).as("rk"),
+          $"col.id".as("vec_id"), $"col.score".as("cosine"))
+        .join(emb(s, dir).select($"vec_id", $"label"), Seq("vec_id"))
+        .select($"q_id", $"rk", $"vec_id", $"label", $"cosine")
+        .orderBy($"q_id", $"rk")
+    },
+    // Relational rebuild: subspace decomposition, seed codebooks, one
+    // Lloyd round (with the float re-round, q103's c1f), encoding,
+    // LUT, ADC join, top-20, exact rescore.
+    Some(s"""WITH eq AS MATERIALIZED (
+        SELECT vec_id, CAST((gs - 1) // $pqD AS BIGINT) AS sub,
+          CAST((gs - 1) % $pqD AS BIGINT) AS dim,
+          CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS xq
+        FROM (SELECT vec_id, unnest(embedding) AS x,
+                generate_subscripts(embedding, 1) AS gs
+              FROM embeddings) t),
+      seeds AS (
+        SELECT vec_id,
+          CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid
+        FROM embeddings
+        QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= $pqK),
+      c0 AS (
+        SELECT s.cid, e.sub, e.dim, e.xq AS cq
+        FROM seeds s JOIN eq e USING (vec_id)),
+      d0 AS (
+        SELECT e.vec_id, e.sub, c.cid,
+          SUM((e.xq - c.cq) * (e.xq - c.cq)) AS d2
+        FROM eq e JOIN c0 c ON e.sub = c.sub AND e.dim = c.dim
+        GROUP BY 1, 2, 3),
+      a0 AS (
+        SELECT vec_id, sub, cid FROM (
+          SELECT vec_id, sub, cid,
+            ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+              ORDER BY d2, cid) AS rk
+          FROM d0) WHERE rk = 1),
+      c1 AS (
+        SELECT a.cid, e.sub, e.dim,
+          CAST(round(CAST(SUM(e.xq) AS DOUBLE) / COUNT(*)) AS BIGINT)
+            AS cq
+        FROM a0 a JOIN eq e ON e.vec_id = a.vec_id AND e.sub = a.sub
+        GROUP BY 1, 2, 3),
+      c1f AS MATERIALIZED (
+        SELECT cid, sub, dim,
+          CAST(round(CAST(CAST(CAST(cq AS DOUBLE) / 1000000 AS REAL)
+            AS DOUBLE) * 1000000) AS BIGINT) AS cqf
+        FROM c1),
+      d1 AS (
+        SELECT e.vec_id, e.sub, c.cid,
+          SUM((e.xq - c.cqf) * (e.xq - c.cqf)) AS d2
+        FROM eq e JOIN c1f c ON e.sub = c.sub AND e.dim = c.dim
+        GROUP BY 1, 2, 3),
+      a1 AS MATERIALIZED (
+        SELECT vec_id, sub, cid FROM (
+          SELECT vec_id, sub, cid,
+            ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+              ORDER BY d2, cid) AS rk
+          FROM d1) WHERE rk = 1),
+      lut AS (
+        SELECT q.vec_id AS q_id, c.sub, c.cid,
+          CAST(SUM(q.xq * c.cqf) AS BIGINT) AS pdot
+        FROM eq q JOIN c1f c ON c.sub = q.sub AND c.dim = q.dim
+        WHERE q.vec_id IN (${queryIds.mkString(", ")})
+        GROUP BY 1, 2, 3),
+      adc AS (
+        SELECT l.q_id, a.vec_id, CAST(SUM(l.pdot) AS BIGINT) AS adc
+        FROM a1 a JOIN lut l ON l.sub = a.sub AND l.cid = a.cid
+        WHERE a.vec_id <> l.q_id GROUP BY 1, 2),
+      cand AS (
+        SELECT q_id, vec_id FROM (
+          SELECT q_id, vec_id,
+            ROW_NUMBER() OVER (PARTITION BY q_id
+              ORDER BY adc DESC, vec_id) AS rk20
+          FROM adc) WHERE rk20 <= 20),
+      norms AS (
+        SELECT vec_id, embedding, label,
+          ${oDot("embedding", "embedding")} AS n2
+        FROM embeddings),
+      resc AS (
+        SELECT cd.q_id, cd.vec_id, e.label,
+          CAST(${oDot("q.embedding", "e.embedding")} AS DOUBLE)
+            / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(e.n2 AS DOUBLE)))
+            AS cosine
+        FROM cand cd
+        JOIN norms e ON e.vec_id = cd.vec_id
+        JOIN norms q ON q.vec_id = cd.q_id)
+      SELECT q_id, rk, vec_id, label, cosine FROM (
+        SELECT q_id, vec_id, label, cosine,
+          CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY cosine DESC, vec_id) AS BIGINT) AS rk
+        FROM resc) WHERE rk <= 5 ORDER BY q_id, rk"""))
+
   // ---------------------------------------------------------------- Q62
   // Per-label centroids — the vector-AGGREGATION operator (class
   // prototypes for balancing/clustering; q24d's IVF centroids are the
@@ -1111,5 +1340,5 @@ object EmbeddingQueries {
       FROM ranked WHERE rk = 1 ORDER BY label, dropped_id"""))
 
   val all: Seq[QueryDef] =
-    Seq(q24, q24b, q24c, q24d, q24e, q62, q102, q103, q105)
+    Seq(q24, q24b, q24c, q24d, q24e, q24f, q62, q102, q103, q105)
 }

@@ -89,7 +89,11 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // partial-aggregated pair count — the driver-side merge table, and
     // with it every downstream fold, must be identical however pair
     // occurrences fall into partitions
-    "q89b_bpe_trainer")
+    "q89b_bpe_trainer",
+    // q24f (round 11): PQ training (min(struct) argmins + micro-sum
+    // codebook update), the driver-collected LUT, the ADC lookups and
+    // the topk heap merges must all commute with partitioning
+    "q24f_ann_pq")
 
   private def canonical(name: String): Seq[String] = {
     val df = Registry.byName(name).run(spark, dir)

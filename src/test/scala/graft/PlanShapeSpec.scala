@@ -87,7 +87,13 @@ class PlanShapeSpec extends AnyFunSuite {
         // q24e fans the ONE-row [min,max] stats out over the corpus
         // (q74's scalar-fanout shape) and BNLJs the 3-row query-code
         // set against it — the same bounded broadcast sides as q24.
-        "q24e_ann_sq8")(q.name))
+        "q24e_ann_sq8",
+        // q24f cross-joins the corpus against the broadcast m·k = 128-
+        // row codebook (q103's bounded centroid shape, twice: assign +
+        // re-assign) and fans the 3-row literal LUT set out for the
+        // ADC scan — all sides bounded by the MODEL's size, never the
+        // corpus; the rescore joins are id-keyed broadcasts.
+        "q24f_ann_pq")(q.name))
       .flatMap { q =>
         val p = plan(q.name)
         if (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))

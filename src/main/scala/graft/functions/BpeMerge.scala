@@ -72,11 +72,22 @@ case class BpeMerge(first: Expression, second: Expression, third: Expression)
     BpeMerge.compute(a.asInstanceOf[ArrayData],
       p1.asInstanceOf[UTF8String], p2.asInstanceOf[UTF8String])
 
+  // compute() returns null ONLY for a null element, so when the input
+  // type rules those out the isNull write is omitted — it would not
+  // compile there: with `nullable` false, nullSafeCodeGen renders the
+  // body with an isNull variable it never declares (the FalseLiteral
+  // copy happens after the template is built), Janino rejects the
+  // undeclared name, and the projection silently falls back to
+  // interpreted mode (the sorted_icount finding; q89b/q89c hot path).
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cls = BpeMerge.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    val setNull = first.dataType match {
+      case ArrayType(_, true) => s"${ev.isNull} = ${ev.value} == null;"
+      case _ => ""
+    }
     nullSafeCodeGen(ctx, ev, (a, p1, p2) => s"""
       ${ev.value} = $cls.compute($a, $p1, $p2);
-      ${ev.isNull} = ${ev.value} == null;""")
+      $setNull""")
   }
 
   override protected def withNewChildrenInternal(

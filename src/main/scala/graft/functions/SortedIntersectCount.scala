@@ -87,6 +87,21 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     acc
   }
 
+  // Whether a null ELEMENT is even possible per the input types. When
+  // it is not, the poison branch is omitted from the generated loop —
+  // not just as a micro-optimization of the innermost q45 loop, but
+  // because writing `${ev.isNull} = true` would not COMPILE there:
+  // with every null source ruled out `nullable` is false, so
+  // nullSafeCodeGen renders the body with an isNull variable it never
+  // declares (the FalseLiteral copy happens after the template is
+  // built), Janino rejects the undeclared name, and the whole
+  // projection silently falls back to interpreted mode — the exact
+  // opposite of why this kernel exists.
+  private def elementsNullable: Boolean = children.exists(_.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => false
+  })
+
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val nx = ctx.freshName("nx")
@@ -95,13 +110,17 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       val j = ctx.freshName("j")
       val c = ctx.freshName("c")
       val acc = ctx.freshName("acc")
+      val poison =
+        if (elementsNullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($j)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $nx = $a.numElements();
          |int $ny = $b.numElements();
          |int $i = 0; int $j = 0;
          |long $acc = 0L;
          |while ($i < $nx && $j < $ny) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($j)) { ${ev.isNull} = true; break; }
+         |  $poison
          |  int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
          |  if ($c < 0) { $i++; }
          |  else if ($c > 0) { $j++; }

@@ -375,6 +375,32 @@ class FunctionsSpec extends AnyFunSuite {
     assert(viaEval === 2L)
   }
 
+  test("sorted_icount and bpe_merge compile with null-free input types") {
+    // Round-11 finding: when the children are non-nullable AND the
+    // array type has containsNull=false, `nullable` is false and
+    // nullSafeCodeGen renders the kernel body with an isNull variable
+    // it never declares if the kernel writes ${ev.isNull}
+    // unconditionally — Janino rejects the generated class and the
+    // whole projection/predicate silently drops to interpreted mode
+    // (q45's verify loop, q89b/q89c's merge kernel). CODEGEN_ONLY
+    // turns that silent fallback into a hard failure; coalesce over
+    // the parquet column builds the non-nullable shape that triggered
+    // it (split/sort_array/array literals are all containsNull=false).
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val rows = Tables.load(spark, TestSpark.sf0001, "documents")
+        .limit(8)
+        .selectExpr(
+          "sorted_icount(sort_array(split(lower(coalesce(text, 'a b')), ' ')), " +
+            "array('a', 'the')) AS ic",
+          "size(bpe_merge(split(lower(coalesce(text, 'a b')), ' '), " +
+            "'the', 'a')) AS bm")
+        .collect()
+      assert(rows.length === 8)
+      assert(rows.forall(r => r.getLong(0) >= 0L && r.getInt(1) > 0))
+    } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+  }
+
   test("sorted_icount stays inside WholeStageCodegen") {
     val df = Tables.load(spark, TestSpark.sf0001, "documents")
       .selectExpr("sort_array(split(lower(text), ' ')) AS t")

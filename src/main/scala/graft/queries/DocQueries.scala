@@ -2269,8 +2269,146 @@ object DocQueries {
         CAST(n_bigrams AS BIGINT) AS n_bigrams, sum_freq, score_micro
       FROM r WHERE rk <= 5 ORDER BY lang, rk"""))
 
+  // --------------------------------------------------------------- Q109
+  // DSIR IMPORTANCE-BASED DATA SELECTION (Xie et al. 2023, "Data
+  // Selection for Language Models via Importance Resampling") — the
+  // "pick raw-corpus documents that look like the target domain" step
+  // of dataset assembly, re-expressed exactly: hashed token features
+  // (64 buckets, the q107 hashing trick) feed TWO smoothed bag-of-
+  // buckets models — target = the 'en' slice, raw = the whole corpus —
+  // and each document's importance weight is its mean per-token
+  // target/raw probability ratio; the global top-100 by importance is
+  // the selected set, and the report shows the distribution SHIFT the
+  // method exists to produce (per-lang candidates vs selected).
+  //
+  // Exactness: the per-bucket smoothed ratio
+  //   (cnt_t+1)/(tot_t+64) ÷ (cnt_r+1)/(tot_r+64)
+  // is quantized to micro units through one fixed-shape chain of IEEE
+  // double ops over exact int64 operands (two multiplies, one divide,
+  // one round — each step deterministically rounded, identical
+  // parenthesization in both engines); per-doc sums of r_micro are
+  // int64-exact; the per-doc mean and per-lang mean reuse the
+  // round(sum/n) presentation idiom of q104/q108. Log-probabilities
+  // (the paper's formulation) are avoided for the usual reason — ln()
+  // is not bit-portable — and the RATIO carries the same per-bucket
+  // information the log-ratio sum does for ranking-by-affinity. The
+  // Gumbel-top-k draw of the paper is likewise replaced by its
+  // deterministic top-k variant (the paper's own ablation), which is
+  // what makes the selection hash-gradeable.
+  //
+  // Scale shape (100 TB): this is q104's corpus-model join-back with
+  // the one structural improvement DSIR's feature hashing buys — the
+  // model is a FIXED 64-row table regardless of corpus size, so the
+  // broadcast join-back is UNCONDITIONALLY valid (no vocab-growth flag
+  // needed; contrast `graft.vocab.broadcast` on q104/q108, whose
+  // vocab-keyed models outgrow broadcast). Model fitting is one
+  // explode → 64-key aggregate (map-side collapse over an
+  // alphabet-bounded domain, both counts in ONE pass via count_if);
+  // per-doc aggregation collapses map-side. The report is TWO branches
+  // over the scored docs: the per-lang candidate/mean stats aggregate
+  // directly (NO global window ever touches the full corpus), and the
+  // selected-set stats come from a rank-FILTERED branch — a predicate
+  // on row_number, which lowers to TakeOrderedAndProject(100): each
+  // map partition keeps its local top-100 and one merge produces the
+  // global set, so no stage moves the scored corpus into a single
+  // partition. (A first draft flagged selection with a projected
+  // `rk <= K` boolean instead of a filter — same answer, but the flag
+  // shape cannot lower and drags every scored doc through one
+  // partition.) AQE exchange reuse computes the scored subtree once
+  // for both branches (plan-pinned). Langs with no selected docs
+  // re-enter by LEFT join with selected coalesced to 0.
+  private val DsirK = 100L
+
+  private val q109 = QueryDef(
+    "q109_dsir_select",
+    (s, dir) => {
+      import s.implicits._
+      val toks = docs(s, dir)
+        .select($"doc_id", $"lang", explode(
+          expr("filter(split(lower(text), ' '), t -> length(t) > 0)"))
+          .as("token"))
+        .select($"doc_id", $"lang",
+          expr("CAST(conv(substring(md5(token), 1, 8), 16, 10) AS BIGINT)" +
+            " % 64").as("bucket"))
+      val model = toks
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("cnt_r"), count_if($"lang" === "en").as("cnt_t"))
+        .withColumn("tot_r", sum($"cnt_r").over(Window.partitionBy()))
+        .withColumn("tot_t", sum($"cnt_t").over(Window.partitionBy()))
+        .select($"bucket", expr(
+          "CAST(round((1000000.0 * CAST(cnt_t + 1 AS DOUBLE)" +
+            " * CAST(tot_r + 64 AS DOUBLE))" +
+            " / (CAST(cnt_r + 1 AS DOUBLE) * CAST(tot_t + 64 AS DOUBLE)))" +
+            " AS BIGINT)").as("r_micro"))
+      val scored = toks.join(broadcast(model), Seq("bucket"))
+        .groupBy($"doc_id", $"lang")
+        .agg(count(lit(1)).as("n_tok"), sum($"r_micro").as("imp_sum"))
+        .select($"doc_id", $"lang",
+          expr("CAST(round(CAST(imp_sum AS DOUBLE) / CAST(n_tok AS DOUBLE))" +
+            " AS BIGINT)").as("imp_micro"))
+      val wSel = Window.orderBy($"imp_micro".desc, $"doc_id")
+      val top = scored
+        .withColumn("rk", row_number().over(wSel))
+        .filter($"rk" <= DsirK)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("selected"), sum($"imp_micro").as("sel_sum_imp"))
+      scored.groupBy($"lang")
+        .agg(count(lit(1)).as("candidates"), sum($"imp_micro").as("sum_imp"))
+        .join(top, Seq("lang"), "left")
+        .select($"lang", $"candidates",
+          coalesce($"selected", lit(0L)).as("selected"),
+          expr("CAST(round(CAST(sum_imp AS DOUBLE) / CAST(candidates AS DOUBLE))" +
+            " AS BIGINT)").as("mean_imp_micro"),
+          $"sel_sum_imp")
+        .orderBy($"lang")
+    },
+    Some(s"""WITH toks AS (
+        SELECT doc_id, lang,
+          unnest(list_filter(string_split(lower(text), ' '),
+            t -> length(t) > 0)) AS token
+        FROM documents),
+      tb AS MATERIALIZED (
+        SELECT doc_id, lang,
+          ('0x' || substr(md5(token), 1, 8))::BIGINT % 64 AS bucket
+        FROM toks),
+      model AS (
+        SELECT bucket, COUNT(*) AS cnt_r,
+          SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS cnt_t
+        FROM tb GROUP BY 1),
+      mt AS (
+        SELECT bucket,
+          CAST(round((1000000.0 * CAST(cnt_t + 1 AS DOUBLE)
+              * CAST(tot_r + 64 AS DOUBLE))
+            / (CAST(cnt_r + 1 AS DOUBLE) * CAST(tot_t + 64 AS DOUBLE)))
+            AS BIGINT) AS r_micro
+        FROM (SELECT bucket, cnt_r, cnt_t,
+            SUM(cnt_r) OVER () AS tot_r, SUM(cnt_t) OVER () AS tot_t
+          FROM model)),
+      scored AS MATERIALIZED (
+        SELECT t.doc_id, t.lang,
+          CAST(round(CAST(SUM(m.r_micro) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS imp_micro
+        FROM tb t JOIN mt m USING (bucket) GROUP BY 1, 2),
+      top AS (
+        SELECT lang, COUNT(*) AS selected,
+          CAST(SUM(imp_micro) AS BIGINT) AS sel_sum_imp
+        FROM (SELECT lang, imp_micro,
+            ROW_NUMBER() OVER (ORDER BY imp_micro DESC, doc_id) AS rk
+          FROM scored)
+        WHERE rk <= $DsirK GROUP BY 1),
+      perlang AS (
+        SELECT lang, COUNT(*) AS candidates,
+          CAST(round(CAST(SUM(imp_micro) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS mean_imp_micro
+        FROM scored GROUP BY 1)
+      SELECT p.lang, p.candidates,
+        COALESCE(t.selected, 0) AS selected,
+        p.mean_imp_micro, t.sel_sum_imp
+      FROM perlang p LEFT JOIN top t USING (lang)
+      ORDER BY p.lang"""))
+
   val all: Seq[QueryDef] =
     Seq(q22, q23, q25, q26, q27, q28, q29, q32, q39, q42, q45, q46, q47,
       q50, q51, q52, q53, q54, q59, q60, q65, q88, q89, q89b, q89c, q100,
-      q101, q104, q106, q107, q108)
+      q101, q104, q106, q107, q108, q109)
 }

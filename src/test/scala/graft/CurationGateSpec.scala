@@ -47,6 +47,34 @@ class CurationGateSpec extends AnyFunSuite {
     }
   }
 
+  // q109's entire purpose is the distribution SHIFT toward the target
+  // domain; the hash gate pins the numbers but not the direction. These
+  // asserts pin the direction on the shipped fixtures: the en share of
+  // the selected set must EXCEED the en base rate (the importance model
+  // discriminates), without degenerating to an all-en selection (the
+  // hashed 64-bucket model is deliberately coarse), and the top-K must
+  // actually bind (selected total = 100 < corpus).
+  for (dir <- Seq(TestSpark.sf0001, "/root/testdata/sf0.01")) {
+    test(s"q109 selection shifts toward the en target at $dir") {
+      val rows = Registry.byName("q109_dsir_select").run(spark, dir).collect()
+      val candTot = rows.map(_.getAs[Long]("candidates")).sum
+      val selTot = rows.map(_.getAs[Long]("selected")).sum
+      assert(selTot == 100L,
+        s"top-K did not bind: selected $selTot of $candTot candidates")
+      val en = rows.find(_.getAs[String]("lang") == "en").get
+      val enSel = en.getAs[Long]("selected")
+      val enShare = enSel.toDouble / selTot
+      val enBase = en.getAs[Long]("candidates").toDouble / candTot
+      assert(enShare > enBase,
+        f"no shift toward target: en selected share $enShare%.3f <= " +
+          f"base rate $enBase%.3f — the importance model is not " +
+          "discriminating on this fixture")
+      assert(enSel < selTot,
+        "degenerate all-en selection — the coarse hashed model should " +
+          "not separate languages perfectly")
+    }
+  }
+
   test("q107 scores a NULL-text document as bias only (-2)") {
     val d = Files.createTempDirectory("graft-nulltext").toString
     val schema = StructType(Seq(

@@ -93,7 +93,12 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // q24f (round 11): PQ training (min(struct) argmins + micro-sum
     // codebook update), the driver-collected LUT, the ADC lookups and
     // the topk heap merges must all commute with partitioning
-    "q24f_ann_pq")
+    "q24f_ann_pq",
+    // q109 (round 11): the two-model bucket counts, the per-doc int64
+    // importance sums, and the GLOBAL top-100 rank (map-side
+    // WindowGroupLimit merging into one partition) must all be
+    // layout-independent, or the selected set itself would drift
+    "q109_dsir_select")
 
   private def canonical(name: String): Seq[String] = {
     val df = Registry.byName(name).run(spark, dir)

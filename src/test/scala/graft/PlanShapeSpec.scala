@@ -405,6 +405,33 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no map-side WindowGroupLimit below the lang exchange:\n$fin")
   }
 
+  test("q109 DSIR: fixed-width model broadcasts, map-side global top-k") {
+    // DSIR's feature hashing makes the corpus model a FIXED 64-row
+    // table, so the join-back must broadcast UNCONDITIONALLY — no
+    // vocab-growth strategy flag, the structural improvement over
+    // q104/q108. The global top-100 rank FILTER must lower to
+    // TakeOrderedAndProject (map-side per-partition top-100 merged
+    // once — the unpartitioned-rank analog of the WindowGroupLimit
+    // pair), so no stage ever moves the full scored corpus into one
+    // partition; and the scored subtree feeding both report branches
+    // must be computed once (AQE exchange reuse), not twice.
+    val df = Registry.byName("q109_dsir_select").run(spark, dir)
+    df.collect()
+    val fin = TestSpark.finalPlan(df)
+    assert(fin.contains("BroadcastHashJoin") &&
+      !fin.contains("SortMergeJoin") && !fin.contains("ShuffledHashJoin"),
+      s"q109 model join-back must broadcast:\n$fin")
+    assert(fin.contains("TakeOrderedAndProject(limit=100"),
+      s"global top-100 did not lower to TakeOrderedAndProject:\n$fin")
+    assert(!fin.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS") ||
+      fin.indexOf("Exchange SinglePartition") ==
+        fin.lastIndexOf("Exchange SinglePartition"),
+      s"an extra single-partition exchange crept in beyond the 64-row " +
+        s"model window:\n$fin")
+    assert(fin.contains("ReusedExchange"),
+      s"scored subtree computed twice — exchange reuse lost:\n$fin")
+  }
+
   test("q89b trainer final job: checkpointed input, no word-level shuffle") {
     // The final job's exchanges belong only to the bounded aggregates
     // (final symbol counts + the 3-row merge-table join, which must

@@ -51,6 +51,49 @@ object EmbeddingQueries {
           CAST(round(CAST(bx AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT)
         FROM (SELECT unnest($aExpr) AS ax, unnest($bExpr) AS bx) zz)"""
 
+  /** Shared ANN-family report tail (q24/q24b/q24d/q24e/q24f — one
+    * definition so the five variants' output contract stays provably
+    * identical): per-query cosine top-5 via the bounded-heap
+    * `topk_by_score` aggregate, NOT a window — the window form
+    * shuffles every scored row per query vector, while the aggregate
+    * keeps a k-element heap per partition and merges (the
+    * partial/final shape that survives a 100 TB corpus). Heap
+    * positions become ranks; the neighbor's label is fetched AFTER the
+    * top-k (id-keyed join on 5·|queries| rows) so the aggregation
+    * carries minimal payload. Input needs (q_id, vec_id, cosine). */
+  private def topkReport(s: SparkSession, dir: String,
+      scored: DataFrame): DataFrame = {
+    import s.implicits._
+    scored.groupBy($"q_id")
+      .agg(expr("topk_by_score(cosine, vec_id, 5)").as("top"))
+      .select($"q_id", posexplode($"top"))
+      .select($"q_id", ($"pos" + 1).cast(LongType).as("rk"),
+        $"col.id".as("vec_id"), $"col.score".as("cosine"))
+      .join(emb(s, dir).select($"vec_id", $"label"), Seq("vec_id"))
+      .select($"q_id", $"rk", $"vec_id", $"label", $"cosine")
+      .orderBy($"q_id", $"rk")
+  }
+
+  /** Shared exact-cosine rescore of a (q_id, vec_id) candidate set
+    * (q24e/q24f): the candidates broadcast INTO the corpus scan and
+    * the norms/dots run post-join, so there is no second full-corpus
+    * float pass (that bandwidth is what the code compression exists to
+    * avoid); q_n2 prunes via the pushed-down vec_id IN filter. */
+  private def exactRescore(s: SparkSession, base: DataFrame,
+      cand: DataFrame): DataFrame = {
+    import s.implicits._
+    val qn = base.filter($"vec_id".isin(queryIds: _*))
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
+        dotQ("embedding", "embedding").as("q_n2"))
+    base.select($"vec_id", $"embedding")
+      .join(broadcast(cand), Seq("vec_id"))
+      .withColumn("n2", dotQ("embedding", "embedding"))
+      .join(broadcast(qn), Seq("q_id"))
+      .withColumn("cosine",
+        dotQ("q_emb", "embedding").cast(DoubleType) /
+          (sqrt($"q_n2".cast(DoubleType)) * sqrt($"n2".cast(DoubleType))))
+  }
+
   // ---------------------------------------------------------------- Q24
   // Brute-force cosine top-5 for query vectors 0,1,2 — the exact
   // baseline every ANN variant is measured against.
@@ -67,20 +110,7 @@ object EmbeddingQueries {
         .withColumn("cosine",
           $"dot".cast(DoubleType) /
             (sqrt($"q_n2".cast(DoubleType)) * sqrt($"n2".cast(DoubleType))))
-      // Per-group top-k via graft's topk_by_score aggregate, NOT a window:
-      // the window form shuffles every scored row per query vector; the
-      // aggregate keeps a k-element heap per partition and merges — the
-      // partial/final shape that survives a 100 TB corpus. The neighbor's
-      // label is fetched AFTER the top-k (id-keyed join on k×|queries|
-      // rows) so the aggregation carries minimal payload.
-      val top = scored.groupBy($"q_id")
-        .agg(expr("topk_by_score(cosine, vec_id, 5)").as("top"))
-        .select($"q_id", posexplode($"top"))
-        .select($"q_id", ($"pos" + 1).cast(LongType).as("rk"),
-          $"col.id".as("vec_id"), $"col.score".as("cosine"))
-      top.join(emb(s, dir).select($"vec_id", $"label"), Seq("vec_id"))
-        .select($"q_id", $"rk", $"vec_id", $"label", $"cosine")
-        .orderBy($"q_id", $"rk")
+      topkReport(s, dir, scored) // the shared heap-top-5 + label tail
     },
     Some(s"""WITH norms AS (
         SELECT vec_id, embedding, label,
@@ -258,14 +288,7 @@ object EmbeddingQueries {
         .withColumn("cosine",
           $"dot".cast(DoubleType) /
             (sqrt($"q_n2".cast(DoubleType)) * sqrt($"n2".cast(DoubleType))))
-      val top = scored.groupBy($"q_id")
-        .agg(expr("topk_by_score(cosine, vec_id, 5)").as("top"))
-        .select($"q_id", posexplode($"top"))
-        .select($"q_id", ($"pos" + 1).cast(LongType).as("rk"),
-          $"col.id".as("vec_id"), $"col.score".as("cosine"))
-      top.join(emb(s, dir).select($"vec_id", $"label"), Seq("vec_id"))
-        .select($"q_id", $"rk", $"vec_id", $"label", $"cosine")
-        .orderBy($"q_id", $"rk")
+      topkReport(s, dir, scored) // the shared heap-top-5 + label tail
     },
     // The relational rebuild of the index: r from the bit length of
     // n-1 (exact integer arithmetic — the log2 float path can misround
@@ -427,14 +450,7 @@ object EmbeddingQueries {
         .withColumn("cosine",
           dotQ("q_emb", "embedding").cast(DoubleType) /
             (sqrt($"q_n2".cast(DoubleType)) * sqrt($"n2".cast(DoubleType))))
-      val top = scored.groupBy($"q_id")
-        .agg(expr("topk_by_score(cosine, vec_id, 5)").as("top"))
-        .select($"q_id", posexplode($"top"))
-        .select($"q_id", ($"pos" + 1).cast(LongType).as("rk"),
-          $"col.id".as("vec_id"), $"col.score".as("cosine"))
-      top.join(emb(s, dir).select($"vec_id", $"label"), Seq("vec_id"))
-        .select($"q_id", $"rk", $"vec_id", $"label", $"cosine")
-        .orderBy($"q_id", $"rk")
+      topkReport(s, dir, scored) // the shared heap-top-5 + label tail
     },
     Some(s"""WITH norms AS (
         SELECT vec_id, embedding, label,
@@ -558,29 +574,9 @@ object EmbeddingQueries {
       val cand = approx.groupBy($"q_id")
         .agg(expr("topk_by_score(akey, vec_id, 20)").as("top"))
         .select($"q_id", explode($"top.id").as("vec_id"))
-      // exact rescore on the 20·|queries| survivors ONLY: the cand ids
-      // broadcast into the corpus scan and n2/dotq run post-join — no
-      // second full-corpus float pass (that bandwidth is what the SQ8
-      // compression exists to avoid); q_n2 prunes via the pushed-down
-      // vec_id IN filter
-      val qn = base.filter($"vec_id".isin(queryIds: _*))
-        .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
-          dotQ("embedding", "embedding").as("q_n2"))
-      val resc = base.select($"vec_id", $"embedding")
-        .join(broadcast(cand), Seq("vec_id"))
-        .withColumn("n2", dotQ("embedding", "embedding"))
-        .join(broadcast(qn), Seq("q_id"))
-        .withColumn("cosine",
-          dotQ("q_emb", "embedding").cast(DoubleType) /
-            (sqrt($"q_n2".cast(DoubleType)) * sqrt($"n2".cast(DoubleType))))
-      resc.groupBy($"q_id")
-        .agg(expr("topk_by_score(cosine, vec_id, 5)").as("top"))
-        .select($"q_id", posexplode($"top"))
-        .select($"q_id", ($"pos" + 1).cast(LongType).as("rk"),
-          $"col.id".as("vec_id"), $"col.score".as("cosine"))
-        .join(emb(s, dir).select($"vec_id", $"label"), Seq("vec_id"))
-        .select($"q_id", $"rk", $"vec_id", $"label", $"cosine")
-        .orderBy($"q_id", $"rk")
+      // exact rescore on the 20·|queries| survivors ONLY (the shared
+      // exactRescore/topkReport tail)
+      topkReport(s, dir, exactRescore(s, base, cand))
     },
     Some(s"""WITH st AS (
         SELECT MIN(x) AS fmin, MAX(x) AS fmax,
@@ -750,34 +746,24 @@ object EmbeddingQueries {
         }
         (q, arr.toSeq)
       }.toDF("q_id", "lut")
+      // ADC: eight literal-index lookups summed in ONE codegen'd
+      // expression. The aggregate() HOF form of this fold is
+      // CodegenFallback — an interpreted lambda per subspace per row
+      // that would put the hottest projection of the query outside
+      // whole-stage codegen (the dotq/sorted_icount rationale); pqM is
+      // a compile-time constant, so the fold unrolls exactly.
+      val adcSum = (0 until pqM).map { sb =>
+        s"element_at(lut, CAST(${sb * pqK} + element_at(codes, ${sb + 1}) + 1 AS INT))"
+      }.mkString(" + ")
       val scored = codes.crossJoin(broadcast(luts))
         .filter($"vec_id" =!= $"q_id")
-        .withColumn("adc", expr(
-          s"aggregate(sequence(0, ${pqM - 1}), CAST(0 AS BIGINT), " +
-            s"(acc, sb) -> acc + element_at(lut, " +
-            s"CAST(sb * $pqK + element_at(codes, CAST(sb + 1 AS INT)) + 1 AS INT)))"))
+        .withColumn("adc", expr(adcSum))
       val cand = scored.groupBy($"q_id")
         .agg(expr("topk_by_score(CAST(adc AS DOUBLE), vec_id, 20)").as("top"))
         .select($"q_id", explode($"top.id").as("vec_id"))
-      // exact rescore on the 20·|queries| survivors only (q24e's tail)
-      val qn = base.filter($"vec_id".isin(queryIds: _*))
-        .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
-          dotQ("embedding", "embedding").as("q_n2"))
-      val resc = base.select($"vec_id", $"embedding")
-        .join(broadcast(cand), Seq("vec_id"))
-        .withColumn("n2", dotQ("embedding", "embedding"))
-        .join(broadcast(qn), Seq("q_id"))
-        .withColumn("cosine",
-          dotQ("q_emb", "embedding").cast(DoubleType) /
-            (sqrt($"q_n2".cast(DoubleType)) * sqrt($"n2".cast(DoubleType))))
-      resc.groupBy($"q_id")
-        .agg(expr("topk_by_score(cosine, vec_id, 5)").as("top"))
-        .select($"q_id", posexplode($"top"))
-        .select($"q_id", ($"pos" + 1).cast(LongType).as("rk"),
-          $"col.id".as("vec_id"), $"col.score".as("cosine"))
-        .join(emb(s, dir).select($"vec_id", $"label"), Seq("vec_id"))
-        .select($"q_id", $"rk", $"vec_id", $"label", $"cosine")
-        .orderBy($"q_id", $"rk")
+      // exact rescore on the 20·|queries| survivors only (the shared
+      // exactRescore/topkReport tail)
+      topkReport(s, dir, exactRescore(s, base, cand))
     },
     // Relational rebuild: subspace decomposition, seed codebooks, one
     // Lloyd round (with the float re-round, q103's c1f), encoding,

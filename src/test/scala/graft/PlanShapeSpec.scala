@@ -423,11 +423,10 @@ class PlanShapeSpec extends AnyFunSuite {
       s"q109 model join-back must broadcast:\n$fin")
     assert(fin.contains("TakeOrderedAndProject(limit=100"),
       s"global top-100 did not lower to TakeOrderedAndProject:\n$fin")
-    assert(!fin.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS") ||
-      fin.indexOf("Exchange SinglePartition") ==
-        fin.lastIndexOf("Exchange SinglePartition"),
-      s"an extra single-partition exchange crept in beyond the 64-row " +
-        s"model window:\n$fin")
+    val spCount = "Exchange SinglePartition".r.findAllIn(fin).length
+    assert(spCount <= 1,
+      s"$spCount single-partition exchanges — only the 64-row model " +
+        s"window may single-partition, never the scored corpus:\n$fin")
     assert(fin.contains("ReusedExchange"),
       s"scored subtree computed twice — exchange reuse lost:\n$fin")
   }

@@ -75,6 +75,24 @@ class CurationGateSpec extends AnyFunSuite {
     }
   }
 
+  // q110's near layer must BIND on the fixtures (the q106 lesson): the
+  // split-straddling planted near-dup pairs exist at both golden SFs
+  // (14 / 11, verified while sizing the mod-3 split), so a banding or
+  // verify regression that silently empties the funnel's drop column
+  // fails here loudly, not just at the hash gate.
+  for (dir <- Seq(TestSpark.sf0001, "/root/testdata/sf0.01")) {
+    test(s"q110 incremental dedup drops some and keeps most at $dir") {
+      val rows = Registry.byName("q110_incremental_dedup")
+        .run(spark, dir).collect()
+      val batch = rows.map(_.getAs[Long]("batch_docs")).sum
+      val near = rows.map(_.getAs[Long]("near_dups")).sum
+      val kept = rows.map(_.getAs[Long]("kept_docs")).sum
+      assert(near >= 1, "near-dup layer unexercised on this fixture")
+      assert(kept + near === batch, "funnel does not partition the batch")
+      assert(kept > near, "degenerate funnel — most of the batch should survive")
+    }
+  }
+
   test("q107 scores a NULL-text document as bias only (-2)") {
     val d = Files.createTempDirectory("graft-nulltext").toString
     val schema = StructType(Seq(

@@ -98,7 +98,11 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // importance sums, and the GLOBAL top-100 rank (map-side
     // WindowGroupLimit merging into one partition) must all be
     // layout-independent, or the selected set itself would drift
-    "q109_dsir_select")
+    "q109_dsir_select",
+    // q110 (round 11): min-hash family aggregates, the band equi-join's
+    // candidate set, and the sorted collect_list arrays feeding the
+    // sorted_icount verify must all commute with partitioning
+    "q110_incremental_dedup")
 
   private def canonical(name: String): Seq[String] = {
     val df = Registry.byName(name).run(spark, dir)

@@ -431,6 +431,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"scored subtree computed twice — exchange reuse lost:\n$fin")
   }
 
+  test("q110 incremental dedup: equi-joins only, never all-pairs") {
+    // The asymmetric batch-vs-corpus dedup must keep the corpus on
+    // equi-keyed joins (band key, shingle, doc id) exactly like q102's
+    // contract — a CartesianProduct or BroadcastNestedLoopJoin here is
+    // the quadratic shape the banding exists to avoid.
+    val df = Registry.byName("q110_incremental_dedup").run(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"q110 planned an all-pairs join:\n$p")
+  }
+
   test("q89b trainer final job: checkpointed input, no word-level shuffle") {
     // The final job's exchanges belong only to the bounded aggregates
     // (final symbol counts + the 3-row merge-table join, which must

@@ -82,6 +82,46 @@ object DocQueries {
   //      Jaccard a naive implementation would do — disqualifying at scale).
   //   5. Exact 5-gram Jaccard verification ONLY on candidates; emit pairs
   //      with J ≥ 0.6.
+  /** Engine-mirrored MinHash machinery — ONE definition for both the
+    * Spark and DuckDB halves of the hash contract so the two engines
+    * (and the two consumers: q23/q39's 16-family 4×4 index and q110's
+    * 8-family 2×4 batch index) cannot silently drift. Family i is the
+    * min over the md5 hex digest rotated left by step·i chars; band b
+    * is md5 of the '|'-joined rows of that band. */
+  private def minhashAggs(nFam: Int, step: Int): Seq[Column] =
+    (0 until nFam).map { i =>
+      val p = step * i
+      val fam =
+        if (p == 0) col("h")
+        else concat(substring(col("h"), p + 1, 32 - p),
+          substring(col("h"), 1, p))
+      min(fam).as(s"h$i")
+    }
+
+  private def bandArray(nBands: Int, rows: Int): Column = array(
+    (0 until nBands).map(b => struct(
+      lit(b).as("band_idx"),
+      md5(concat_ws("|",
+        (0 until rows).map(r => col(s"h${b * rows + r}")): _*)
+        .cast(BinaryType)).as("band_val"))): _*)
+
+  /** DuckDB mirrors of the two builders above. */
+  private def oMinhashAggs(nFam: Int, step: Int): String =
+    (0 until nFam).map { i =>
+      val p = step * i
+      val fam =
+        if (p == 0) "h"
+        else s"substring(h, ${p + 1}, ${32 - p}) || substring(h, 1, $p)"
+      s"min($fam) AS h$i"
+    }.mkString(", ")
+
+  private def oBandSelects(nBands: Int, rows: Int, keyCols: String): String =
+    (0 until nBands).map { b =>
+      val cat = (0 until rows).map(r => s"h${b * rows + r}")
+        .mkString(" || '|' || ")
+      s"SELECT $keyCols, $b AS band_idx, md5($cat) AS band_val FROM sig"
+    }.mkString("\n        UNION ALL ")
+
   /** The q23 candidate-pair pipeline, shared with q39's clustering.
     * Returns (doc1, doc2, n_shared, n1, n2, jaccard) for J >= 0.6,
     * unordered. */
@@ -131,22 +171,11 @@ object DocQueries {
       // a second scan+shuffle of the shingle set. One md5 per row; each
       // family is a byte-rotation of that digest (see step 2 above).
       val withH = sh.withColumn("h", md5($"shingle".cast(BinaryType)))
-      val hs = (0 until 16).map { i =>
-        val p = 2 * i
-        val fam =
-          if (p == 0) col("h")
-          else concat(substring(col("h"), p + 1, 32 - p),
-            substring(col("h"), 1, p))
-        min(fam).as(s"h$i")
-      }
+      val hs = minhashAggs(16, 2)
       val sig = withH.groupBy($"doc_id")
         .agg(hs.head, (hs.tail :+ count(lit(1)).as("n")): _*)
       val sizes = sig.select($"doc_id", $"n")
-      val bands = sig.select($"doc_id", explode(array(
-        (0 until 4).map(b => struct(
-          lit(b).as("band_idx"),
-          md5(concat_ws("|", (0 until 4).map(r => col(s"h${b * 4 + r}")): _*)
-            .cast(BinaryType)).as("band_val"))): _*)).as("bd"))
+      val bands = sig.select($"doc_id", explode(bandArray(4, 4)).as("bd"))
         .select($"doc_id", $"bd.band_idx".as("band_idx"),
           $"bd.band_val".as("band_val"))
       val b1 = bands.toDF("doc1", "band_idx", "band_val")
@@ -173,17 +202,8 @@ object DocQueries {
 
   /** Oracle CTE chain ending in `pairs` — shared by q23 and q39. */
   private val oraclePairCtes: String = {
-      val hs = (0 until 16).map { i =>
-        val p = 2 * i
-        val fam =
-          if (p == 0) "h"
-          else s"substring(h, ${p + 1}, ${32 - p}) || substring(h, 1, $p)"
-        s"min($fam) AS h$i"
-      }.mkString(", ")
-      val bandSelects = (0 until 4).map { b =>
-        val cat = (0 until 4).map(r => s"h${b * 4 + r}").mkString(" || '|' || ")
-        s"SELECT doc_id, $b AS band_idx, md5($cat) AS band_val FROM sig"
-      }.mkString("\n        UNION ALL ")
+      val hs = oMinhashAggs(16, 2)
+      val bandSelects = oBandSelects(4, 4, "doc_id")
       s"""WITH toks AS (
         SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
       sh AS (
@@ -2459,22 +2479,11 @@ object DocQueries {
         .distinct()
         .localCheckpoint()
       val withH = sh.withColumn("h", md5($"shingle".cast(BinaryType)))
-      val hs = (0 until 8).map { i =>
-        val p = 4 * i
-        val fam =
-          if (p == 0) col("h")
-          else concat(substring(col("h"), p + 1, 32 - p),
-            substring(col("h"), 1, p))
-        min(fam).as(s"h$i")
-      }
+      val hs = minhashAggs(8, 4)
       val sig = withH.groupBy($"doc_id", $"is_batch")
         .agg(hs.head, hs.tail: _*)
-      val bands = sig.select($"doc_id", $"is_batch", explode(array(
-          (0 until 2).map(b => struct(
-            lit(b).as("band_idx"),
-            md5(concat_ws("|",
-              (0 until 4).map(r => col(s"h${b * 4 + r}")): _*))
-              .as("band_val"))): _*)).as("bd"))
+      val bands = sig.select($"doc_id", $"is_batch",
+          explode(bandArray(2, 4)).as("bd"))
         .select($"doc_id", $"is_batch",
           $"bd.band_idx".as("band_idx"), $"bd.band_val".as("band_val"))
       val cand = bands.filter($"is_batch")
@@ -2483,7 +2492,15 @@ object DocQueries {
           .select($"doc_id".as("c_id"), $"band_idx", $"band_val"),
           Seq("band_idx", "band_val"))
         .select($"b_id", $"c_id").distinct()
-      val sets = sh.groupBy($"doc_id")
+      // the sorted-array build is the expensive per-doc step — restrict
+      // it to CANDIDATE docs (batch ∪ corpus sides of cand, a set
+      // bounded by the candidate count) before the groupBy, so the
+      // verify genuinely touches candidates only (the oracle's `inter`
+      // already had this shape; review finding)
+      val candIds = cand.select($"b_id".as("doc_id"))
+        .union(cand.select($"c_id".as("doc_id"))).distinct()
+      val sets = sh.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+        .groupBy($"doc_id")
         .agg(sort_array(collect_list($"shingle")).as("ss"),
           count(lit(1)).as("n"))
       val near = cand
@@ -2502,17 +2519,8 @@ object DocQueries {
         .orderBy($"source")
     },
     Some {
-      val hs = (0 until 8).map { i =>
-        val p = 4 * i
-        val fam =
-          if (p == 0) "h"
-          else s"substring(h, ${p + 1}, ${32 - p}) || substring(h, 1, $p)"
-        s"min($fam) AS h$i"
-      }.mkString(", ")
-      val bandSelects = (0 until 2).map { b =>
-        val cat = (0 until 4).map(r => s"h${b * 4 + r}").mkString(" || '|' || ")
-        s"SELECT doc_id, is_batch, $b AS band_idx, md5($cat) AS band_val FROM sig"
-      }.mkString("\n        UNION ALL ")
+      val hs = oMinhashAggs(8, 4)
+      val bandSelects = oBandSelects(2, 4, "doc_id, is_batch")
       s"""WITH d AS MATERIALIZED (
         SELECT doc_id, source, text,
           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
@@ -2527,8 +2535,9 @@ object DocQueries {
             i -> array_to_string(t[i:i+4], ' '))) AS shingle
         FROM toks WHERE len(t) >= 5),
       sigin AS (SELECT doc_id, is_batch, md5(shingle) AS h FROM sh),
-      sig AS (SELECT doc_id, is_batch, $hs FROM sigin GROUP BY 1, 2),
-      bands AS (
+      sig AS MATERIALIZED (
+        SELECT doc_id, is_batch, $hs FROM sigin GROUP BY 1, 2),
+      bands AS MATERIALIZED (
         $bandSelects),
       cand AS (
         SELECT DISTINCT b.doc_id AS b_id, c.doc_id AS c_id

@@ -87,8 +87,18 @@ class CurationGateSpec extends AnyFunSuite {
       val batch = rows.map(_.getAs[Long]("batch_docs")).sum
       val near = rows.map(_.getAs[Long]("near_dups")).sum
       val kept = rows.map(_.getAs[Long]("kept_docs")).sum
+      // independent recount of the md5-range carve straight off the
+      // fixture — pins the funnel against join inflation/row loss,
+      // which the in-query row counts alone cannot (they would move
+      // together; review finding)
+      val expected = graft.Tables.load(spark, dir, "documents")
+        .where("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), " +
+          "16, 10) AS BIGINT) % 3 = 0")
+        .count()
+      assert(batch === expected,
+        s"funnel inflated or lost batch rows: $batch vs $expected in fixture")
+      assert(kept + near === batch, "near/kept do not partition the batch")
       assert(near >= 1, "near-dup layer unexercised on this fixture")
-      assert(kept + near === batch, "funnel does not partition the batch")
       assert(kept > near, "degenerate funnel — most of the batch should survive")
     }
   }

@@ -87,6 +87,48 @@ class BenchAggSpec extends AnyFunSuite {
     assert(Bench.needExtraPass(summary) === Seq("q_steal"))
   }
 
+  test("num renders Locale.ROOT decimals at any default locale") {
+    // round-11 ADVICE item 1: the f-interpolator formats via the JVM
+    // default locale — on a comma-decimal locale that is invalid JSON.
+    // Every number in Bench's JSON goes through num(), pinned here
+    // under a forced comma-decimal default.
+    val saved = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.GERMANY)
+      assert(Bench.num(1234.5678) === "1234.568")
+      assert(Bench.num(2.5, 2) === "2.50")
+    } finally java.util.Locale.setDefault(saved)
+  }
+
+  test("compact line carries [median,min] for still-flagged queries only") {
+    // round-11 verdict item 1: a query whose median/min exceeds 2 after
+    // escalation ships its floor IN the compact stdout line, so the
+    // driver gate reads the steal floor without opening bench_out.json;
+    // unflagged queries stay scalar.
+    val good = Seq(
+      ("q49_stream_sessions", 4.84, 1.62, 4.89, 7), // flagged: 2.99x
+      ("q01_pricing_summary", 1.10, 1.00, 1.20, 3)) // clean
+    val line = Bench.compactLine(good, 5.94, 3, 3, Nil,
+      ingestOk = true, 9.999, "/root/testdata/sf0.1")
+    assert(line.contains(""""q49":[4.84,1.62]"""), line)
+    assert(line.contains(""""q01":1.10"""), line)
+  }
+
+  test("compact line keeps headroom with a realistic flagged set") {
+    // six flagged queries (the BENCH_r11 worst case) at the full
+    // registry: the per-flag ~14-char growth must not break the
+    // 1900-char pin
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val good = names.zipWithIndex.map { case (n, i) =>
+      if (i < 6) (n, 99.99, 9.99, 99.99, 7) else (n, 42.35, 42.35, 42.35, 3)
+    }
+    val line = Bench.compactLine(good, 5000.0, 3, 3, Nil,
+      ingestOk = true, 99.999, "/root/testdata/sf0.1")
+    assert(line.length < 1900, s"line is ${line.length} chars")
+    assert(line.contains("[99.99,9.99]") || line.contains("[100.0,10.0]"),
+      "flagged floors were dropped")
+  }
+
   test("jesc escapes quotes, backslashes and ALL control chars") {
     // round-9 ADVICE item 2: a tab in an ingest error message must not
     // corrupt bench_out.json

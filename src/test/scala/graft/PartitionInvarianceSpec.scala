@@ -102,7 +102,11 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // q110 (round 11): min-hash family aggregates, the band equi-join's
     // candidate set, and the sorted collect_list arrays feeding the
     // sorted_icount verify must all commute with partitioning
-    "q110_incremental_dedup")
+    "q110_incremental_dedup",
+    // q110b (round 12): same contract THROUGH the materialized index —
+    // the parquet round-trip of bands/sets must not introduce any
+    // layout sensitivity the in-query form lacks
+    "q110b_indexed_dedup")
 
   private def canonical(name: String): Seq[String] = {
     val df = Registry.byName(name).run(spark, dir)

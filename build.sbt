@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Suites share one forked JVM; keep them SEQUENTIAL inside it (this is
+// sbt's default for forked tests — pinned explicitly because
+// BenchAggSpec's locale law flips the JVM-global default Locale for a
+// few assertions, which would race any concurrently-formatting suite
+// if parallelism were ever enabled; round-12 ADVICE item 4).
+Test / testForkedParallel := false
+Test / parallelExecution := false
 // The driver parses the LAST stdout line of `runMain graft.Bench` as
 // JSON; "parsed" came back null in rounds 1-4 because (a) sbt appended
 // a "[success] Total time: ..." trailer and (b) forked stdout is piped

@@ -82,6 +82,20 @@ object Bench {
       ratio: Double = 2.0): Seq[String] =
     summary.collect { case (n, med, mn, _, _) if mn > 0 && med / mn > ratio => n }
 
+  /** Spread-flagged queries still ELIGIBLE for another adaptive rep:
+    * under the total-ATTEMPT ceiling, not the successful-sample count
+    * (round-12 ADVICE item 1). runOne swallows per-rep failures
+    * without appending to times, so bounding on times(n).size alone
+    * lets a flagged query that fails every adaptive rep spin the
+    * escalation loop forever; counting attempts guarantees each loop
+    * iteration strictly consumes ceiling for every member of the
+    * flagged set. Pinned in BenchAggSpec. */
+  def adaptiveEligible(
+      summary: Seq[(String, Double, Double, Double, Int)],
+      attempts: scala.collection.Map[String, Int],
+      maxReps: Int): Seq[String] =
+    needExtraPass(summary).filter(n => attempts.getOrElse(n, 0) < maxReps)
+
   /** Full JSON-string escape (backslash, quote, all control chars) —
     * same contract as Verify's writer; a tab in a Spark exception
     * message must not corrupt bench_out.json (round-9 ADVICE item 2). */
@@ -356,7 +370,16 @@ object Bench {
     val scanFiles = scala.collection.mutable.Map.empty[String, Long]
     val scanBytes = scala.collection.mutable.Map.empty[String, Long]
     val scanMs = scala.collection.mutable.Map.empty[String, Long]
+    // TOTAL attempts per query, successful or not: the adaptive
+    // escalation below must be bounded by attempts, not by successful
+    // samples (round-12 ADVICE item 1) — runOne swallows per-rep
+    // failures without growing times(name), so a spread-flagged query
+    // that starts failing on every adaptive rep would otherwise never
+    // satisfy times(n).size >= MaxReps and the loop would spin forever.
+    val attempts = scala.collection.mutable.Map
+      .empty[String, Int].withDefaultValue(0)
     def runOne(pass: String, name: String): Unit = {
+      attempts(name) += 1
       // Execute the query's OWN physical plan via toRdd, not count()
       // and not a write: a count() action lets Catalyst prune the
       // measured work, and df.write re-plans in a fresh QueryExecution
@@ -405,17 +428,18 @@ object Bench {
     // reps). Round-robin so one burst can't hit every flagged query's
     // extra rep at once; a query leaves the flagged set as soon as its
     // ratio clears, so the escalation cost is bursts-only.
+    // TERMINATION: the eligibility filter counts ATTEMPTS, so
+    // every iteration strictly advances each flagged query toward the
+    // MaxReps ceiling even when its reps fail (round-12 ADVICE item 1).
     var adaptiveRound = 0
-    var flagged = needExtraPass(summarize(names, times))
-      .filter(n => times(n).size < MaxReps)
+    var flagged = adaptiveEligible(summarize(names, times), attempts, MaxReps)
     while (flagged.nonEmpty) {
       adaptiveRound += 1
       System.err.println(
         s"[bench] adaptive pass $adaptiveRound for ${flagged.size} " +
           s"spread-flagged: " + flagged.mkString(", "))
       flagged.foreach(runOne(s"adaptive$adaptiveRound", _))
-      flagged = needExtraPass(summarize(names, times))
-        .filter(n => times(n).size < MaxReps)
+      flagged = adaptiveEligible(summarize(names, times), attempts, MaxReps)
     }
     val good = summarize(names, times)
     val qs = good.map { case (k, med, _, _, _) => "\"" + k + "\":" + num(med) }

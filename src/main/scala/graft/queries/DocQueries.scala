@@ -2828,12 +2828,15 @@ object DocQueries {
   // stage (the span string exists only transiently as md5 input; only
   // (doc_id, position, 16-byte hash) rows leave the stage); per-doc
   // window dedup collapses map-side into the (h, doc) shuffle;
-  // the self-join is equi-keyed on the high-entropy hash (bucket
-  // sizes ≈ true span-repeat cardinality — no all-pairs anywhere);
-  // the verify re-slices token arrays for CANDIDATE docs only (the
-  // q110 candidates-only contract). The suffix-array alternative is
-  // a single-machine algorithm; this windowed-hash form is the shape
-  // that partitions.
+  // candidate edges are LINEAR per hash bucket — each doc joins only
+  // the bucket's min-doc_id representative (one agg row per hash),
+  // never every other holder, so a span shared by m docs yields m
+  // edges, not m(m-1)/2 (round-12 ADVICE item 5 closed the quadratic
+  // hot-bucket case: license blocks/boilerplate are exactly the spans
+  // this query exists to catch); the verify re-slices token arrays
+  // for CANDIDATE docs only (the q110 candidates-only contract). The
+  // suffix-array alternative is a single-machine algorithm; this
+  // windowed-hash form is the shape that partitions.
   private val SpanK = 32
 
   /** Verified span-dup doc ids over a documents-shaped frame (doc_id,
@@ -2853,7 +2856,20 @@ object DocQueries {
     // one representative position per (window hash, doc): min(i) —
     // within-doc repeats of the same span collapse map-side here
     val wd = win.groupBy(col("h"), col("doc_id")).agg(min(col("i")).as("i"))
-    val cand = wd.select(col("h"), col("doc_id").as("d1"), col("i").as("i1"))
+    // ONE candidate edge per (hash, doc): each doc joins only the MIN
+    // doc_id holder of its hash, never every holder (round-12 ADVICE
+    // item 5 — the wd⋈wd form is m(m-1)/2 per bucket, and a license
+    // block shared by m docs is exactly the hot-bucket case this query
+    // targets). Sufficient for the d1<d2 dup rule: at 128-bit hashing
+    // every holder of h carries the same span bytes (candidate
+    // generation pigeonholes to the min holder; the exact-span verify
+    // below still guards false positives), so d2 is a dup iff the min
+    // holder is lower — m edges per bucket, linear. min_by picks the
+    // min holder's representative position in the same partial-agg
+    // pass (one row per hash; no window, no second shuffle).
+    val rep = wd.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("d1"), min_by(col("i"), col("doc_id")).as("i1"))
+    val cand = rep
       .join(wd.select(col("h"), col("doc_id").as("d2"), col("i").as("i2")),
         Seq("h"))
       .filter(col("d1") < col("d2"))
@@ -2897,9 +2913,12 @@ object DocQueries {
         FROM tk CROSS JOIN unnest(range(1, n - $SpanK + 2)) AS u(i)),
       wd AS MATERIALIZED (
         SELECT h, doc_id, MIN(i) AS i FROM w GROUP BY 1, 2),
+      rep AS (
+        SELECT h, MIN(doc_id) AS d1, arg_min(i, doc_id) AS i1
+        FROM wd GROUP BY 1),
       cand AS (
-        SELECT a.doc_id AS d1, a.i AS i1, b.doc_id AS d2, b.i AS i2
-        FROM wd a JOIN wd b ON a.h = b.h AND a.doc_id < b.doc_id),
+        SELECT r.d1, r.i1, b.doc_id AS d2, b.i AS i2
+        FROM rep r JOIN wd b ON r.h = b.h AND b.doc_id > r.d1),
       ver AS (
         SELECT DISTINCT c.d2 AS doc_id
         FROM cand c

@@ -87,6 +87,23 @@ class BenchAggSpec extends AnyFunSuite {
     assert(Bench.needExtraPass(summary) === Seq("q_steal"))
   }
 
+  test("adaptive eligibility is bounded by ATTEMPTS, not successful samples") {
+    // round-12 ADVICE item 1: a flagged query whose adaptive reps all
+    // FAIL never grows times(n).size — the loop bound must therefore
+    // count attempts. q_fail has 3 successful samples (ratio 9x,
+    // flagged) but already burned 7 total attempts (4 failed adaptive
+    // reps): it must drop out. q_live is flagged with attempts left.
+    val summary = Seq(
+      ("q_fail", 9.0, 1.0, 20.0, 3),
+      ("q_live", 9.0, 1.0, 20.0, 3),
+      ("q_ok", 1.0, 0.9, 1.2, 3))
+    val attempts = Map("q_fail" -> 7, "q_live" -> 4, "q_ok" -> 3)
+    assert(Bench.adaptiveEligible(summary, attempts, 7) === Seq("q_live"))
+    // a query missing from the attempts map (defensive) stays eligible
+    assert(Bench.adaptiveEligible(summary, Map.empty[String, Int], 7) ===
+      Seq("q_fail", "q_live"))
+  }
+
   test("num renders Locale.ROOT decimals at any default locale") {
     // round-11 ADVICE item 1: the f-interpolator formats via the JVM
     // default locale — on a comma-decimal locale that is invalid JSON.

@@ -2867,6 +2867,10 @@ object DocQueries {
     // holder is lower — m edges per bucket, linear. min_by picks the
     // min holder's representative position in the same partial-agg
     // pass (one row per hash; no window, no second shuffle).
+    // SubstrDedupSpec pins min-holder ≡ all-pairs differentially
+    // (synthetic hot buckets + the real sf0.001 corpus); the DuckDB
+    // oracle deliberately KEEPS the all-pairs cand form so the hash
+    // gate independently re-proves the equivalence every verify run.
     val rep = wd.groupBy(col("h"))
       .agg(min(col("doc_id")).as("d1"), min_by(col("i"), col("doc_id")).as("i1"))
     val cand = rep
@@ -2913,12 +2917,9 @@ object DocQueries {
         FROM tk CROSS JOIN unnest(range(1, n - $SpanK + 2)) AS u(i)),
       wd AS MATERIALIZED (
         SELECT h, doc_id, MIN(i) AS i FROM w GROUP BY 1, 2),
-      rep AS (
-        SELECT h, MIN(doc_id) AS d1, arg_min(i, doc_id) AS i1
-        FROM wd GROUP BY 1),
       cand AS (
-        SELECT r.d1, r.i1, b.doc_id AS d2, b.i AS i2
-        FROM rep r JOIN wd b ON r.h = b.h AND b.doc_id > r.d1),
+        SELECT a.doc_id AS d1, a.i AS i1, b.doc_id AS d2, b.i AS i2
+        FROM wd a JOIN wd b ON a.h = b.h AND a.doc_id < b.doc_id),
       ver AS (
         SELECT DISTINCT c.d2 AS doc_id
         FROM cand c

@@ -320,6 +320,10 @@ object Bench {
       // the corpus MinHash index q110b reads (round-12: write-once
       // ingest artifact, same contract as the layouts above)
       "docs_minhash" -> (() => Tables.minhashIndex(spark, sfDir)),
+      // q110c's standing-corpus base index — same write-once contract;
+      // the delta segment is NOT here: writing it is the per-ingest
+      // cost q110c exists to measure
+      "docs_minhash_base" -> (() => Tables.minhashIndexBase(spark, sfDir)),
       "q03b_warm" -> (() => warmQuery(spark, sfDir, "q03b_bucketed_revenue")),
       "q55_warm" -> (() => warmQuery(spark, sfDir, "q55_pruned_year_revenue")),
       "q56_warm" -> (() => warmQuery(spark, sfDir, "q56_dpp_era_revenue")),

@@ -348,6 +348,33 @@ object Tables {
         spark.read.parquet(setsLoc.toString))
     }
 
+  /** Base index for q110c's ingest APPEND cycle: same write-once
+    * contract and builders as `minhashIndex`, but the standing corpus
+    * is the mod-3 == 2 carve — batches 0 and 1 "arrive" later and the
+    * kept docs of batch 0 are appended as a delta segment before batch
+    * 1 is deduped (the segment write lives in the query: it is the
+    * per-ingest cost being graded, not an ingest-time layout). */
+  def minhashIndexBase(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    synchronized {
+      val slug = "docs_minhash_base_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      val bandsLoc = new java.io.File(wh, slug + "_bands")
+      val setsLoc = new java.io.File(wh, slug + "_sets")
+      if (!new java.io.File(bandsLoc, "_SUCCESS").exists() ||
+          !new java.io.File(setsLoc, "_SUCCESS").exists()) {
+        val t0 = System.nanoTime()
+        val (bands, sets) = graft.queries.DocQueries
+          .minhashIndexRelationsFor(spark, dir,
+            graft.queries.DocQueries.q110Mod === 2)
+        bands.write.mode("overwrite").parquet(bandsLoc.toString)
+        sets.write.mode("overwrite").parquet(setsLoc.toString)
+        System.err.println(
+          f"[tables] wrote minhash base index $slug in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      }
+      (spark.read.parquet(bandsLoc.toString),
+        spark.read.parquet(setsLoc.toString))
+    }
+
   /** Tiny year→era dimension, materialized ONCE as parquet (the
     * date-dim every warehouse keeps as a real table). It must be a
     * file-backed scan, not a literal LocalRelation: q56's point is

@@ -103,6 +103,47 @@ class CurationGateSpec extends AnyFunSuite {
     }
   }
 
+  // q113's purpose is moving the corpus mixture TOWARD the declared
+  // target; the hash gate pins the exact numbers, these pin the
+  // direction and the cap/epochs mechanics (13 of 20 sources cap at
+  // p=10⁶ with epochs 2 on the shipped fixtures, 7 downsample).
+  for (dir <- Seq(TestSpark.sf0001, "/root/testdata/sf0.01")) {
+    test(s"q113 reweighting moves the mixture toward the target at $dir") {
+      val rows = Registry.byName("q113_domain_mixture")
+        .run(spark, dir).collect()
+      assert(rows.nonEmpty)
+      val targetSum = rows.map(_.getAs[Long]("target_ppm")).sum
+      assert(targetSum > 1000000L - rows.length && targetSum <= 1000000L,
+        s"declared mixture does not sum to ~1e6 ppm: $targetSum")
+      rows.foreach { r =>
+        val src = r.getAs[String]("source")
+        val p = r.getAs[Long]("p_micro")
+        val epochs = r.getAs[Long]("epochs")
+        val docs = r.getAs[Long]("docs")
+        val sampled = r.getAs[Long]("sampled_docs")
+        assert(p >= 0L && p <= 1000000L && epochs >= 1L && sampled <= docs)
+        if (p == 1000000L)
+          assert(sampled === docs,
+            s"$src: capped source must keep every doc")
+        else {
+          assert(epochs === 1L,
+            s"$src: a downsampled source cannot need repetition")
+          assert(sampled < docs,
+            s"$src: downsampling at p=$p dropped nothing — " +
+              "the sampling gate is ungraded on this fixture")
+        }
+      }
+      def l1(f: Row => Long): Long =
+        rows.map(r => math.abs(f(r) - r.getAs[Long]("target_ppm"))).sum
+      val before = l1(_.getAs[Long]("corpus_ppm"))
+      val after = l1(_.getAs[Long]("achieved_ppm"))
+      assert(after < before,
+        s"sampled mixture no closer to target: L1 $before -> $after")
+      assert(rows.exists(_.getAs[Long]("epochs") > 1L),
+        "fixture regression: no under-represented source needs epochs")
+    }
+  }
+
   test("q107 scores a NULL-text document as bias only (-2)") {
     val d = Files.createTempDirectory("graft-nulltext").toString
     val schema = StructType(Seq(

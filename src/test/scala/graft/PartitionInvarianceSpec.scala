@@ -106,7 +106,15 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // q110b (round 12): same contract THROUGH the materialized index —
     // the parquet round-trip of bands/sets must not introduce any
     // layout sensitivity the in-query form lacks
-    "q110b_indexed_dedup")
+    "q110b_indexed_dedup",
+    // q110c (round 14): the append cycle adds a delta-segment WRITE in
+    // the middle of the query — kept-set carve, the overwrite round
+    // trip, and the base∪delta union must all commute with layout
+    "q110c_index_append_cycle",
+    // q113 (round 14): integer mixture fitting — per-source counts,
+    // the broadcast plan join-back, and the salted-md5 accept test
+    // must be layout-independent or the sampled set itself drifts
+    "q113_domain_mixture")
 
   private def canonical(name: String): Seq[String] = {
     val df = Registry.byName(name).run(spark, dir)

@@ -93,7 +93,13 @@ class PlanShapeSpec extends AnyFunSuite {
         // re-assign) and fans the 3-row literal LUT set out for the
         // ADC scan — all sides bounded by the MODEL's size, never the
         // corpus; the rescore joins are id-keyed broadcasts.
-        "q24f_ann_pq")(q.name))
+        "q24f_ann_pq",
+        // q113 fans TWO one-row scalar aggregates out (Σcls + corpus
+        // size over the 20-row source table; the sampled-total over
+        // the 20-row report) — q74's scalar-fanout shape; the only
+        // corpus-width joins (plan→docs accept test, report joins)
+        // are equi-keyed broadcasts on source.
+        "q113_domain_mixture")(q.name))
       .flatMap { q =>
         val p = plan(q.name)
         if (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))

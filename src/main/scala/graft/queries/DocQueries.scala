@@ -3180,12 +3180,18 @@ object DocQueries {
         expr("CAST(conv(substring(md5(source), 1, 8), 16, 10) AS BIGINT)" +
           " % 4 + 1"))
       val tot = cls.agg(sum($"cls").as("sum_cls"), sum($"docs").as("n_total"))
+      // the fitted plan is |sources|-row but DERIVING it scans the
+      // corpus (the counts agg); localCheckpoint pins ONE derivation —
+      // without it each of the three consumers below (accept-test
+      // broadcast, report left side, scalar totals) re-aggregates the
+      // full corpus. Two corpus passes total: counts here, accept scan.
       val plan = cls.crossJoin(broadcast(tot))
         .withColumn("target_ppm", expr("cls * 1000000 DIV sum_cls"))
         .withColumn("p_uncapped", expr("target_ppm * n_total DIV docs"))
         .withColumn("p_micro",
           least($"p_uncapped", lit(1000000L)).as("p_micro"))
         .withColumn("epochs", expr("(p_uncapped + 999999) DIV 1000000"))
+        .localCheckpoint()
       val sampled = d
         .withColumn("u",
           expr("CAST(conv(substring(md5(concat('mix', CAST(doc_id AS " +

@@ -329,7 +329,10 @@ object Bench {
       "q56_warm" -> (() => warmQuery(spark, sfDir, "q56_dpp_era_revenue")),
       "q95_warm" -> (() => warmQuery(spark, sfDir, "q95_zorder_box")),
       "q94_warm" -> (() => warmQuery(spark, sfDir, "q94_incremental_mv")),
-      "q110b_warm" -> (() => warmQuery(spark, sfDir, "q110b_indexed_dedup")))
+      "q110b_warm" -> (() => warmQuery(spark, sfDir, "q110b_indexed_dedup")),
+      // q110c reads the base index parquet (and re-writes its delta
+      // segment each run) — warm like the other warehouse readers
+      "q110c_warm" -> (() => warmQuery(spark, sfDir, "q110c_index_append_cycle")))
     val ingestT0 = System.nanoTime()
     val ingestResults: Seq[(String, Boolean, Double, Option[String])] =
       ingestArtifacts.map { case (name, thunk) =>

@@ -140,8 +140,8 @@ object DocQueries {
 
   /** The q23 candidate-pair pipeline, shared with q39's clustering.
     * Returns (doc1, doc2, n_shared, n1, n2, jaccard) for J >= 0.6,
-    * unordered. */
-  private def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    * unordered. private[graft] for LeakSafeSplitSpec's straddle laws. */
+  private[graft] def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
     {
       import s.implicits._
       // The shingle set feeds MANY plan branches (signature agg, both
@@ -614,48 +614,59 @@ object DocQueries {
   // pathological inputs). Oracle: DuckDB WITH RECURSIVE transitive
   // closure — an entirely different algorithm computing the same
   // components.
+  /** Connected-component labels over the near-dup graph: one row per
+    * dup-graph member (doc_id, label), label = the component's minimum
+    * doc_id. Min-label propagation to fixpoint (capped at 8 hops).
+    * Shared by q39 (cluster report) and q115 (leakage-safe split).
+    *
+    * LINEAGE TRUNCATION IS LOAD-BEARING here: each iteration
+    * references `labels` twice (join + union), so without cutting the
+    * plan the logical tree DOUBLES per round — 2^8 embedded copies of
+    * the entire MinHash pipeline, exponential analysis time (observed:
+    * minutes of pure planning). localCheckpoint materializes the tiny
+    * edge/label tables (≤ |dup docs| rows) and restarts lineage each
+    * round — the standard pattern for iterative DataFrame algorithms. */
+  private[graft] def dupClusterLabels(
+      s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = nearDupPairs(s, dir).select($"doc1", $"doc2")
+    val und = pairs.select($"doc1".as("src"), $"doc2".as("dst"))
+      .unionAll(pairs.select($"doc2".as("src"), $"doc1".as("dst")))
+      .localCheckpoint()
+    var labels = und.select($"src".as("doc_id")).distinct()
+      .select($"doc_id", $"doc_id".as("label"))
+      .localCheckpoint()
+    // Fixpoint with early exit: stop as soon as a round changes no
+    // label. The changed-count join compares two localCheckpointed
+    // tables of ≤ |dup docs| rows — negligible next to the rounds it
+    // saves (8 fixed rounds → ~2-3 here).
+    var changed = true
+    var round = 0
+    while (changed && round < 8) {
+      round += 1
+      val prop = und.join(labels, $"src" === $"doc_id")
+        .select($"dst".as("doc_id"), $"label")
+      val next = labels.unionAll(prop)
+        .groupBy($"doc_id").agg(min($"label").as("label"))
+        .localCheckpoint()
+      // ANY-row existence (limit-1 under the hood), not a full count:
+      // the loop only needs "did something change", and isEmpty stops
+      // at the first differing label instead of scanning them all.
+      changed = !next.as("n")
+        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
+        .filter(col("n.label") =!= col("o.label"))
+        .isEmpty
+      labels = next
+    }
+    System.err.println(s"[dupClusterLabels] converged after $round rounds")
+    labels
+  }
+
   private val q39 = QueryDef(
     "q39_dedup_clusters",
     (s, dir) => {
       import s.implicits._
-      // LINEAGE TRUNCATION IS LOAD-BEARING here: each iteration
-      // references `labels` twice (join + union), so without cutting the
-      // plan the logical tree DOUBLES per round — 2^8 embedded copies of
-      // the entire MinHash pipeline, exponential analysis time (observed:
-      // minutes of pure planning). localCheckpoint materializes the tiny
-      // edge/label tables (≤ |dup docs| rows) and restarts lineage each
-      // round — the standard pattern for iterative DataFrame algorithms.
-      val pairs = nearDupPairs(s, dir).select($"doc1", $"doc2")
-      val und = pairs.select($"doc1".as("src"), $"doc2".as("dst"))
-        .unionAll(pairs.select($"doc2".as("src"), $"doc1".as("dst")))
-        .localCheckpoint()
-      var labels = und.select($"src".as("doc_id")).distinct()
-        .select($"doc_id", $"doc_id".as("label"))
-        .localCheckpoint()
-      // Fixpoint with early exit: stop as soon as a round changes no
-      // label. The changed-count join compares two localCheckpointed
-      // tables of ≤ |dup docs| rows — negligible next to the rounds it
-      // saves (8 fixed rounds → ~2-3 here).
-      var changed = true
-      var round = 0
-      while (changed && round < 8) {
-        round += 1
-        val prop = und.join(labels, $"src" === $"doc_id")
-          .select($"dst".as("doc_id"), $"label")
-        val next = labels.unionAll(prop)
-          .groupBy($"doc_id").agg(min($"label").as("label"))
-          .localCheckpoint()
-        // ANY-row existence (limit-1 under the hood), not a full count:
-        // the loop only needs "did something change", and isEmpty stops
-        // at the first differing label instead of scanning them all.
-        changed = !next.as("n")
-          .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
-          .filter(col("n.label") =!= col("o.label"))
-          .isEmpty
-        labels = next
-      }
-      System.err.println(s"[q39] converged after $round rounds")
-      labels
+      dupClusterLabels(s, dir)
         .select($"label".as("cluster_id"), $"doc_id",
           ($"doc_id" === $"label").as("is_representative"))
         .orderBy($"cluster_id", $"doc_id")
@@ -3248,9 +3259,109 @@ object DocQueries {
       CROSS JOIN tots
       ORDER BY p.source"""))
 
+  // --------------------------------------------------------------- Q115
+  // LEAKAGE-SAFE train/val/test split: q46's deterministic hash split
+  // with the assignment key lifted from the DOCUMENT to its NEAR-DUP
+  // CLUSTER. The classic eval-leakage bug — a near-duplicate pair
+  // straddling train and test inflates held-out metrics (the reason
+  // dedup-aware splits are standard pretraining practice) — and q46's
+  // per-doc rule commits it: the fixture's 5-gram Jaccard ≥ 0.6 pairs
+  // land on both sides of md5(doc_id). The fix: every doc's split key
+  // is COALESCE(cluster_label, doc_id) where cluster_label is q39's
+  // connected-component minimum — all members of a dup cluster share a
+  // key, so by construction NO near-dup pair straddles a split
+  // (asserted as a law in LeakSafeSplitSpec, alongside a differential
+  // check that some pair WOULD straddle under the naive q46 rule).
+  //
+  // Output per (split, lang): doc/token counts plus the two columns
+  // that grade the fix — n_clustered (docs assigned via a multi-doc
+  // cluster) and n_moved (docs whose cluster-based split differs from
+  // their naive doc_id-based split; nonzero exactly when the naive
+  // rule would have leaked).
+  //
+  // Scale shape (100 TB): the labels table is the dup-graph membership
+  // (a corpus FRACTION, not corpus-sized, but not an eval-suite small
+  // side either), so the join back to documents is a plain equi-join —
+  // no broadcast hint; AQE broadcasts it at fixture scale and shuffles
+  // both sides by doc_id past the threshold, both correct. Everything
+  // downstream of the join is scan-stage expressions into a
+  // |splits|·|langs|-row aggregate. The CC labels themselves reuse
+  // dupClusterLabels' bounded fixpoint (tiny localCheckpointed tables).
+  private val q115 = QueryDef(
+    "q115_leakage_safe_split",
+    (s, dir) => {
+      import s.implicits._
+      def splitOf(c: Column): Column = {
+        val d1 = substring(md5(c.cast(StringType).cast(BinaryType)), 1, 1)
+        when(d1 < "c", "train").when(d1 < "e", "val").otherwise("test")
+      }
+      val labels = dupClusterLabels(s, dir)
+      docs(s, dir)
+        .join(labels, Seq("doc_id"), "left")
+        .withColumn("ck", coalesce($"label", $"doc_id"))
+        .select(splitOf($"ck").as("split"), $"lang",
+          $"label".isNotNull.as("is_clustered"),
+          (splitOf($"ck") =!= splitOf($"doc_id")).as("moved"),
+          expr("size(filter(split(lower(text), ' '), t -> length(t) > 0))")
+            .cast(LongType).as("n_tok"))
+        .groupBy($"split", $"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tok").as("sum_tokens"),
+          count_if($"is_clustered").as("n_clustered"),
+          count_if($"moved").as("n_moved"))
+        .orderBy($"split", $"lang")
+    },
+    // Oracle: q39's WITH RECURSIVE transitive closure (an entirely
+    // different CC algorithm) feeding q46's CASE rule on the coalesced
+    // cluster key.
+    Some(s"""${oraclePairCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+      undirected AS (
+        SELECT doc1 AS src, doc2 AS dst FROM pairs
+        UNION SELECT doc2, doc1 FROM pairs),
+      reach AS (
+        SELECT src AS node, src AS peer FROM undirected
+        UNION
+        SELECT r.node, u.dst FROM reach r
+        JOIN undirected u ON u.src = r.peer),
+      labels AS (
+        SELECT node AS doc_id, MIN(peer) AS label FROM reach
+        GROUP BY node),
+      per_doc AS (
+        SELECT d.doc_id, d.lang,
+          COALESCE(l.label, d.doc_id) AS ck,
+          l.label IS NOT NULL AS is_clustered,
+          CAST(len(list_filter(string_split(lower(d.text), ' '),
+            t -> length(t) > 0)) AS BIGINT) AS n_tok
+        FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id),
+      assigned AS (
+        SELECT lang, n_tok, is_clustered,
+          CASE WHEN substring(md5(CAST(ck AS VARCHAR)), 1, 1) < 'c'
+                 THEN 'train'
+               WHEN substring(md5(CAST(ck AS VARCHAR)), 1, 1) < 'e'
+                 THEN 'val'
+               ELSE 'test' END AS split,
+          (CASE WHEN substring(md5(CAST(ck AS VARCHAR)), 1, 1) < 'c'
+                  THEN 'train'
+                WHEN substring(md5(CAST(ck AS VARCHAR)), 1, 1) < 'e'
+                  THEN 'val'
+                ELSE 'test' END)
+            <> (CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                       < 'c' THEN 'train'
+                     WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                       < 'e' THEN 'val'
+                     ELSE 'test' END) AS moved
+        FROM per_doc)
+      SELECT split, lang, COUNT(*) AS n_docs,
+        CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+        CAST(SUM(CASE WHEN is_clustered THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_clustered,
+        CAST(SUM(CASE WHEN moved THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_moved
+      FROM assigned GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[QueryDef] =
     Seq(q22, q23, q25, q26, q27, q28, q29, q32, q39, q42, q45, q46, q47,
       q50, q51, q52, q53, q54, q59, q60, q65, q88, q89, q89b, q89c, q100,
       q101, q104, q106, q107, q108, q109, q110, q110b, q110c, q111, q112,
-      q113)
+      q113, q115)
 }

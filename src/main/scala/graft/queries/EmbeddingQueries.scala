@@ -1325,6 +1325,136 @@ object EmbeddingQueries {
       SELECT label, dropped_id, kept_id, cosine
       FROM ranked WHERE rk = 1 ORDER BY label, dropped_id"""))
 
+  // --------------------------------------------------------------- Q114
+  // SEMANTIC DECONTAMINATION: flag corpus vectors whose embedding is
+  // near-identical to a held-out BENCHMARK set — q52's n-gram
+  // decontamination at the embedding granularity, the same two-level
+  // story the dedup family tells (q23 text ↔ q102 embedding). An eval
+  // answer paraphrased into training data shares no 5-gram with the
+  // benchmark but its embedding still sits at cosine ≈ 1; this is the
+  // hygiene join that catches it.
+  //
+  // Benchmark = vec_id % 53 = 0 (~2%, standing in for an eval suite —
+  // q52's carve idiom). The fixture corpus is random vectors (natural
+  // max cosine ≈ 0.5, see q24c), so contamination is PLANTED
+  // deterministically, q102-style: every benchmark vector with
+  // vec_id % 106 = 0 — half the suite — re-enters the corpus scaled by
+  // 1.001 as vec_id + 1000000 (direction-preserving; double·1.001 →
+  // float re-round is IEEE round-to-nearest in both engines, so the
+  // oracle rebuilds the identical corpus). The other half of the
+  // benchmark stays un-leaked — the query must flag ONLY the planted
+  // half (precision is graded by the hash gate, recall pinned in
+  // SemDecontamSpec).
+  //
+  // Scale shape (100 TB): the asymmetric sibling of q102's self-join —
+  // the benchmark side is SMALL BY CONSTRUCTION (an eval suite), so
+  // its r-bit signatures BROADCAST into the candidate join and its
+  // vectors broadcast again into the scoring join; the corpus side is
+  // map-only signature computation (4·r codegen'd dotq per row) with
+  // NO corpus-side shuffle at any scale (exactly q52's benchmark-
+  // broadcast shape). Candidates are same-(table, sig) pairs only;
+  // exact cosine runs on candidates only; the per-corpus-vector
+  // min-bench attribution window partitions by corpus_id (tiny
+  // partitions — one row per matching bench item).
+  private val contamThreshold = 0.9
+
+  private val q114 = QueryDef(
+    "q114_semantic_decontam",
+    (s, dir) => {
+      import s.implicits._
+      val base = emb(s, dir).select($"vec_id", $"embedding", $"label")
+      val bench = base.filter($"vec_id" % 53 === 0)
+      val leaked = base.filter($"vec_id" % 106 === 0)
+        .select(($"vec_id" + lit(1000000L)).as("vec_id"),
+          transform($"embedding",
+            x => (x.cast(DoubleType) * lit(1.001)).cast(FloatType))
+            .as("embedding"),
+          $"label")
+      val corpus = base.filter($"vec_id" % 53 =!= 0).unionAll(leaked)
+      // index-sizing from the memoized ingest-phase count (q24b/q102's
+      // parameterization; the planted rows don't move ⌈log2 n⌉)
+      val r = bandBits(Tables.rowCount(s, dir, "embeddings"))
+      val bBands = lshBands(bench.select($"vec_id", $"embedding"), r)
+      val cBands = lshBands(corpus.select($"vec_id", $"embedding"), r)
+      val cand = cBands
+        .select($"table_idx", $"sig", $"vec_id".as("corpus_id"))
+        .join(broadcast(bBands
+          .select($"table_idx", $"sig", $"vec_id".as("bench_id"))),
+          Seq("table_idx", "sig"))
+        .select($"corpus_id", $"bench_id").distinct()
+      val cN = corpus.withColumn("n2", dotQ("embedding", "embedding"))
+      val bN = bench.withColumn("n2", dotQ("embedding", "embedding"))
+      val scored = cand
+        .join(cN.select($"vec_id".as("corpus_id"), $"embedding".as("ec"),
+          $"n2".as("nc"), $"label"), Seq("corpus_id"))
+        .join(broadcast(bN.select($"vec_id".as("bench_id"),
+          $"embedding".as("eb"), $"n2".as("nb"))), Seq("bench_id"))
+        .withColumn("cosine",
+          dotQ("ec", "eb").cast(DoubleType) /
+            (sqrt($"nc".cast(DoubleType)) * sqrt($"nb".cast(DoubleType))))
+        .filter($"cosine" >= contamThreshold)
+      // attribution: each contaminated corpus vector reports its
+      // SMALLEST matching benchmark item (deterministic when one leak
+      // collides with several bench entries)
+      val w = Window.partitionBy($"corpus_id").orderBy($"bench_id")
+      scored
+        .select($"label", $"corpus_id", $"bench_id", $"cosine",
+          row_number().over(w).as("rk"))
+        .filter($"rk" === 1)
+        .select($"label", $"corpus_id", $"bench_id", $"cosine")
+        .orderBy($"label", $"corpus_id")
+    },
+    // Relational rebuild: identical planted corpus, ONE sigs CTE over
+    // bench ∪ corpus (ids are disjoint: planted ids are originals
+    // +1000000, fixture ids < 1000000), candidates restricted to
+    // bench×corpus by the id rule, exact integer cosine on candidates,
+    // min-bench attribution window.
+    Some(s"""WITH bench AS (
+        SELECT vec_id, embedding, label FROM embeddings
+        WHERE vec_id % 53 = 0),
+      corpus AS (
+        SELECT vec_id, embedding, label FROM embeddings
+        WHERE vec_id % 53 <> 0
+        UNION ALL
+        SELECT vec_id + 1000000,
+          list_transform(embedding,
+            x -> CAST(CAST(x AS DOUBLE) * 1.001 AS REAL)),
+          label
+        FROM embeddings WHERE vec_id % 106 = 0),
+      allv AS (
+        SELECT vec_id, embedding FROM bench
+        UNION ALL SELECT vec_id, embedding FROM corpus),
+      ${oracleLshIndex("allv")},
+      cand AS (
+        SELECT DISTINCT c.vec_id AS corpus_id, b.vec_id AS bench_id
+        FROM sigs c JOIN sigs b
+          ON c.table_idx = b.table_idx AND c.sig = b.sig
+        WHERE b.vec_id % 53 = 0 AND b.vec_id < 1000000
+          AND NOT (c.vec_id % 53 = 0 AND c.vec_id < 1000000)),
+      cn AS (
+        SELECT vec_id, embedding, label,
+          ${oDot("embedding", "embedding")} AS n2
+        FROM corpus),
+      bn AS (
+        SELECT vec_id, embedding,
+          ${oDot("embedding", "embedding")} AS n2
+        FROM bench),
+      edges AS (
+        SELECT cn.label, cd.corpus_id, cd.bench_id,
+          CAST(${oDot("cn.embedding", "bn.embedding")} AS DOUBLE)
+            / (sqrt(CAST(cn.n2 AS DOUBLE)) * sqrt(CAST(bn.n2 AS DOUBLE)))
+            AS cosine
+        FROM cand cd
+        JOIN cn ON cn.vec_id = cd.corpus_id
+        JOIN bn ON bn.vec_id = cd.bench_id),
+      ranked AS (
+        SELECT label, corpus_id, bench_id, cosine,
+          ROW_NUMBER() OVER (PARTITION BY corpus_id ORDER BY bench_id)
+            AS rk
+        FROM edges WHERE cosine >= $contamThreshold)
+      SELECT label, corpus_id, bench_id, cosine
+      FROM ranked WHERE rk = 1 ORDER BY label, corpus_id"""))
+
   val all: Seq[QueryDef] =
-    Seq(q24, q24b, q24c, q24d, q24e, q24f, q62, q102, q103, q105)
+    Seq(q24, q24b, q24c, q24d, q24e, q24f, q62, q102, q103, q105, q114)
 }

@@ -114,7 +114,15 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // q113 (round 14): integer mixture fitting — per-source counts,
     // the broadcast plan join-back, and the salted-md5 accept test
     // must be layout-independent or the sampled set itself drifts
-    "q113_domain_mixture")
+    "q113_domain_mixture",
+    // q114 (round 14): the bench×corpus LSH candidate set, the exact
+    // integer cosines, and the min-bench attribution window must all
+    // commute with partitioning
+    "q114_semantic_decontam",
+    // q115 (round 14): the CC fixpoint's min-label partial aggregates
+    // and the cluster-keyed split assignment must be layout-independent
+    // or documents would change splits per shuffle layout
+    "q115_leakage_safe_split")
 
   private def canonical(name: String): Seq[String] = {
     val df = Registry.byName(name).run(spark, dir)

@@ -3359,9 +3359,136 @@ object DocQueries {
           AS n_moved
       FROM assigned GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  // --------------------------------------------------------------- Q116
+  // INGEST DRIFT MONITOR: per-source mixture shift of an arriving batch
+  // against the standing corpus — the monitoring counterpart to q113's
+  // mixture FITTING (q113 reweights to a target; this detects when the
+  // incoming distribution has moved, the alarm every production ingest
+  // pipeline runs before the reweighting). Batch = the q110 family's
+  // md5-range carve (the same "newly arrived" third of the corpus the
+  // incremental-dedup queries ingest), so the dedup and drift monitors
+  // grade the SAME batch. All arithmetic is exact integer ppm
+  // (docs·10⁶ DIV side-total — q113's unit scheme), so every column
+  // hashes cross-engine; drift_ppm is SIGNED (batch share minus corpus
+  // share), and an md5 carve drifts only by sampling noise — small
+  // nonzero values, which is precisely what the monitor reports.
+  //
+  // Scale shape (100 TB): ONE scan-stage carve + ONE |sources|-row
+  // count_if aggregate; the side totals come from an UNPARTITIONED
+  // window over that AGGREGATED |sources|-row frame (q46's share idiom
+  // globalized) — the single-partition window warning is bounded by
+  // construction at tens of rows, never the corpus. No join at all.
+  private val q116 = QueryDef(
+    "q116_ingest_drift",
+    (s, dir) => {
+      import s.implicits._
+      val agg = docs(s, dir).withColumn("is_batch", q110IsBatch)
+        .groupBy($"source")
+        .agg(count_if(!$"is_batch").as("corpus_docs"),
+          count_if($"is_batch").as("batch_docs"))
+      val w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      agg
+        .withColumn("corpus_tot", sum($"corpus_docs").over(w))
+        .withColumn("batch_tot", sum($"batch_docs").over(w))
+        .select($"source", $"corpus_docs", $"batch_docs",
+          expr("corpus_docs * 1000000 DIV corpus_tot").as("corpus_ppm"),
+          expr("batch_docs * 1000000 DIV batch_tot").as("batch_ppm"),
+          expr("batch_docs * 1000000 DIV batch_tot" +
+            " - corpus_docs * 1000000 DIV corpus_tot").as("drift_ppm"))
+        .orderBy($"source")
+    },
+    // CAST the window SUMs: DuckDB promotes windowed integer SUM to
+    // HUGEINT (the q47 type-class lesson).
+    Some("""WITH m AS (
+        SELECT source,
+          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+            % 3 = 0 AS is_batch
+        FROM documents),
+      agg AS (
+        SELECT source,
+          CAST(SUM(CASE WHEN is_batch THEN 0 ELSE 1 END) AS BIGINT)
+            AS corpus_docs,
+          CAST(SUM(CASE WHEN is_batch THEN 1 ELSE 0 END) AS BIGINT)
+            AS batch_docs
+        FROM m GROUP BY 1),
+      tot AS (
+        SELECT source, corpus_docs, batch_docs,
+          CAST(SUM(corpus_docs) OVER () AS BIGINT) AS corpus_tot,
+          CAST(SUM(batch_docs) OVER () AS BIGINT) AS batch_tot
+        FROM agg)
+      SELECT source, corpus_docs, batch_docs,
+        corpus_docs * 1000000 // corpus_tot AS corpus_ppm,
+        batch_docs * 1000000 // batch_tot AS batch_ppm,
+        batch_docs * 1000000 // batch_tot
+          - corpus_docs * 1000000 // corpus_tot AS drift_ppm
+      FROM tot ORDER BY source"""))
+
+  // --------------------------------------------------------------- Q117
+  // N-GRAM NOVELTY: per-source fraction of the arriving batch's
+  // distinct 5-gram shingles that the standing corpus has never seen —
+  // the content-freshness metric curation pipelines track per ingest
+  // (a batch of near-zero novelty is re-crawl/duplicate material the
+  // dedup stage will mostly drop; q116 watches the mixture, this
+  // watches the CONTENT). Same q110 md5-range carve, same q23
+  // tokenization (`shingleTable`), so the novelty, drift and dedup
+  // monitors all describe the same ingest batch.
+  //
+  // Scale shape (100 TB): the batch's distinct gram set is BOUNDED BY
+  // THE BATCH (the q110b ingest assumption), so it broadcasts; the
+  // corpus side is ONE map-only pass semi-joined against that
+  // broadcast (hits = corpus grams that appear in the batch — a set
+  // again bounded by the batch), and the novelty aggregate runs over
+  // batch grams only. The corpus never shuffles and is never scanned
+  // twice. (In a standing deployment the corpus gram set is the
+  // write-once ingest index q110b materializes — same contract.)
+  private val q117 = QueryDef(
+    "q117_ngram_novelty",
+    (s, dir) => {
+      import s.implicits._
+      val sh = shingleTable(
+        docs(s, dir).withColumn("is_batch", q110IsBatch),
+        Seq("is_batch", "source"))
+      val bg = sh.filter($"is_batch")
+        .select($"source", $"shingle").distinct()
+      val hits = sh.filter(!$"is_batch").select($"shingle")
+        .join(broadcast(bg.select($"shingle").distinct()),
+          Seq("shingle"), "left_semi")
+        .distinct()
+      bg.join(broadcast(hits.withColumn("hit", lit(1))),
+          Seq("shingle"), "left")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("batch_grams"),
+          count_if($"hit".isNull).as("novel_grams"))
+        .withColumn("novelty_ppm",
+          expr("novel_grams * 1000000 DIV batch_grams"))
+        .orderBy($"source")
+    },
+    Some("""WITH t AS (
+        SELECT doc_id, source,
+          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+            % 3 = 0 AS is_batch,
+          string_split(lower(text), ' ') AS ts
+        FROM documents),
+      g AS (
+        SELECT DISTINCT doc_id, source, is_batch,
+          array_to_string(ts[s.i:s.i+4], ' ') AS gram
+        FROM t CROSS JOIN unnest(
+          CASE WHEN len(ts) >= 5 THEN generate_series(1, len(ts)-4)
+               ELSE [] END) AS s(i)),
+      bg AS (SELECT DISTINCT source, gram FROM g WHERE is_batch),
+      cgrams AS (SELECT DISTINCT gram FROM g WHERE NOT is_batch)
+      SELECT bg.source, COUNT(*) AS batch_grams,
+        CAST(SUM(CASE WHEN c.gram IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS novel_grams,
+        CAST(SUM(CASE WHEN c.gram IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          * 1000000 // COUNT(*) AS novelty_ppm
+      FROM bg LEFT JOIN cgrams c ON c.gram = bg.gram
+      GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QueryDef] =
     Seq(q22, q23, q25, q26, q27, q28, q29, q32, q39, q42, q45, q46, q47,
       q50, q51, q52, q53, q54, q59, q60, q65, q88, q89, q89b, q89c, q100,
       q101, q104, q106, q107, q108, q109, q110, q110b, q110c, q111, q112,
-      q113, q115)
+      q113, q115, q116, q117)
 }

@@ -122,7 +122,11 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // q115 (round 14): the CC fixpoint's min-label partial aggregates
     // and the cluster-keyed split assignment must be layout-independent
     // or documents would change splits per shuffle layout
-    "q115_leakage_safe_split")
+    "q115_leakage_safe_split",
+    // q116/q117 (round 14): the count_if partials, the unpartitioned
+    // window over the aggregated frame, and the batch-gram semi/anti
+    // chain must all commute with partitioning
+    "q116_ingest_drift", "q117_ngram_novelty")
 
   private def canonical(name: String): Seq[String] = {
     val df = Registry.byName(name).run(spark, dir)

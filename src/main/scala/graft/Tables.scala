@@ -354,12 +354,22 @@ object Tables {
     * kept docs of batch 0 are appended as a delta segment before batch
     * 1 is deduped (the segment write lives in the query: it is the
     * per-ingest cost being graded, not an ingest-time layout). */
+  /** Warehouse location of a q110c base-index relation (`_bands`,
+    * `_sets`, or the query-written `_delta_bands`/`_delta_sets`
+    * segments) — ONE slug derivation shared by the builder below and
+    * DocQueries.q110cDeltaLocs, so the delta segments cannot drift
+    * away from the base index they extend. */
+  private[graft] def minhashBaseLoc(
+      spark: SparkSession, dir: String, suffix: String): java.io.File = {
+    val slug = "docs_minhash_base_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    new java.io.File(wh, slug + suffix)
+  }
+
   def minhashIndexBase(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
     synchronized {
-      val slug = "docs_minhash_base_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-      val bandsLoc = new java.io.File(wh, slug + "_bands")
-      val setsLoc = new java.io.File(wh, slug + "_sets")
+      val bandsLoc = minhashBaseLoc(spark, dir, "_bands")
+      val setsLoc = minhashBaseLoc(spark, dir, "_sets")
       if (!new java.io.File(bandsLoc, "_SUCCESS").exists() ||
           !new java.io.File(setsLoc, "_SUCCESS").exists()) {
         val t0 = System.nanoTime()
@@ -369,7 +379,7 @@ object Tables {
         bands.write.mode("overwrite").parquet(bandsLoc.toString)
         sets.write.mode("overwrite").parquet(setsLoc.toString)
         System.err.println(
-          f"[tables] wrote minhash base index $slug in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+          f"[tables] wrote minhash base index ${bandsLoc.getName.stripSuffix("_bands")} in ${(System.nanoTime() - t0) / 1e9}%.1f s")
       }
       (spark.read.parquet(bandsLoc.toString),
         spark.read.parquet(setsLoc.toString))

@@ -609,15 +609,17 @@ object DocQueries {
   // standard distributed CC (GraphFrames-style). Plain propagate-and-min
   // advances the minimum label ONE hop per round (no pointer doubling),
   // so the loop runs to FIXPOINT with a driver-side labels-changed check
-  // (capped at 8 hops — near-dup clusters are tiny cliques, diameter
-  // 1-2, so convergence lands in ~2-3 rounds; the cap only bounds
-  // pathological inputs). Oracle: DuckDB WITH RECURSIVE transitive
+  // (capped at 32 hops, failing loudly if unconverged — near-dup
+  // clusters are tiny cliques, diameter 1-2, so convergence lands in
+  // ~2-3 rounds; the cap only bounds pathological inputs). Oracle:
+  // DuckDB WITH RECURSIVE transitive
   // closure — an entirely different algorithm computing the same
   // components.
   /** Connected-component labels over the near-dup graph: one row per
     * dup-graph member (doc_id, label), label = the component's minimum
-    * doc_id. Min-label propagation to fixpoint (capped at 8 hops).
-    * Shared by q39 (cluster report) and q115 (leakage-safe split).
+    * doc_id. Min-label propagation to a TRUE fixpoint (cap 32, throws
+    * if unconverged — see the loop comment). Shared by q39 (cluster
+    * report) and q115 (leakage-safe split).
     *
     * LINEAGE TRUNCATION IS LOAD-BEARING here: each iteration
     * references `labels` twice (join + union), so without cutting the
@@ -637,12 +639,16 @@ object DocQueries {
       .select($"doc_id", $"doc_id".as("label"))
       .localCheckpoint()
     // Fixpoint with early exit: stop as soon as a round changes no
-    // label. The changed-count join compares two localCheckpointed
-    // tables of ≤ |dup docs| rows — negligible next to the rounds it
-    // saves (8 fixed rounds → ~2-3 here).
+    // label (one-hop propagation needs diameter-many rounds; near-dup
+    // clusters are tiny cliques, so ~2-3 here). The cap only bounds
+    // pathological inputs — and because q115's no-straddle contract
+    // requires a TRUE fixpoint, hitting the cap unconverged FAILS
+    // LOUDLY below instead of silently shipping split labels (a
+    // corpus whose dup graph legitimately has diameter > 32 wants
+    // pointer-doubling, O(log d) rounds, not a bigger cap).
     var changed = true
     var round = 0
-    while (changed && round < 8) {
+    while (changed && round < 32) {
       round += 1
       val prop = und.join(labels, $"src" === $"doc_id")
         .select($"dst".as("doc_id"), $"label")
@@ -658,9 +664,38 @@ object DocQueries {
         .isEmpty
       labels = next
     }
+    if (changed)
+      throw new IllegalStateException(
+        s"dupClusterLabels did not converge within $round rounds — " +
+          "dup-graph diameter exceeds the propagation cap")
     System.err.println(s"[dupClusterLabels] converged after $round rounds")
     labels
   }
+
+  /** q46's deterministic md5-range split rule (first hex digit of
+    * md5(key): 0-b → train = 12/16, c-d → val, e-f → test) — ONE
+    * definition shared by q46, q100's stage 4, q115 (applied to the
+    * lifted cluster key) and LeakSafeSplitSpec, so the copies cannot
+    * drift apart (q115's conservation law compares against q46). */
+  private[graft] def md5SplitOf(key: Column): Column = {
+    val d1 = substring(md5(key.cast(StringType).cast(BinaryType)), 1, 1)
+    when(d1 < "c", "train").when(d1 < "e", "val").otherwise("test")
+  }
+
+  /** Oracle CTE pair computing connected components over `pairs` via
+    * recursive transitive closure — ONE text shared by q39 and q115
+    * (the engine shares `dupClusterLabels` the same way, so the two
+    * gates grade the same semantics from the same SQL). Splice after
+    * `oraclePairCtes` with its WITH rewritten to WITH RECURSIVE. */
+  private val oracleClosureCtes: String =
+    """undirected AS (
+        SELECT doc1 AS src, doc2 AS dst FROM pairs
+        UNION SELECT doc2, doc1 FROM pairs),
+      reach AS (
+        SELECT src AS node, src AS peer FROM undirected
+        UNION
+        SELECT r.node, u.dst FROM reach r
+        JOIN undirected u ON u.src = r.peer)"""
 
   private val q39 = QueryDef(
     "q39_dedup_clusters",
@@ -672,14 +707,7 @@ object DocQueries {
         .orderBy($"cluster_id", $"doc_id")
     },
     Some(s"""${oraclePairCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
-      undirected AS (
-        SELECT doc1 AS src, doc2 AS dst FROM pairs
-        UNION SELECT doc2, doc1 FROM pairs),
-      reach AS (
-        SELECT src AS node, src AS peer FROM undirected
-        UNION
-        SELECT r.node, u.dst FROM reach r
-        JOIN undirected u ON u.src = r.peer)
+      $oracleClosureCtes
       SELECT MIN(peer) AS cluster_id, node AS doc_id,
         node = MIN(peer) AS is_representative
       FROM reach GROUP BY node
@@ -870,12 +898,8 @@ object DocQueries {
     "q46_train_split",
     (s, dir) => {
       import s.implicits._
-      val d1 = substring(
-        md5($"doc_id".cast(StringType).cast(BinaryType)), 1, 1)
-      val split = when(d1 < "c", "train")
-        .when(d1 < "e", "val").otherwise("test")
       val perDoc = docs(s, dir).select(
-        split.as("split"), $"lang",
+        md5SplitOf($"doc_id").as("split"), $"lang",
         expr("size(filter(split(lower(text), ' '), t -> length(t) > 0))")
           .cast(LongType).as("n_tok"))
       val agg = perDoc.groupBy($"split", $"lang")
@@ -1927,12 +1951,8 @@ object DocQueries {
       val clean = winners
         .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
       // stage 4: split assignment (scan-stage md5-range, q46's rule)
-      val d1 = substring(
-        md5($"doc_id".cast(StringType).cast(BinaryType)), 1, 1)
-      val split = when(d1 < "c", "train")
-        .when(d1 < "e", "val").otherwise("test")
       // stage 5: accounting
-      clean.select(split.as("split"), $"lang", $"n_tok")
+      clean.select(md5SplitOf($"doc_id").as("split"), $"lang", $"n_tok")
         .groupBy($"split", $"lang")
         .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("sum_tokens"))
         .orderBy($"split", $"lang")
@@ -2707,13 +2727,7 @@ object DocQueries {
           Seq("c_id"))
         .filter(expr("sorted_icount(s1, s2)") * 3 >= $"n1" + $"n2")
         .select($"b_id".as("doc_id")).distinct()
-      d.filter($"is_batch").select($"doc_id", $"source")
-        .join(near.withColumn("is_near", lit(1)), Seq("doc_id"), "left")
-        .groupBy($"source")
-        .agg(count(lit(1)).as("batch_docs"),
-          count_if($"is_near" === 1).as("near_dups"),
-          count_if($"is_near".isNull).as("kept_docs"))
-        .orderBy($"source")
+      dedupFunnel(d.filter($"is_batch"), near).orderBy($"source")
     },
     Some(q110OracleSql))
 
@@ -2797,33 +2811,11 @@ object DocQueries {
       val (cBands, cSets) = Tables.minhashIndex(s, dir)
       val batch = docs(s, dir).filter(q110IsBatch)
       val shB = shingleTable(batch, Nil).localCheckpoint()
-      val cand = bandRows(shB, Nil)
-        .select($"doc_id".as("b_id"), $"band_idx", $"band_val")
-        .join(cBands.select($"doc_id".as("c_id"), $"band_idx", $"band_val"),
-          Seq("band_idx", "band_val"))
-        .select($"b_id", $"c_id").distinct()
-      // candidates-only verify on BOTH sides: batch sets are built from
-      // the batch shingle table, corpus sets are index rows semi-pruned
-      // to the candidate ids
-      val setsB = verifySets(shB,
-        Some(cand.select($"b_id".as("doc_id")).distinct()))
-      val setsC = cSets.join(
-        broadcast(cand.select($"c_id".as("doc_id")).distinct()),
-        Seq("doc_id"), "left_semi")
-      val near = cand
-        .join(setsB.select($"doc_id".as("b_id"), $"ss".as("s1"), $"n".as("n1")),
-          Seq("b_id"))
-        .join(setsC.select($"doc_id".as("c_id"), $"ss".as("s2"), $"n".as("n2")),
-          Seq("c_id"))
-        .filter(expr("sorted_icount(s1, s2)") * 3 >= $"n1" + $"n2")
-        .select($"b_id".as("doc_id")).distinct()
-      batch.select($"doc_id", $"source")
-        .join(near.withColumn("is_near", lit(1)), Seq("doc_id"), "left")
-        .groupBy($"source")
-        .agg(count(lit(1)).as("batch_docs"),
-          count_if($"is_near" === 1).as("near_dups"),
-          count_if($"is_near".isNull).as("kept_docs"))
-        .orderBy($"source")
+      // candidates-only verify on BOTH sides (batch sets built from the
+      // batch shingle table, corpus sets = index rows semi-pruned to
+      // candidate ids) — the shared q110-family kernel
+      val near = indexDedupStep(shB, bandRows(shB, Nil), None, cBands, cSets)
+      dedupFunnel(batch, near).orderBy($"source")
     },
     Some(q110OracleSql))
 
@@ -2853,12 +2845,9 @@ object DocQueries {
   // IndexAppendSpec pins the plan (batch-2 stage scans the delta
   // segment) and the semantics (without the append, batch 2 loses its
   // cross-batch near-dups).
-  private[graft] def q110cDeltaLocs(s: SparkSession, dir: String): (String, String) = {
-    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    val slug = "docs_minhash_base_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-    (new java.io.File(wh, slug + "_delta_bands").toString,
-      new java.io.File(wh, slug + "_delta_sets").toString)
-  }
+  private[graft] def q110cDeltaLocs(s: SparkSession, dir: String): (String, String) =
+    (Tables.minhashBaseLoc(s, dir, "_delta_bands").toString,
+      Tables.minhashBaseLoc(s, dir, "_delta_sets").toString)
 
   /** One ingest-dedup step: batch shingles vs an index's band/set
     * relations, q110b's candidates-only verify on both sides. Callers
@@ -2866,6 +2855,17 @@ object DocQueries {
     * append payload) pass it via `prebuiltSets`; otherwise the build
     * itself is restricted to candidate ids. private[graft] for
     * IndexAppendSpec's with/without-append differential. */
+  /** The q110-family per-source ingest funnel (batch docs vs flagged
+    * near-dups) — ONE definition for q110/q110b/q110c so the report
+    * contract cannot drift. `batch` must expose doc_id + source. */
+  private def dedupFunnel(batch: DataFrame, near: DataFrame): DataFrame =
+    batch.select(col("doc_id"), col("source"))
+      .join(near.withColumn("is_near", lit(1)), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("batch_docs"),
+        count_if(col("is_near") === 1).as("near_dups"),
+        count_if(col("is_near").isNull).as("kept_docs"))
+
   private[graft] def indexDedupStep(shB: DataFrame, bBands: DataFrame,
       prebuiltSets: Option[DataFrame],
       idxBands: DataFrame, idxSets: DataFrame): DataFrame = {
@@ -2923,13 +2923,7 @@ object DocQueries {
         iSets.select("doc_id", "ss", "n")
           .union(s.read.parquet(dSetsLoc).select("doc_id", "ss", "n")))
       def funnel(batch: DataFrame, near: DataFrame, tag: Int): DataFrame =
-        batch.select($"doc_id", $"source")
-          .join(near.withColumn("is_near", lit(1)), Seq("doc_id"), "left")
-          .groupBy($"source")
-          .agg(count(lit(1)).as("batch_docs"),
-            count_if($"is_near" === 1).as("near_dups"),
-            count_if($"is_near".isNull).as("kept_docs"))
-          .withColumn("batch", lit(tag.toLong))
+        dedupFunnel(batch, near).withColumn("batch", lit(tag.toLong))
       funnel(b1, near1, 1).union(funnel(b2, near2, 2))
         .select($"batch", $"source", $"batch_docs", $"near_dups",
           $"kept_docs")
@@ -3291,17 +3285,13 @@ object DocQueries {
     "q115_leakage_safe_split",
     (s, dir) => {
       import s.implicits._
-      def splitOf(c: Column): Column = {
-        val d1 = substring(md5(c.cast(StringType).cast(BinaryType)), 1, 1)
-        when(d1 < "c", "train").when(d1 < "e", "val").otherwise("test")
-      }
       val labels = dupClusterLabels(s, dir)
       docs(s, dir)
         .join(labels, Seq("doc_id"), "left")
         .withColumn("ck", coalesce($"label", $"doc_id"))
-        .select(splitOf($"ck").as("split"), $"lang",
+        .select(md5SplitOf($"ck").as("split"), $"lang",
           $"label".isNotNull.as("is_clustered"),
-          (splitOf($"ck") =!= splitOf($"doc_id")).as("moved"),
+          (md5SplitOf($"ck") =!= md5SplitOf($"doc_id")).as("moved"),
           expr("size(filter(split(lower(text), ' '), t -> length(t) > 0))")
             .cast(LongType).as("n_tok"))
         .groupBy($"split", $"lang")
@@ -3315,14 +3305,7 @@ object DocQueries {
     // different CC algorithm) feeding q46's CASE rule on the coalesced
     // cluster key.
     Some(s"""${oraclePairCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
-      undirected AS (
-        SELECT doc1 AS src, doc2 AS dst FROM pairs
-        UNION SELECT doc2, doc1 FROM pairs),
-      reach AS (
-        SELECT src AS node, src AS peer FROM undirected
-        UNION
-        SELECT r.node, u.dst FROM reach r
-        JOIN undirected u ON u.src = r.peer),
+      $oracleClosureCtes,
       labels AS (
         SELECT node AS doc_id, MIN(peer) AS label FROM reach
         GROUP BY node),
@@ -3436,22 +3419,28 @@ object DocQueries {
   //
   // Scale shape (100 TB): the batch's distinct gram set is BOUNDED BY
   // THE BATCH (the q110b ingest assumption), so it broadcasts; the
-  // corpus side is ONE map-only pass semi-joined against that
-  // broadcast (hits = corpus grams that appear in the batch — a set
-  // again bounded by the batch), and the novelty aggregate runs over
-  // batch grams only. The corpus never shuffles and is never scanned
+  // corpus side is a RAW per-row explode — deliberately NOT
+  // `shingleTable`, whose per-(doc, shingle) distinct would shuffle
+  // every corpus shingle for a dedup the query doesn't need — semi-
+  // joined map-only against that broadcast, so the only corpus-derived
+  // rows that ever reach a shuffle are the hits (a set bounded by the
+  // batch grams). The corpus never shuffles and is never scanned
   // twice. (In a standing deployment the corpus gram set is the
   // write-once ingest index q110b materializes — same contract.)
   private val q117 = QueryDef(
     "q117_ngram_novelty",
     (s, dir) => {
       import s.implicits._
-      val sh = shingleTable(
-        docs(s, dir).withColumn("is_batch", q110IsBatch),
-        Seq("is_batch", "source"))
-      val bg = sh.filter($"is_batch")
+      val d = docs(s, dir).withColumn("is_batch", q110IsBatch)
+      val bg = shingleTable(d.filter($"is_batch"), Seq("source"))
         .select($"source", $"shingle").distinct()
-      val hits = sh.filter(!$"is_batch").select($"shingle")
+      val corpusGrams = d.filter(!$"is_batch")
+        .select(split(lower($"text"), " ").as("toks"))
+        .filter(size($"toks") >= 5)
+        .select(explode(expr(
+          "transform(sequence(1, size(toks) - 4), " +
+            "i -> concat_ws(' ', slice(toks, i, 5)))")).as("shingle"))
+      val hits = corpusGrams
         .join(broadcast(bg.select($"shingle").distinct()),
           Seq("shingle"), "left_semi")
         .distinct()

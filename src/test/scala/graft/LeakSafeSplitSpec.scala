@@ -3,7 +3,6 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{BinaryType, StringType}
 
 import graft.queries.{DocQueries, Registry}
 
@@ -23,10 +22,9 @@ class LeakSafeSplitSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val dir = TestSpark.sf0001
 
-  private def splitOf(c: Column): Column = {
-    val d1 = substring(md5(c.cast(StringType).cast(BinaryType)), 1, 1)
-    when(d1 < "c", "train").when(d1 < "e", "val").otherwise("test")
-  }
+  // the engine's own rule — the spec grades its APPLICATION (cluster
+  // key vs doc key), not a re-derivation of the rule text
+  private def splitOf(c: Column): Column = DocQueries.md5SplitOf(c)
 
   test("no near-dup pair straddles splits under the cluster-keyed rule") {
     val labels = DocQueries.dupClusterLabels(spark, dir)

@@ -3475,9 +3475,193 @@ object DocQueries {
       FROM bg LEFT JOIN cgrams c ON c.gram = bg.gram
       GROUP BY 1 ORDER BY 1"""))
 
+  // --------------------------------------------------------------- Q118
+  // BOILERPLATE CHUNK SUPPRESSION — the CCNet/RefinedWeb "frequent
+  // paragraph removal" pass, distinct from q111's chunk dedup in
+  // POLICY: dedup keeps one winner per duplicated chunk; boilerplate
+  // removal drops EVERY occurrence of a chunk that recurs across
+  // documents (license headers, navigation menus, templated footers
+  // carry no training signal even once — a pretraining pipeline
+  // removes them wholesale, not keep-one). The cross-doc test is
+  // min(doc_id) ≠ max(doc_id) over the chunk_md5 group — exactly
+  // "appears in ≥ 2 distinct docs" without a window COUNT(DISTINCT)
+  // (unsupported in both engines' window frames) — so a chunk repeated
+  // WITHIN one doc (q50's intra-doc repetition domain) is deliberately
+  // NOT boilerplate. Fixtures bind (verified via DuckDB before wiring,
+  // the q106 lesson): 24 boilerplate chunks across 11 cross-doc groups
+  // at sf0.001, 15/7 at sf0.01. BoilerplateSpec plants a 3-doc shared
+  // block (all copies must go) next to an intra-doc repeat (must stay).
+  //
+  // Scale shape (100 TB): the grid fan-out is map-only (q101); the
+  // cross-doc flag is computed INSIDE the one shuffle keyed on the
+  // high-entropy chunk_md5 (the same exchange q111 rides — bucket
+  // sizes ≈ true duplicate-group sizes), so there is no second pass
+  // and no join-back of a boilerplate set; the per-source funnel
+  // aggregate is |sources| rows.
+  /** The q118 chunk grid with its cross-doc `boiler` flag — exposed
+    * private[graft] for BoilerplateSpec's planted-block laws (shared
+    * block across 3 docs → every copy flagged; intra-doc repeat →
+    * none). Input must be documents-shaped (doc_id, text, lang,
+    * source). */
+  private[graft] def boilerFlagged(d: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("chunk_md5"))
+    chunkGrid(d)
+      .withColumn("mn", min(col("doc_id")).over(w))
+      .withColumn("mx", max(col("doc_id")).over(w))
+      .withColumn("boiler", col("mn") =!= col("mx"))
+  }
+
+  private val q118 = QueryDef(
+    "q118_boilerplate_prune",
+    (s, dir) => {
+      import s.implicits._
+      boilerFlagged(docs(s, dir))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_chunks"),
+          count_if($"boiler").as("boiler_chunks"),
+          countDistinct(when($"boiler", $"doc_id")).as("docs_affected"),
+          sum(when(!$"boiler", $"n_tok").otherwise(0L)).as("kept_tokens"),
+          sum($"n_tok").as("total_tokens"))
+        .withColumn("retention_ppm",
+          expr("kept_tokens * 1000000 DIV total_tokens"))
+        .orderBy($"source")
+    },
+    Some(s"""WITH d AS (
+        SELECT doc_id, source,
+          list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
+        FROM documents),
+      d2 AS (
+        SELECT doc_id, source, toks, CAST(len(toks) AS BIGINT) AS n
+        FROM d WHERE len(toks) > 0),
+      ch AS (
+        SELECT doc_id, source, toks, n, CAST(t.k AS BIGINT) AS k
+        FROM d2 CROSS JOIN unnest(range(0,
+          ((GREATEST(n - $ChunkN, 0) + ${ChunkS - 1}) // $ChunkS) + 1)) AS t(k)),
+      cm AS (
+        SELECT doc_id, source,
+          LEAST($ChunkN, n - (k * $ChunkS + 1) + 1) AS n_tok,
+          md5(array_to_string(list_slice(toks, k * $ChunkS + 1,
+            LEAST(n, k * $ChunkS + $ChunkN)), ' ')) AS chunk_md5
+        FROM ch),
+      g AS (
+        SELECT source, doc_id, n_tok,
+          MIN(doc_id) OVER (PARTITION BY chunk_md5) AS mn,
+          MAX(doc_id) OVER (PARTITION BY chunk_md5) AS mx
+        FROM cm)
+      SELECT source, COUNT(*) AS n_chunks,
+        CAST(SUM(CASE WHEN mn <> mx THEN 1 ELSE 0 END) AS BIGINT)
+          AS boiler_chunks,
+        COUNT(DISTINCT CASE WHEN mn <> mx THEN doc_id END)
+          AS docs_affected,
+        CAST(SUM(CASE WHEN mn <> mx THEN 0 ELSE n_tok END) AS BIGINT)
+          AS kept_tokens,
+        CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+        CAST(SUM(CASE WHEN mn <> mx THEN 0 ELSE n_tok END) AS BIGINT)
+          * 1000000 // CAST(SUM(n_tok) AS BIGINT) AS retention_ppm
+      FROM g GROUP BY 1 ORDER BY 1"""))
+
+  // --------------------------------------------------------------- Q120
+  // CURRICULUM SHARD PACKING — order the corpus easy→hard and pack it
+  // into fixed-token training shards, the curriculum-learning data
+  // layout (Bengio et al., ICML'09: present easier examples first).
+  // Difficulty here is the DISTINCT-token count (lexical richness —
+  // integer-exact, no float model score), and the curriculum has 4
+  // stages cut at exact quartiles of the difficulty distribution. The
+  // quartiles are NOT ntile() — a global single-partition window over
+  // every doc — but VALUE-BASED cutoffs from the difficulty HISTOGRAM:
+  // stage(d) = 1 + Σₖ [4·cum(d) > k·N], k ∈ {1,2,3}, with cum the
+  // inclusive cumulative count. Ties share a stage by construction, so
+  // the result is deterministic with no order-dependent tie-break.
+  // Within a stage, docs pack in (difficulty, doc_id) order into
+  // 2048-token bins under q47's first-token-owns-the-bin convention.
+  // CurriculumSpec pins the laws: stages difficulty-monotone, token
+  // mass conserved, every stage non-empty on the fixtures.
+  //
+  // Scale shape (100 TB): the histogram groupBy is ONE shuffle over a
+  // BOUNDED key domain (difficulty ≤ tokens-per-doc ≤ context length —
+  // thousands of distinct values at ANY corpus size), so the cutoff
+  // window runs over a model-sized frame and the stage map BROADCASTS
+  // back (the q104 vocab join-back shape, but provably bounded). The
+  // per-stage prefix sum mirrors q47's scale note: a real deployment
+  // packs per (stage, ingest shard), which turns the same window into
+  // millions of bounded partitions without changing the convention.
+  private val q120 = QueryDef(
+    "q120_curriculum_pack",
+    (s, dir) => {
+      import s.implicits._
+      val perDoc = docs(s, dir)
+        .select($"doc_id",
+          expr("filter(split(lower(text), ' '), t -> length(t) > 0)")
+            .as("toks"))
+        .select($"doc_id", size($"toks").cast(LongType).as("n_tok"),
+          size(array_distinct($"toks")).cast(LongType).as("difficulty"))
+      val wc = Window.orderBy($"difficulty")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wa = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val stages = perDoc.groupBy($"difficulty")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum($"cnt").over(wc))
+        .withColumn("n_total", sum($"cnt").over(wa))
+        .select($"difficulty",
+          (lit(1L) + ($"cum" * 4 > $"n_total").cast(LongType)
+            + ($"cum" * 4 > $"n_total" * 2).cast(LongType)
+            + ($"cum" * 4 > $"n_total" * 3).cast(LongType)).as("stage"))
+      val wp = Window.partitionBy($"stage")
+        .orderBy($"difficulty", $"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perDoc.join(broadcast(stages), Seq("difficulty"))
+        .withColumn("cum_tok", sum($"n_tok").over(wp))
+        .withColumn("bin", expr("(cum_tok - n_tok) DIV 2048"))
+        .groupBy($"stage", $"bin")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tok").as("sum_tokens"),
+          min($"difficulty").as("min_diff"),
+          max($"difficulty").as("max_diff"))
+        .withColumn("fill_ratio", $"sum_tokens".cast(DoubleType) / 2048)
+        .orderBy($"stage", $"bin")
+    },
+    // CASTs: DuckDB promotes windowed integer SUM to HUGEINT (the q47
+    // lesson) — both the histogram cumsum and the packing prefix sum
+    // pin back to BIGINT before any comparison or division.
+    Some("""WITH per_doc AS (
+        SELECT doc_id,
+          CAST(len(list_filter(string_split(lower(text), ' '),
+            t -> length(t) > 0)) AS BIGINT) AS n_tok,
+          CAST(len(list_distinct(list_filter(string_split(lower(text), ' '),
+            t -> length(t) > 0))) AS BIGINT) AS difficulty
+        FROM documents),
+      hist AS (
+        SELECT difficulty, COUNT(*) AS cnt FROM per_doc GROUP BY 1),
+      cum AS (
+        SELECT difficulty,
+          CAST(SUM(cnt) OVER (ORDER BY difficulty
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+          CAST(SUM(cnt) OVER () AS BIGINT) AS n_total
+        FROM hist),
+      stages AS (
+        SELECT difficulty,
+          CAST(1 + CASE WHEN cum * 4 > n_total THEN 1 ELSE 0 END
+            + CASE WHEN cum * 4 > 2 * n_total THEN 1 ELSE 0 END
+            + CASE WHEN cum * 4 > 3 * n_total THEN 1 ELSE 0 END
+            AS BIGINT) AS stage
+        FROM cum),
+      packed AS (
+        SELECT s.stage, p.difficulty, p.n_tok,
+          CAST((SUM(p.n_tok) OVER (PARTITION BY s.stage
+              ORDER BY p.difficulty, p.doc_id
+              ROWS UNBOUNDED PRECEDING) - p.n_tok) // 2048 AS BIGINT)
+            AS bin
+        FROM per_doc p JOIN stages s USING (difficulty))
+      SELECT stage, bin, COUNT(*) AS n_docs,
+        CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+        MIN(difficulty) AS min_diff, MAX(difficulty) AS max_diff,
+        CAST(CAST(SUM(n_tok) AS BIGINT) AS DOUBLE) / 2048 AS fill_ratio
+      FROM packed GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[QueryDef] =
     Seq(q22, q23, q25, q26, q27, q28, q29, q32, q39, q42, q45, q46, q47,
       q50, q51, q52, q53, q54, q59, q60, q65, q88, q89, q89b, q89c, q100,
       q101, q104, q106, q107, q108, q109, q110, q110b, q110c, q111, q112,
-      q113, q115, q116, q117)
+      q113, q115, q116, q117, q118, q120)
 }

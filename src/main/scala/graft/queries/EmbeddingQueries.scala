@@ -1455,6 +1455,104 @@ object EmbeddingQueries {
       SELECT label, corpus_id, bench_id, cosine
       FROM ranked WHERE rk = 1 ORDER BY label, corpus_id"""))
 
+  // --------------------------------------------------------------- Q119
+  // HARD-NEGATIVE MINING — the contrastive-training data-prep join
+  // (DPR, Karpukhin et al., EMNLP'20 §4.2: the strongest negatives are
+  // the retriever's own near-misses): for each anchor, the top-5 most
+  // cosine-similar vectors whose LABEL DIFFERS from the anchor's. The
+  // candidate set is q24b's banded multi-probe LSH index — mining runs
+  // on the ANN index a production system already has, not a fresh
+  // brute-force pass — and the label gate applies BEFORE the exact
+  // rescore, so only cross-label candidates ever pay a float dot.
+  // Same anchors as q24/q24b (vec_ids 0,1,2; labels differ per anchor),
+  // so the mined negatives are directly comparable against the
+  // unconstrained top-5 of the same index.
+  //
+  // Scale shape (100 TB): identical to q24b's — map-only 4·r codegen'd
+  // signature bits per corpus row, candidates via an equi-join against
+  // the ≤ 4·(r+1)-row broadcast probe set, label filter and exact
+  // scoring on candidates only, per-anchor top-5 through the bounded
+  // `topk_by_score` heap (partial/final merge, no per-candidate
+  // window shuffle). The only addition over q24b is one broadcast
+  // column (q_label) and one scan-stage predicate.
+  private val q119 = QueryDef(
+    "q119_hard_negatives",
+    (s, dir) => {
+      import s.implicits._
+      val base = emb(s, dir)
+        .withColumn("n2", dotQ("embedding", "embedding"))
+      val r = bandBits(Tables.rowCount(s, dir, "embeddings"))
+      val bands = lshBands(emb(s, dir), r)
+      val probeFlips = (-1 until r).map(i =>
+        if (i < 0) col("sig") else col("sig").bitwiseXOR(lit(1L << i)))
+      val qBands = bands.filter($"vec_id".isin(queryIds: _*))
+        .select($"vec_id".as("q_id"), $"table_idx",
+          explode(array(probeFlips: _*)).as("sig"))
+      val cand = bands.join(broadcast(qBands), Seq("table_idx", "sig"))
+        .filter($"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id").distinct()
+      val qv = base.filter($"vec_id".isin(queryIds: _*))
+        .select($"vec_id".as("q_id"), $"label".as("q_label"),
+          $"embedding".as("q_emb"), $"n2".as("q_n2"))
+      val scored = cand
+        .join(base.select($"vec_id", $"label", $"embedding", $"n2"),
+          Seq("vec_id"))
+        .join(broadcast(qv), Seq("q_id"))
+        .filter($"label" =!= $"q_label") // the hard-NEGATIVE gate
+        .withColumn("cosine",
+          dotQ("q_emb", "embedding").cast(DoubleType) /
+            (sqrt($"q_n2".cast(DoubleType)) * sqrt($"n2".cast(DoubleType))))
+      scored.groupBy($"q_id", $"q_label")
+        .agg(expr("topk_by_score(cosine, vec_id, 5)").as("top"))
+        .select($"q_id", $"q_label", posexplode($"top"))
+        .select($"q_id", $"q_label",
+          ($"pos" + 1).cast(LongType).as("rk"),
+          $"col.id".as("vec_id"), $"col.score".as("cosine"))
+        .join(emb(s, dir).select($"vec_id", $"label"), Seq("vec_id"))
+        .select($"q_id", $"q_label", $"rk", $"vec_id", $"label",
+          $"cosine")
+        .orderBy($"q_id", $"rk")
+    },
+    // q24b's relational index rebuild with the anchor's label carried
+    // through and the cross-label predicate applied pre-ranking.
+    Some(s"""WITH norms AS (
+        SELECT vec_id, embedding, label,
+          ${oDot("embedding", "embedding")} AS n2
+        FROM embeddings),
+      ${oracleLshIndex("embeddings")},
+      probes AS (
+        SELECT s.vec_id AS q_id, s.table_idx,
+          CASE WHEN f.i < 0 THEN s.sig
+               ELSE xor(s.sig, CAST(1 AS BIGINT) << f.i) END AS sig
+        FROM sigs s, range(-1, $maxBitsPerTable) f(i), rbits
+        WHERE s.vec_id IN (${queryIds.mkString(", ")}) AND f.i < rbits.r),
+      cand AS (
+        SELECT DISTINCT p.q_id, b.vec_id
+        FROM sigs b JOIN probes p
+          ON b.table_idx = p.table_idx AND b.sig = p.sig
+        WHERE b.vec_id <> p.q_id),
+      q AS (
+        SELECT vec_id AS q_id, label AS q_label,
+          embedding AS q_emb, n2 AS q_n2
+        FROM norms WHERE vec_id IN (${queryIds.mkString(", ")})),
+      scored AS (
+        SELECT cd.q_id, q.q_label, e.vec_id, e.label,
+          CAST(${oDot("q.q_emb", "e.embedding")} AS DOUBLE)
+            / (sqrt(CAST(q.q_n2 AS DOUBLE)) * sqrt(CAST(e.n2 AS DOUBLE)))
+            AS cosine
+        FROM cand cd
+        JOIN norms e ON e.vec_id = cd.vec_id
+        JOIN q ON q.q_id = cd.q_id
+        WHERE e.label <> q.q_label),
+      ranked AS (
+        SELECT q_id, q_label, vec_id, label, cosine,
+          CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY cosine DESC, vec_id) AS BIGINT) AS rk
+        FROM scored)
+      SELECT q_id, q_label, rk, vec_id, label, cosine
+      FROM ranked WHERE rk <= 5 ORDER BY q_id, rk"""))
+
   val all: Seq[QueryDef] =
-    Seq(q24, q24b, q24c, q24d, q24e, q24f, q62, q102, q103, q105, q114)
+    Seq(q24, q24b, q24c, q24d, q24e, q24f, q62, q102, q103, q105, q114,
+      q119)
 }

@@ -2039,6 +2039,35 @@ object DocQueries {
             least(lit(ChunkN.toLong), col("n") - (col("k") * ChunkS + 1) + 1)
               .cast("int"))).cast("binary")).as("chunk_md5"))
 
+  /** DuckDB twin of [[chunkGrid]] (the d/d2/ch/cm CTE chain) — ONE
+    * text spliced into every oracle that rebuilds the chunk grid
+    * (q101, q111, q118), so the 64/48 geometry and the md5 content
+    * address cannot drift between engines or between the three
+    * queries whose cross-invariants assume the SAME grid. Emits
+    * cm(doc_id, lang, source, chunk_idx, start_tok, n_tok, chunk_md5);
+    * consumers project what they need. Meant to be spliced into a
+    * WITH list. */
+  private val oracleChunkGrid: String =
+    s"""d AS (
+        SELECT doc_id, lang, source,
+          list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
+        FROM documents),
+      d2 AS (
+        SELECT doc_id, lang, source, toks, CAST(len(toks) AS BIGINT) AS n
+        FROM d WHERE len(toks) > 0),
+      ch AS (
+        SELECT doc_id, lang, source, toks, n, CAST(t.k AS BIGINT) AS k
+        FROM d2 CROSS JOIN unnest(range(0,
+          ((GREATEST(n - $ChunkN, 0) + ${ChunkS - 1}) // $ChunkS) + 1)) AS t(k)),
+      cm AS (
+        SELECT doc_id, lang, source,
+          k + 1 AS chunk_idx,
+          k * $ChunkS + 1 AS start_tok,
+          LEAST($ChunkN, n - (k * $ChunkS + 1) + 1) AS n_tok,
+          md5(array_to_string(list_slice(toks, k * $ChunkS + 1,
+            LEAST(n, k * $ChunkS + $ChunkN)), ' ')) AS chunk_md5
+        FROM ch)"""
+
   private val q101 = QueryDef(
     "q101_doc_chunking",
     (s, dir) => {
@@ -2048,24 +2077,9 @@ object DocQueries {
           $"chunk_md5")
         .orderBy($"doc_id", $"chunk_idx")
     },
-    Some(s"""WITH d AS (
-        SELECT doc_id, lang,
-          list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
-        FROM documents),
-      d2 AS (
-        SELECT doc_id, lang, toks, CAST(len(toks) AS BIGINT) AS n
-        FROM d WHERE len(toks) > 0),
-      ch AS (
-        SELECT doc_id, lang, toks, n, CAST(t.k AS BIGINT) AS k
-        FROM d2 CROSS JOIN unnest(range(0,
-          ((GREATEST(n - $ChunkN, 0) + ${ChunkS - 1}) // $ChunkS) + 1)) AS t(k))
-      SELECT doc_id, lang,
-        k + 1 AS chunk_idx,
-        k * $ChunkS + 1 AS start_tok,
-        LEAST($ChunkN, n - (k * $ChunkS + 1) + 1) AS n_tok,
-        md5(array_to_string(list_slice(toks, k * $ChunkS + 1,
-          LEAST(n, k * $ChunkS + $ChunkN)), ' ')) AS chunk_md5
-      FROM ch ORDER BY doc_id, chunk_idx"""))
+    Some(s"""WITH $oracleChunkGrid
+      SELECT doc_id, lang, chunk_idx, start_tok, n_tok, chunk_md5
+      FROM cm ORDER BY doc_id, chunk_idx"""))
 
   // --------------------------------------------------------------- Q111
   // CHUNK-LEVEL DEDUP — the graded downstream q101's content-addressed
@@ -2102,23 +2116,7 @@ object DocQueries {
           sum(when($"rn" === 1, $"n_tok").otherwise(0L)).as("kept_tokens"))
         .orderBy($"source")
     },
-    Some(s"""WITH d AS (
-        SELECT doc_id, source,
-          list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
-        FROM documents),
-      d2 AS (
-        SELECT doc_id, source, toks, CAST(len(toks) AS BIGINT) AS n
-        FROM d WHERE len(toks) > 0),
-      ch AS (
-        SELECT doc_id, source, toks, n, CAST(t.k AS BIGINT) AS k
-        FROM d2 CROSS JOIN unnest(range(0,
-          ((GREATEST(n - $ChunkN, 0) + ${ChunkS - 1}) // $ChunkS) + 1)) AS t(k)),
-      cm AS (
-        SELECT doc_id, source, k + 1 AS chunk_idx,
-          LEAST($ChunkN, n - (k * $ChunkS + 1) + 1) AS n_tok,
-          md5(array_to_string(list_slice(toks, k * $ChunkS + 1,
-            LEAST(n, k * $ChunkS + $ChunkN)), ' ')) AS chunk_md5
-        FROM ch),
+    Some(s"""WITH $oracleChunkGrid,
       r AS (
         SELECT source, n_tok,
           ROW_NUMBER() OVER (PARTITION BY chunk_md5
@@ -3526,23 +3524,7 @@ object DocQueries {
           expr("kept_tokens * 1000000 DIV total_tokens"))
         .orderBy($"source")
     },
-    Some(s"""WITH d AS (
-        SELECT doc_id, source,
-          list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
-        FROM documents),
-      d2 AS (
-        SELECT doc_id, source, toks, CAST(len(toks) AS BIGINT) AS n
-        FROM d WHERE len(toks) > 0),
-      ch AS (
-        SELECT doc_id, source, toks, n, CAST(t.k AS BIGINT) AS k
-        FROM d2 CROSS JOIN unnest(range(0,
-          ((GREATEST(n - $ChunkN, 0) + ${ChunkS - 1}) // $ChunkS) + 1)) AS t(k)),
-      cm AS (
-        SELECT doc_id, source,
-          LEAST($ChunkN, n - (k * $ChunkS + 1) + 1) AS n_tok,
-          md5(array_to_string(list_slice(toks, k * $ChunkS + 1,
-            LEAST(n, k * $ChunkS + $ChunkN)), ' ')) AS chunk_md5
-        FROM ch),
+    Some(s"""WITH $oracleChunkGrid,
       g AS (
         SELECT source, doc_id, n_tok,
           MIN(doc_id) OVER (PARTITION BY chunk_md5) AS mn,

@@ -254,6 +254,46 @@ object EmbeddingQueries {
         SELECT vec_id, table_idx, CAST(SUM(bit) AS BIGINT) AS sig
         FROM sigbits GROUP BY 1, 2)"""
 
+  /** The banded index's multi-probe CANDIDATE SET for the standard
+    * anchors (Lv et al., VLDB'07): each anchor probes its own
+    * signature plus all r Hamming-distance-1 flips per table (a
+    * ≤ 4·(r+1)-row broadcast per query vector), candidates come from
+    * the (table_idx, sig) equi-join against that broadcast — map-side;
+    * distinct dedups vectors found by multiple tables/probes. ONE
+    * definition shared by q24b (unconstrained top-5) and q119
+    * (hard-negative mining) so the probe policy cannot drift between
+    * them — HardNegativeSpec's containment law assumes the two
+    * queries draw from the SAME candidate set. */
+  private def lshCandidates(s: SparkSession, dir: String,
+      r: Int): DataFrame = {
+    import s.implicits._
+    val bands = lshBands(emb(s, dir), r)
+    val probeFlips = (-1 until r).map(i =>
+      if (i < 0) col("sig") else col("sig").bitwiseXOR(lit(1L << i)))
+    val qBands = bands.filter($"vec_id".isin(queryIds: _*))
+      .select($"vec_id".as("q_id"), $"table_idx",
+        explode(array(probeFlips: _*)).as("sig"))
+    bands.join(broadcast(qBands), Seq("table_idx", "sig"))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id").distinct()
+  }
+
+  /** DuckDB twin of [[lshCandidates]] (probes/cand CTEs) — spliced
+    * after [[oracleLshIndex]] by the q24b and q119 oracles, same
+    * single-definition rationale. */
+  private def oracleProbesCand: String =
+    s"""probes AS (
+        SELECT s.vec_id AS q_id, s.table_idx,
+          CASE WHEN f.i < 0 THEN s.sig
+               ELSE xor(s.sig, CAST(1 AS BIGINT) << f.i) END AS sig
+        FROM sigs s, range(-1, $maxBitsPerTable) f(i), rbits
+        WHERE s.vec_id IN (${queryIds.mkString(", ")}) AND f.i < rbits.r),
+      cand AS (
+        SELECT DISTINCT p.q_id, b.vec_id
+        FROM sigs b JOIN probes p
+          ON b.table_idx = p.table_idx AND b.sig = p.sig
+        WHERE b.vec_id <> p.q_id)"""
+
   private val q24b = QueryDef(
     "q24b_ann_lsh",
     (s, dir) => {
@@ -263,21 +303,8 @@ object EmbeddingQueries {
       // index-sizing scalar from the memoized ingest-phase count
       // (Bench warms it; a catalog rowCount statistic at 100 TB)
       val r = bandBits(Tables.rowCount(s, dir, "embeddings"))
-      val bands = lshBands(emb(s, dir), r)
-      // Multi-probe expansion of the query signatures: the exact sig
-      // plus its r one-bit flips, per table (still a ≤ 4·(r+1)-row
-      // broadcast per query vector).
-      val probeFlips = (-1 until r).map(i =>
-        if (i < 0) col("sig") else col("sig").bitwiseXOR(lit(1L << i)))
-      val qBands = bands.filter($"vec_id".isin(queryIds: _*))
-        .select($"vec_id".as("q_id"), $"table_idx",
-          explode(array(probeFlips: _*)).as("sig"))
-      // Candidates: equi-join on (table_idx, sig) against the broadcast
-      // query probes — map-side; distinct dedups vectors found by
-      // multiple tables/probes. Only candidates are ever scored.
-      val cand = bands.join(broadcast(qBands), Seq("table_idx", "sig"))
-        .filter($"vec_id" =!= $"q_id")
-        .select($"q_id", $"vec_id").distinct()
+      // Only candidates are ever scored.
+      val cand = lshCandidates(s, dir, r)
       val qv = base.filter($"vec_id".isin(queryIds: _*))
         .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
           $"n2".as("q_n2"))
@@ -300,17 +327,7 @@ object EmbeddingQueries {
           ${oDot("embedding", "embedding")} AS n2
         FROM embeddings),
       ${oracleLshIndex("embeddings")},
-      probes AS (
-        SELECT s.vec_id AS q_id, s.table_idx,
-          CASE WHEN f.i < 0 THEN s.sig
-               ELSE xor(s.sig, CAST(1 AS BIGINT) << f.i) END AS sig
-        FROM sigs s, range(-1, $maxBitsPerTable) f(i), rbits
-        WHERE s.vec_id IN (${queryIds.mkString(", ")}) AND f.i < rbits.r),
-      cand AS (
-        SELECT DISTINCT p.q_id, b.vec_id
-        FROM sigs b JOIN probes p
-          ON b.table_idx = p.table_idx AND b.sig = p.sig
-        WHERE b.vec_id <> p.q_id),
+      $oracleProbesCand,
       q AS (
         SELECT vec_id AS q_id, embedding AS q_emb, n2 AS q_n2
         FROM norms WHERE vec_id IN (${queryIds.mkString(", ")})),
@@ -1482,15 +1499,8 @@ object EmbeddingQueries {
       val base = emb(s, dir)
         .withColumn("n2", dotQ("embedding", "embedding"))
       val r = bandBits(Tables.rowCount(s, dir, "embeddings"))
-      val bands = lshBands(emb(s, dir), r)
-      val probeFlips = (-1 until r).map(i =>
-        if (i < 0) col("sig") else col("sig").bitwiseXOR(lit(1L << i)))
-      val qBands = bands.filter($"vec_id".isin(queryIds: _*))
-        .select($"vec_id".as("q_id"), $"table_idx",
-          explode(array(probeFlips: _*)).as("sig"))
-      val cand = bands.join(broadcast(qBands), Seq("table_idx", "sig"))
-        .filter($"vec_id" =!= $"q_id")
-        .select($"q_id", $"vec_id").distinct()
+      // q24b's candidate set, verbatim by construction (shared helper)
+      val cand = lshCandidates(s, dir, r)
       val qv = base.filter($"vec_id".isin(queryIds: _*))
         .select($"vec_id".as("q_id"), $"label".as("q_label"),
           $"embedding".as("q_emb"), $"n2".as("q_n2"))
@@ -1520,17 +1530,7 @@ object EmbeddingQueries {
           ${oDot("embedding", "embedding")} AS n2
         FROM embeddings),
       ${oracleLshIndex("embeddings")},
-      probes AS (
-        SELECT s.vec_id AS q_id, s.table_idx,
-          CASE WHEN f.i < 0 THEN s.sig
-               ELSE xor(s.sig, CAST(1 AS BIGINT) << f.i) END AS sig
-        FROM sigs s, range(-1, $maxBitsPerTable) f(i), rbits
-        WHERE s.vec_id IN (${queryIds.mkString(", ")}) AND f.i < rbits.r),
-      cand AS (
-        SELECT DISTINCT p.q_id, b.vec_id
-        FROM sigs b JOIN probes p
-          ON b.table_idx = p.table_idx AND b.sig = p.sig
-        WHERE b.vec_id <> p.q_id),
+      $oracleProbesCand,
       q AS (
         SELECT vec_id AS q_id, label AS q_label,
           embedding AS q_emb, n2 AS q_n2

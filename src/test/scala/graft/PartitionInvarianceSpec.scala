@@ -126,7 +126,20 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // q116/q117 (round 14): the count_if partials, the unpartitioned
     // window over the aggregated frame, and the batch-gram semi/anti
     // chain must all commute with partitioning
-    "q116_ingest_drift", "q117_ngram_novelty")
+    "q116_ingest_drift", "q117_ngram_novelty",
+    // q118 (round 14): the min/max-over-chunk_md5 cross-doc flag and
+    // the countDistinct(docs_affected) partials must commute with
+    // layout or the boilerplate set itself would drift
+    "q118_boilerplate_prune",
+    // q119 (round 14): the LSH candidate distinct, the label-gated
+    // scoring, and the topk_by_score heap merges must all commute
+    // with partitioning (same contract as q24b plus the gate)
+    "q119_hard_negatives",
+    // q120 (round 14): the difficulty-histogram cumsum, the broadcast
+    // stage map, and the ORDER-SENSITIVE per-stage prefix sum (total
+    // order (difficulty, doc_id) is unique) must be layout-independent
+    // or docs would change bins per shuffle layout
+    "q120_curriculum_pack")
 
   private def canonical(name: String): Seq[String] = {
     val df = Registry.byName(name).run(spark, dir)

@@ -1552,7 +1552,70 @@ object EmbeddingQueries {
       SELECT q_id, q_label, rk, vec_id, label, cosine
       FROM ranked WHERE rk <= 5 ORDER BY q_id, rk"""))
 
+  // --------------------------------------------------------------- Q121
+  // EMBEDDING↔DOCUMENT ALIGNMENT AUDIT — the registry's one CROSS-TABLE
+  // multimodal join: every embedding row keys back to its source
+  // document (vec_id = doc_id, the id contract an ingest pipeline
+  // maintains between a text table and its vector sidecar), and the
+  // audit reports per-label language purity — does embedding space
+  // respect a text-side attribute? A label whose members scatter
+  // uniformly across languages (purity → 1/|langs|) carries no
+  // language signal; a near-1e6-ppm label is language-pure. The purity
+  // argmax tie-breaks deterministically (count desc, lang asc). On the
+  // random fixtures purity sits near the uniform floor by construction
+  // (~10 labels × 5 langs) — the audit's honest reading; the machinery
+  // (join → contingency → per-group argmax) is what a real pipeline
+  // runs to validate its vector sidecar after every ingest.
+  //
+  // Scale shape (100 TB): the id equi-join is the standard
+  // co-partitioned multimodal join — both sides shuffle (or bucket,
+  // the q03b layout) on the SAME high-entropy id, no broadcast needed
+  // and none assumed; the contingency aggregate collapses map-side to
+  // a |labels|·|langs|-bounded grid, and the purity window runs on
+  // that AGGREGATED bounded frame (the q116 pattern), so nothing
+  // downstream of the join carries per-row payload.
+  /** The audit over arbitrary embedding/document-shaped frames —
+    * exposed private[graft] for AlignmentAuditSpec's planted-purity
+    * and tie-break laws. */
+  private[graft] def alignmentAudit(embF: DataFrame,
+      docF: DataFrame): DataFrame = {
+    val pairs = embF.select(col("vec_id"), col("label"))
+      .join(docF.select(col("doc_id").as("vec_id"), col("lang")),
+        Seq("vec_id"))
+    val grid = pairs.groupBy(col("label"), col("lang"))
+      .agg(count(lit(1)).as("cnt"))
+    val byLabel = Window.partitionBy(col("label"))
+    grid
+      .withColumn("rk", row_number().over(
+        byLabel.orderBy(col("cnt").desc, col("lang"))))
+      .withColumn("n_vecs", sum(col("cnt")).over(byLabel))
+      .filter(col("rk") === 1)
+      .select(col("label"), col("n_vecs"), col("lang").as("top_lang"),
+        col("cnt").as("top_cnt"),
+        expr("cnt * 1000000 DIV n_vecs").as("purity_ppm"))
+      .orderBy(col("label"))
+  }
+
+  private val q121 = QueryDef(
+    "q121_alignment_audit",
+    (s, dir) =>
+      alignmentAudit(emb(s, dir), Tables.load(s, dir, "documents")),
+    Some("""WITH pairs AS (
+        SELECT e.label, d.lang
+        FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+      grid AS (
+        SELECT label, lang, COUNT(*) AS cnt FROM pairs GROUP BY 1, 2),
+      tot AS (
+        SELECT label, lang, cnt,
+          CAST(SUM(cnt) OVER (PARTITION BY label) AS BIGINT) AS n_vecs,
+          ROW_NUMBER() OVER (PARTITION BY label
+            ORDER BY cnt DESC, lang) AS rk
+        FROM grid)
+      SELECT label, n_vecs, lang AS top_lang, cnt AS top_cnt,
+        cnt * 1000000 // n_vecs AS purity_ppm
+      FROM tot WHERE rk = 1 ORDER BY label"""))
+
   val all: Seq[QueryDef] =
     Seq(q24, q24b, q24c, q24d, q24e, q24f, q62, q102, q103, q105, q114,
-      q119)
+      q119, q121)
 }

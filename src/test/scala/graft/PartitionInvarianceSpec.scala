@@ -139,7 +139,11 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // stage map, and the ORDER-SENSITIVE per-stage prefix sum (total
     // order (difficulty, doc_id) is unique) must be layout-independent
     // or docs would change bins per shuffle layout
-    "q120_curriculum_pack")
+    "q120_curriculum_pack",
+    // q121 (round 14): the cross-table id join, the contingency
+    // partials, and the purity argmax (deterministic count-desc/lang-
+    // asc tie-break) must commute with partitioning
+    "q121_alignment_audit")
 
   private def canonical(name: String): Seq[String] = {
     val df = Registry.byName(name).run(spark, dir)

@@ -1585,9 +1585,14 @@ object EmbeddingQueries {
     val grid = pairs.groupBy(col("label"), col("lang"))
       .agg(count(lit(1)).as("cnt"))
     val byLabel = Window.partitionBy(col("label"))
+    // asc_nulls_last pins the tie-break's NULL ordering explicitly:
+    // Spark's ascending default is NULLS FIRST while DuckDB's is NULLS
+    // LAST, so an unpinned tie between a NULL-lang and a real-lang
+    // group would diverge across engines (review finding; a real lang
+    // beating "unknown" is also the sensible audit convention)
     grid
       .withColumn("rk", row_number().over(
-        byLabel.orderBy(col("cnt").desc, col("lang"))))
+        byLabel.orderBy(col("cnt").desc, col("lang").asc_nulls_last)))
       .withColumn("n_vecs", sum(col("cnt")).over(byLabel))
       .filter(col("rk") === 1)
       .select(col("label"), col("n_vecs"), col("lang").as("top_lang"),
@@ -1609,7 +1614,7 @@ object EmbeddingQueries {
         SELECT label, lang, cnt,
           CAST(SUM(cnt) OVER (PARTITION BY label) AS BIGINT) AS n_vecs,
           ROW_NUMBER() OVER (PARTITION BY label
-            ORDER BY cnt DESC, lang) AS rk
+            ORDER BY cnt DESC, lang NULLS LAST) AS rk
         FROM grid)
       SELECT label, n_vecs, lang AS top_lang, cnt AS top_cnt,
         cnt * 1000000 // n_vecs AS purity_ppm

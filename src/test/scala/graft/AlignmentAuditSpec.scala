@@ -51,6 +51,12 @@ class AlignmentAuditSpec extends AnyFunSuite {
     assert(audit(e, d) === Seq((0, 4L, "de", 2L, 500000L)))
   }
 
+  test("a NULL-lang group loses a count tie to a real lang (NULLS LAST, both engines)") {
+    val e = embF(1L -> 0, 2L -> 0, 3L -> 0, 4L -> 0)
+    val d = docF(1L -> null, 2L -> null, 3L -> "zz", 4L -> "zz")
+    assert(audit(e, d) === Seq((0, 4L, "zz", 2L, 500000L)))
+  }
+
   test("unmatched ids on either side drop out (inner-join contract)") {
     val e = embF(1L -> 0, 99L -> 0) // 99 has no document
     val d = docF(1L -> "en", 50L -> "fr") // 50 has no vector

@@ -348,12 +348,6 @@ object Tables {
         spark.read.parquet(setsLoc.toString))
     }
 
-  /** Base index for q110c's ingest APPEND cycle: same write-once
-    * contract and builders as `minhashIndex`, but the standing corpus
-    * is the mod-3 == 2 carve — batches 0 and 1 "arrive" later and the
-    * kept docs of batch 0 are appended as a delta segment before batch
-    * 1 is deduped (the segment write lives in the query: it is the
-    * per-ingest cost being graded, not an ingest-time layout). */
   /** Warehouse location of a q110c base-index relation (`_bands`,
     * `_sets`, or the query-written `_delta_bands`/`_delta_sets`
     * segments) — ONE slug derivation shared by the builder below and
@@ -366,6 +360,12 @@ object Tables {
     new java.io.File(wh, slug + suffix)
   }
 
+  /** Base index for q110c's ingest APPEND cycle: same write-once
+    * contract and builders as `minhashIndex`, but the standing corpus
+    * is the mod-3 == 2 carve — batches 0 and 1 "arrive" later and the
+    * kept docs of batch 0 are appended as a delta segment before batch
+    * 1 is deduped (the segment write lives in the query: it is the
+    * per-ingest cost being graded, not an ingest-time layout). */
   def minhashIndexBase(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
     synchronized {
       val bandsLoc = minhashBaseLoc(spark, dir, "_bands")

@@ -2847,12 +2847,6 @@ object DocQueries {
     (Tables.minhashBaseLoc(s, dir, "_delta_bands").toString,
       Tables.minhashBaseLoc(s, dir, "_delta_sets").toString)
 
-  /** One ingest-dedup step: batch shingles vs an index's band/set
-    * relations, q110b's candidates-only verify on both sides. Callers
-    * that already materialized the FULL batch verify-set relation (the
-    * append payload) pass it via `prebuiltSets`; otherwise the build
-    * itself is restricted to candidate ids. private[graft] for
-    * IndexAppendSpec's with/without-append differential. */
   /** The q110-family per-source ingest funnel (batch docs vs flagged
     * near-dups) — ONE definition for q110/q110b/q110c so the report
     * contract cannot drift. `batch` must expose doc_id + source. */
@@ -2864,6 +2858,12 @@ object DocQueries {
         count_if(col("is_near") === 1).as("near_dups"),
         count_if(col("is_near").isNull).as("kept_docs"))
 
+  /** One ingest-dedup step: batch shingles vs an index's band/set
+    * relations, q110b's candidates-only verify on both sides. Callers
+    * that already materialized the FULL batch verify-set relation (the
+    * append payload) pass it via `prebuiltSets`; otherwise the build
+    * itself is restricted to candidate ids. private[graft] for
+    * IndexAppendSpec's with/without-append differential. */
   private[graft] def indexDedupStep(shB: DataFrame, bBands: DataFrame,
       prebuiltSets: Option[DataFrame],
       idxBands: DataFrame, idxSets: DataFrame): DataFrame = {
@@ -3430,8 +3430,14 @@ object DocQueries {
     (s, dir) => {
       import s.implicits._
       val d = docs(s, dir).withColumn("is_batch", q110IsBatch)
+      // bg feeds TWO plan branches (the broadcast hit-probe set and
+      // the final left join) — localCheckpoint materializes the batch
+      // shingle distinct ONCE instead of re-running the batch scan +
+      // shuffle per branch (the q23/q110c pattern; batch-sized, so
+      // the blocks are small by the ingest assumption)
       val bg = shingleTable(d.filter($"is_batch"), Seq("source"))
         .select($"source", $"shingle").distinct()
+        .localCheckpoint()
       val corpusGrams = d.filter(!$"is_batch")
         .select(split(lower($"text"), " ").as("toks"))
         .filter(size($"toks") >= 5)

@@ -265,17 +265,23 @@ object EmbeddingQueries {
     * them — HardNegativeSpec's containment law assumes the two
     * queries draw from the SAME candidate set. */
   private def lshCandidates(s: SparkSession, dir: String,
-      r: Int): DataFrame = {
-    import s.implicits._
-    val bands = lshBands(emb(s, dir), r)
+      r: Int): DataFrame =
+    lshCandidatesOf(emb(s, dir), r)
+
+  /** Frame-generic form of [[lshCandidates]]: the corpus whose index
+    * is probed comes in as `base` (vec_id, embedding) — the entry
+    * point HardNegativeSpec's planted-recall law uses to index a
+    * corpus with a planted near-copy. */
+  private[graft] def lshCandidatesOf(base: DataFrame, r: Int): DataFrame = {
+    val bands = lshBands(base, r)
     val probeFlips = (-1 until r).map(i =>
       if (i < 0) col("sig") else col("sig").bitwiseXOR(lit(1L << i)))
-    val qBands = bands.filter($"vec_id".isin(queryIds: _*))
-      .select($"vec_id".as("q_id"), $"table_idx",
+    val qBands = bands.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("q_id"), col("table_idx"),
         explode(array(probeFlips: _*)).as("sig"))
     bands.join(broadcast(qBands), Seq("table_idx", "sig"))
-      .filter($"vec_id" =!= $"q_id")
-      .select($"q_id", $"vec_id").distinct()
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id")).distinct()
   }
 
   /** DuckDB twin of [[lshCandidates]] (probes/cand CTEs) — spliced
@@ -1492,37 +1498,44 @@ object EmbeddingQueries {
   // `topk_by_score` heap (partial/final merge, no per-candidate
   // window shuffle). The only addition over q24b is one broadcast
   // column (q_label) and one scan-stage predicate.
+  /** The full mining pipeline over an arbitrary embeddings-shaped
+    * frame (vec_id, embedding, label) — exposed private[graft] for
+    * HardNegativeSpec's planted-recall law (a 1.001-scaled cross-label
+    * copy of an anchor has the identical sign pattern under every
+    * hyperplane, so the index MUST surface it and the exact rescore
+    * MUST rank it first). */
+  private[graft] def hardNegatives(raw: DataFrame, r: Int): DataFrame = {
+    val base = raw.withColumn("n2", dotQ("embedding", "embedding"))
+    // q24b's candidate set, verbatim by construction (shared helper)
+    val cand = lshCandidatesOf(raw.select(col("vec_id"), col("embedding")), r)
+    val qv = base.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("embedding").as("q_emb"), col("n2").as("q_n2"))
+    val scored = cand
+      .join(base.select(col("vec_id"), col("label"), col("embedding"),
+        col("n2")), Seq("vec_id"))
+      .join(broadcast(qv), Seq("q_id"))
+      .filter(col("label") =!= col("q_label")) // the hard-NEGATIVE gate
+      .withColumn("cosine",
+        dotQ("q_emb", "embedding").cast(DoubleType) /
+          (sqrt(col("q_n2").cast(DoubleType)) *
+            sqrt(col("n2").cast(DoubleType))))
+    scored.groupBy(col("q_id"), col("q_label"))
+      .agg(expr("topk_by_score(cosine, vec_id, 5)").as("top"))
+      .select(col("q_id"), col("q_label"), posexplode(col("top")))
+      .select(col("q_id"), col("q_label"),
+        (col("pos") + 1).cast(LongType).as("rk"),
+        col("col.id").as("vec_id"), col("col.score").as("cosine"))
+      .join(raw.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .select(col("q_id"), col("q_label"), col("rk"), col("vec_id"),
+        col("label"), col("cosine"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   private val q119 = QueryDef(
     "q119_hard_negatives",
-    (s, dir) => {
-      import s.implicits._
-      val base = emb(s, dir)
-        .withColumn("n2", dotQ("embedding", "embedding"))
-      val r = bandBits(Tables.rowCount(s, dir, "embeddings"))
-      // q24b's candidate set, verbatim by construction (shared helper)
-      val cand = lshCandidates(s, dir, r)
-      val qv = base.filter($"vec_id".isin(queryIds: _*))
-        .select($"vec_id".as("q_id"), $"label".as("q_label"),
-          $"embedding".as("q_emb"), $"n2".as("q_n2"))
-      val scored = cand
-        .join(base.select($"vec_id", $"label", $"embedding", $"n2"),
-          Seq("vec_id"))
-        .join(broadcast(qv), Seq("q_id"))
-        .filter($"label" =!= $"q_label") // the hard-NEGATIVE gate
-        .withColumn("cosine",
-          dotQ("q_emb", "embedding").cast(DoubleType) /
-            (sqrt($"q_n2".cast(DoubleType)) * sqrt($"n2".cast(DoubleType))))
-      scored.groupBy($"q_id", $"q_label")
-        .agg(expr("topk_by_score(cosine, vec_id, 5)").as("top"))
-        .select($"q_id", $"q_label", posexplode($"top"))
-        .select($"q_id", $"q_label",
-          ($"pos" + 1).cast(LongType).as("rk"),
-          $"col.id".as("vec_id"), $"col.score".as("cosine"))
-        .join(emb(s, dir).select($"vec_id", $"label"), Seq("vec_id"))
-        .select($"q_id", $"q_label", $"rk", $"vec_id", $"label",
-          $"cosine")
-        .orderBy($"q_id", $"rk")
-    },
+    (s, dir) => hardNegatives(emb(s, dir),
+      bandBits(Tables.rowCount(s, dir, "embeddings"))),
     // q24b's relational index rebuild with the anchor's label carried
     // through and the cross-label predicate applied pre-ranking.
     Some(s"""WITH norms AS (

@@ -1,8 +1,10 @@
 package graft
 
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, FloatType}
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.queries.Registry
+import graft.queries.{EmbeddingQueries, Registry}
 
 /** q119 hard-negative mining laws on the real sf0.001 fixtures: every
   * mined negative's label must differ from its anchor's, ranks must be
@@ -34,6 +36,27 @@ class HardNegativeSpec extends AnyFunSuite {
         case _ =>
       }
     }
+  }
+
+  test("planted recall: a 1.001-scaled cross-label copy of anchor 0 mines at rank 1") {
+    // scaling by a positive constant preserves every hyperplane dot's
+    // sign, so the plant shares anchor 0's signature in ALL tables —
+    // the index MUST surface it — and its cosine ≈ 1 beats every
+    // natural neighbor (max natural cosine ≈ 0.5 on random vectors)
+    val base = Tables.load(spark, TestSpark.sf0001, "embeddings")
+    val a0 = base.filter(col("vec_id") === 0L)
+    val plant = a0.select(
+      lit(1000000L).as("vec_id"),
+      transform(col("embedding"),
+        x => (x.cast(DoubleType) * lit(1.001)).cast(FloatType))
+        .as("embedding"),
+      ((col("label") + 1) % 10).as("label"))
+    val r = EmbeddingQueries.bandBits(base.count())
+    val got = EmbeddingQueries.hardNegatives(base.unionAll(plant), r)
+      .filter(col("q_id") === 0L && col("rk") === 1L).collect()
+    assert(got.length === 1)
+    assert(got(0).getAs[Long]("vec_id") === 1000000L)
+    assert(got(0).getAs[Double]("cosine") > 0.999)
   }
 
   test("q24b's cross-label top rows are contained in the mined set") {

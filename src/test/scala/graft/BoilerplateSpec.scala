@@ -65,6 +65,24 @@ class BoilerplateSpec extends AnyFunSuite {
     assert(flagged(d).filter(col("boiler")).count() === 0L)
   }
 
+  test("differential: min/max cross-doc flag == naive countDistinct >= 2 on the real corpus") {
+    // the engine's min(doc_id) != max(doc_id) trick must agree with the
+    // definitional "appears in >= 2 distinct docs" computed independently
+    val d = Tables.load(spark, TestSpark.sf0001, "documents")
+    val flagged = DocQueries.boilerFlagged(d)
+      .filter(col("boiler"))
+      .select(col("chunk_md5")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val naive = DocQueries.boilerFlagged(d)
+      .groupBy(col("chunk_md5"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("chunk_md5"))
+      .collect().map(_.getString(0)).toSet
+    assert(flagged === naive)
+    assert(flagged.nonEmpty, "fixture regression: no cross-doc chunks bound")
+  }
+
   test("sf0.001 fixture binding and funnel conservation") {
     val res = Registry.byName("q118_boilerplate_prune")
       .run(spark, TestSpark.sf0001).collect()

@@ -223,7 +223,14 @@ object Bench {
       render(qsAt(2), failedShort),
       render(qsAt(1), failedShort),
       render("{}", failedShort))
-    ladder.find(_.length <= 1900).getOrElse(render("{}", failedShort))
+    // 1950 budget: the driver tails the LAST 2000 stdout chars and the
+    // line rides behind the 17-char "GRAFT_BENCH_JSON " prefix, so
+    // 1950 + 17 + newline still leaves real headroom. Raised from 1900
+    // at the 143-query registry (round 15): the realistic-width 2-dec
+    // form reached 1936, and degrading it to 1-dec would quantize the
+    // driver's per-query 2x gate on sub-second queries — precision the
+    // gate actually reads beats 50 chars of extra slack.
+    ladder.find(_.length <= 1950).getOrElse(render("{}", failedShort))
   }
 
   /** One untimed throwaway execution of a registry query's own plan
@@ -506,7 +513,7 @@ object Bench {
     // value_min/qps/spread (all live in the full JSON renderings)
     val compact = compactLine(good, total, repsMin, Passes, failedNames,
       ingestOk, ingestSecs, sfDir)
-    if (compact.length > 1900) System.err.println(
+    if (compact.length > 1950) System.err.println(
       s"[bench] WARNING compact stdout line is ${compact.length} chars — nearing the driver's 2000-char tail window")
     // Greppable stderr copy + JSON files FIRST, then the bare stdout
     // line LAST: if the driver merges streams and parses the final line,

@@ -2920,14 +2920,19 @@ object DocQueries {
             .select("doc_id", "band_idx", "band_val")),
         iSets.select("doc_id", "ss", "n")
           .union(s.read.parquet(dSetsLoc).select("doc_id", "ss", "n")))
-      def funnel(batch: DataFrame, near: DataFrame, tag: Int): DataFrame =
-        dedupFunnel(batch, near).withColumn("batch", lit(tag.toLong))
-      funnel(b1, near1, 1).union(funnel(b2, near2, 2))
+      batchFunnel(b1, near1, 1).union(batchFunnel(b2, near2, 2))
         .select($"batch", $"source", $"batch_docs", $"near_dups",
           $"kept_docs")
         .orderBy($"batch", $"source")
     },
     Some(q110cOracleSql))
+
+  /** dedupFunnel with the q110c/q110e two-step report's batch tag —
+    * ONE definition so the append-cycle and compaction reports cannot
+    * drift. */
+  private def batchFunnel(batch: DataFrame, near: DataFrame,
+      tag: Int): DataFrame =
+    dedupFunnel(batch, near).withColumn("batch", lit(tag.toLong))
 
   /** The two-step cycle computed relationally: near1 from the mod-0 vs
     * mod-2 band join, the updated index as mod-2 ∪ (mod-0 minus near1),
@@ -3008,6 +3013,202 @@ object DocQueries {
       FROM f GROUP BY 1, 2 ORDER BY 1, 2"""
   }
 
+  // -------------------------------------------------------------- Q110d
+  // STREAMING INCREMENTAL DEDUP — the q110c ingest-dedup loop run the
+  // way a production 100 TB pipeline actually runs it: as a Structured
+  // Streaming job. The two ingest batches (the mod-0/mod-1 carve,
+  // written as a two-file replay dir) arrive as AvailableNow
+  // micro-batches; each foreachBatch invocation dedups its batch
+  // against the standing index (base ∪ the delta segments of EARLIER
+  // batches only), appends the kept docs' bands/sets as the batch's
+  // OWN delta segment, and writes the per-source funnel to the batch's
+  // own sink partition. Every write is a pure function of (batchId,
+  // data) overwriting `batch=<id>` — the q79 idempotent-sink contract
+  // — and the `batch < id` index filter makes a REDELIVERED batch
+  // ignore its own first-delivery segment, so at-least-once delivery
+  // cannot flag a doc as a near-dup of itself (StreamIndexDedupSpec
+  // re-invokes both batches and pins sink + index unchanged). The
+  // oracle is q110c's: the stream computes the SAME two-step relation,
+  // so the hash gate grades the streaming plumbing (ordering,
+  // checkpointing, idempotence) against pure batch semantics.
+  //
+  // Scale shape (100 TB corpus, bounded micro-batches): identical to
+  // q110c per batch — O(batch) shingling, index sides through
+  // (band_idx, band_val)/doc_id equi-joins over pruned parquet scans,
+  // kept-id semis broadcast — plus the streaming guarantees: the
+  // checkpoint makes replay resumable and the idempotent segment/sink
+  // writes make redelivery harmless. The corpus text never re-reads,
+  // the index grows by exactly the admitted docs per batch. Fresh
+  // sink/ckpt/delta dirs per run (Bench reps time the full replay,
+  // like q79); plan consumers see only the sink read (q44 caveat).
+  /** One streaming ingest-dedup micro-batch — a pure function of
+    * (batchId, data): dedup vs base ∪ strictly-earlier deltas, append
+    * this batch's kept bands/sets as `batch=<id>`, write the funnel to
+    * the sink's `batch=<id>`. private[graft] for
+    * StreamIndexDedupSpec's redelivery law. */
+  private[graft] def streamDedupBatch(s: SparkSession, micro: DataFrame,
+      id: Long, baseBands: DataFrame, baseSets: DataFrame,
+      deltaBandsDir: String, deltaSetsDir: String,
+      sinkDir: String): Unit = {
+    // micro feeds three branches (shingles, kept anti-join, funnel):
+    // pin it once so the file slice is read once
+    val b = micro.localCheckpoint()
+    val shB = shingleTable(b, Nil).localCheckpoint()
+    val bBands = bandRows(shB, Nil).localCheckpoint()
+    // full verify sets: the kept rows are the append payload (q110c)
+    val setsB = verifySets(shB, None).localCheckpoint()
+    def priorDelta(loc: String, cols: Seq[String]): DataFrame =
+      s.read.parquet(loc).filter(col("batch") < id)
+        .select(cols.map(col): _*)
+    val near = indexDedupStep(shB, bBands, Some(setsB),
+      baseBands.select("doc_id", "band_idx", "band_val")
+        .union(priorDelta(deltaBandsDir,
+          Seq("doc_id", "band_idx", "band_val"))),
+      baseSets.select("doc_id", "ss", "n")
+        .union(priorDelta(deltaSetsDir, Seq("doc_id", "ss", "n"))))
+      .localCheckpoint()
+    val kept = b.select(col("doc_id"))
+      .join(near, Seq("doc_id"), "left_anti")
+    bBands.join(broadcast(kept), Seq("doc_id"), "left_semi")
+      .write.mode("overwrite").parquet(s"$deltaBandsDir/batch=$id")
+    setsB.join(broadcast(kept), Seq("doc_id"), "left_semi")
+      .write.mode("overwrite").parquet(s"$deltaSetsDir/batch=$id")
+    dedupFunnel(b, near).coalesce(1)
+      .write.mode("overwrite").parquet(s"$sinkDir/batch=$id")
+  }
+
+  /** Run the full streaming ingest-dedup replay: seed empty delta
+    * roots (so batch 0's `batch < 0` scan has a schema to read), then
+    * drain the two-file replay through foreachBatch with AvailableNow.
+    * private[graft] for StreamIndexDedupSpec. */
+  private[graft] def runStreamIndexDedup(s: SparkSession, dir: String,
+      replayDir: String, deltaBandsDir: String, deltaSetsDir: String,
+      sinkDir: String, ckpt: String): Unit = {
+    val (iBands, iSets) = Tables.minhashIndexBase(s, dir)
+    iBands.select("doc_id", "band_idx", "band_val").limit(0)
+      .write.mode("overwrite").parquet(s"$deltaBandsDir/batch=-1")
+    iSets.select("doc_id", "ss", "n").limit(0)
+      .write.mode("overwrite").parquet(s"$deltaSetsDir/batch=-1")
+    val q = graft.streaming.StreamingJobs.readDocsStream(s, replayDir)
+      .writeStream
+      .foreachBatch {
+        (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         id: Long) =>
+          streamDedupBatch(s, df, id, iBands, iSets,
+            deltaBandsDir, deltaSetsDir, sinkDir)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.streaming.StreamingJobs.capturePlan(
+      "q110d_stream_index_dedup", q)
+  }
+
+  /** Resolve the q110d sink change-log to the q110c report: each batch
+    * owns its `batch=<id>` partition, so the read is a union of the
+    * per-batch funnels with the partition column mapped to the
+    * report's 1-based batch tag. */
+  private[graft] def streamDedupTable(s: SparkSession,
+      sinkDir: String): DataFrame =
+    s.read.parquet(sinkDir)
+      .select((col("batch").cast(LongType) + 1).as("batch"),
+        col("source"), col("batch_docs"), col("near_dups"),
+        col("kept_docs"))
+      .orderBy(col("batch"), col("source"))
+
+  private val q110d = QueryDef(
+    "q110d_stream_index_dedup",
+    (s, dir) => {
+      val replay = graft.streaming.StreamingJobs.docsReplayDir(s, dir)
+      def tmp(tag: String): String = java.nio.file.Files
+        .createTempDirectory(s"graft-q110d-$tag").toString
+      val (dBands, dSets, sink, ckpt) =
+        (tmp("dbands"), tmp("dsets"), tmp("sink"), tmp("ckpt"))
+      runStreamIndexDedup(s, dir, replay, dBands, dSets, sink, ckpt)
+      streamDedupTable(s, sink)
+    },
+    Some(q110cOracleSql))
+
+  // -------------------------------------------------------------- Q110e
+  // INDEX COMPACTION — the LSM close-out the q110c append cycle left
+  // open: after batch 1's kept docs are appended as a delta segment,
+  // the delta is FOLDED into a new base (major compaction: one read of
+  // base ∪ delta, one write of the compacted segment), and batch 2 is
+  // deduped against the COMPACTED index alone — a single pruned scan
+  // per relation, no union, no delta. The oracle is q110c's: the
+  // compacted index is the same relation as base ∪ delta, so the hash
+  // gate proves read-equivalence end to end (a doc flagged against
+  // base∪delta is flagged against the compacted base, and vice versa);
+  // IndexCompactSpec pins the rest — the funnel equals q110c's row for
+  // row, the compacted segment's membership is exactly base ∪ kept
+  // batch-1 docs, and batch 2's plan scans the compacted location with
+  // NO delta scan anywhere (the read-side signature that distinguishes
+  // this query from q110c).
+  //
+  // Scale shape (100 TB corpus): the compaction write is linear in the
+  // INDEX (band rows + sorted shingle arrays — the summary, never the
+  // text), streams through one union with no shuffle (both inputs are
+  // already per-doc relations; partition-local writes suffice), and
+  // runs at whatever cadence amortizes it — after which every ingest
+  // dedup pays one pruned scan per relation instead of base + k
+  // segments. Batch steps are q110c's O(batch) shapes unchanged.
+  // Compacted segments land in the warehouse (overwritten per run —
+  // idempotent, like the delta segments).
+  private[graft] def q110eCompactLocs(
+      s: SparkSession, dir: String): (String, String) =
+    (Tables.minhashBaseLoc(s, dir, "_compact_bands").toString,
+      Tables.minhashBaseLoc(s, dir, "_compact_sets").toString)
+
+  /** q110e's OWN pre-compaction delta segment locations — same content
+    * as q110c's (both are batch 1's kept docs), but a separate path so
+    * the two queries never race on one directory. */
+  private def q110eDeltaLocs(
+      s: SparkSession, dir: String): (String, String) =
+    (Tables.minhashBaseLoc(s, dir, "_compact_delta_bands").toString,
+      Tables.minhashBaseLoc(s, dir, "_compact_delta_sets").toString)
+
+  private val q110e = QueryDef(
+    "q110e_index_compaction",
+    (s, dir) => {
+      import s.implicits._
+      val (iBands, iSets) = Tables.minhashIndexBase(s, dir)
+      val d = docs(s, dir)
+      val b1 = d.filter(q110Mod === 0)
+      val b2 = d.filter(q110Mod === 1)
+      // ---- ingest batch 1 vs the base index (q110c's step 1)
+      val shB1 = shingleTable(b1, Nil).localCheckpoint()
+      val b1Bands = bandRows(shB1, Nil).localCheckpoint()
+      val setsB1 = verifySets(shB1, None).localCheckpoint()
+      val near1 =
+        indexDedupStep(shB1, b1Bands, Some(setsB1), iBands, iSets)
+          .localCheckpoint()
+      val kept1 = b1.select($"doc_id").join(near1, Seq("doc_id"), "left_anti")
+      val (dBandsLoc, dSetsLoc) = q110eDeltaLocs(s, dir)
+      b1Bands.join(broadcast(kept1), Seq("doc_id"), "left_semi")
+        .write.mode("overwrite").parquet(dBandsLoc)
+      setsB1.join(broadcast(kept1), Seq("doc_id"), "left_semi")
+        .write.mode("overwrite").parquet(dSetsLoc)
+      // ---- major compaction: fold base ∪ delta into a new base
+      val (cBandsLoc, cSetsLoc) = q110eCompactLocs(s, dir)
+      iBands.select("doc_id", "band_idx", "band_val")
+        .union(s.read.parquet(dBandsLoc)
+          .select("doc_id", "band_idx", "band_val"))
+        .write.mode("overwrite").parquet(cBandsLoc)
+      iSets.select("doc_id", "ss", "n")
+        .union(s.read.parquet(dSetsLoc).select("doc_id", "ss", "n"))
+        .write.mode("overwrite").parquet(cSetsLoc)
+      // ---- ingest batch 2 vs the COMPACTED index only
+      val shB2 = shingleTable(b2, Nil).localCheckpoint()
+      val near2 = indexDedupStep(shB2, bandRows(shB2, Nil), None,
+        s.read.parquet(cBandsLoc), s.read.parquet(cSetsLoc))
+      batchFunnel(b1, near1, 1).union(batchFunnel(b2, near2, 2))
+        .select($"batch", $"source", $"batch_docs", $"near_dups",
+          $"kept_docs")
+        .orderBy($"batch", $"source")
+    },
+    Some(q110cOracleSql))
+
   // --------------------------------------------------------------- Q112
   // EXACT-SUBSTRING DEDUP (the ExactSubstr family — Lee et al. 2021,
   // "Deduplicating Training Data Makes Language Models Better"): flag
@@ -3046,8 +3247,13 @@ object DocQueries {
 
   /** Verified span-dup doc ids over a documents-shaped frame (doc_id,
     * text, ...): docs sharing an exact >= k-token run with a lower
-    * doc_id. Exposed for SubstrDedupSpec's planted-span law. */
-  private[graft] def substrDupDocs(d: DataFrame, k: Int): DataFrame = {
+    * doc_id. Exposed for SubstrDedupSpec's planted-span law.
+    * `spanHash` is the content address of a span (md5 in production);
+    * injectable so the spec can force same-hash/different-span buckets
+    * and exercise the collision fallback below, which is unreachable
+    * under a 128-bit hash on any real corpus. */
+  private[graft] def substrDupDocs(d: DataFrame, k: Int,
+      spanHash: Column => Column = c => md5(c.cast(BinaryType))): DataFrame = {
     val toks = d.select(col("doc_id"),
         expr("filter(split(lower(text), ' '), t -> length(t) > 0)").as("toks"))
       .withColumn("n", size(col("toks")).cast(LongType))
@@ -3056,8 +3262,8 @@ object DocQueries {
       .select(col("doc_id"), col("toks"),
         explode(expr(s"sequence(1L, n - $k + 1)")).as("i"))
       .select(col("doc_id"), col("i"),
-        md5(concat_ws(" ", slice(col("toks"), col("i").cast("int"), lit(k)))
-          .cast(BinaryType)).as("h"))
+        spanHash(concat_ws(" ",
+          slice(col("toks"), col("i").cast("int"), lit(k)))).as("h"))
     // one representative position per (window hash, doc): min(i) —
     // within-doc repeats of the same span collapse map-side here
     val wd = win.groupBy(col("h"), col("doc_id")).agg(min(col("i")).as("i"))
@@ -3071,9 +3277,14 @@ object DocQueries {
     // below still guards false positives), so d2 is a dup iff the min
     // holder is lower — m edges per bucket, linear. min_by picks the
     // min holder's representative position in the same partial-agg
-    // pass (one row per hash; no window, no second shuffle).
+    // pass (one row per hash; no window, no second shuffle). Even a
+    // REALIZED md5 collision (two different spans, one h) cannot cause
+    // a false negative: the failed-verify residue falls back to
+    // per-bucket all-pairs below, so the engine matches the oracle's
+    // all-pairs semantics unconditionally (round-13 ADVICE closed).
     // SubstrDedupSpec pins min-holder ≡ all-pairs differentially
-    // (synthetic hot buckets + the real sf0.001 corpus); the DuckDB
+    // (synthetic hot buckets + the real sf0.001 corpus) AND the
+    // forced-collision fallback via an injected weak hash; the DuckDB
     // oracle deliberately KEEPS the all-pairs cand form so the hash
     // gate independently re-proves the equivalence every verify run.
     val rep = wd.groupBy(col("h"))
@@ -3082,16 +3293,39 @@ object DocQueries {
       .join(wd.select(col("h"), col("doc_id").as("d2"), col("i").as("i2")),
         Seq("h"))
       .filter(col("d1") < col("d2"))
-      .select(col("d1"), col("i1"), col("d2"), col("i2")).distinct()
+      .select(col("h"), col("d1"), col("i1"), col("d2"), col("i2"))
+      .distinct()
     // exact-span verify on candidates only: re-slice both docs' token
     // arrays at the candidate positions and compare the bytes
     val t1 = toks.select(col("doc_id").as("d1"), col("toks").as("tk1"))
     val t2 = toks.select(col("doc_id").as("d2"), col("toks").as("tk2"))
-    cand.join(t1, Seq("d1")).join(t2, Seq("d2"))
-      .filter(
-        concat_ws(" ", slice(col("tk1"), col("i1").cast("int"), lit(k))) ===
-        concat_ws(" ", slice(col("tk2"), col("i2").cast("int"), lit(k))))
-      .select(col("d2").as("doc_id")).distinct()
+    val verified = cand.join(t1, Seq("d1")).join(t2, Seq("d2"))
+      .select(col("h"), col("d2"),
+        concat_ws(" ",
+          slice(col("tk1"), col("i1").cast("int"), lit(k))).as("s1"),
+        concat_ws(" ",
+          slice(col("tk2"), col("i2").cast("int"), lit(k))).as("s2"))
+    val ver1 = verified.filter(col("s1") === col("s2"))
+      .select(col("d2").as("doc_id"))
+    // Collision fallback (round-13 ADVICE, closed round 15): a
+    // candidate FAILING the min-holder verify carries a span that
+    // differs from the min holder's — under a realized hash collision
+    // it can still equal another FAILED member of its bucket (it can
+    // never equal a PASSED member, whose span IS the min holder's), so
+    // all-pairs over the failed residue restores exact d1<d2 semantics.
+    // The residue is empty unless two different spans share a 128-bit
+    // md5, so in production this is one empty self-join; under the
+    // spec's injected weak hash it provably catches the dups the
+    // min-holder shortcut alone would miss.
+    val failed = verified.filter(col("s1") =!= col("s2"))
+      .select(col("h"), col("d2"), col("s2"))
+    val res = failed
+      .select(col("h"), col("d2").as("da"), col("s2").as("sa"))
+      .join(failed.select(col("h"), col("d2").as("db"), col("s2").as("sb")),
+        Seq("h"))
+      .filter(col("da") < col("db") && col("sa") === col("sb"))
+      .select(col("db").as("doc_id"))
+    ver1.union(res).distinct()
   }
 
   private val q112 = QueryDef(
@@ -3405,6 +3639,105 @@ object DocQueries {
           - corpus_docs * 1000000 // corpus_tot AS drift_ppm
       FROM tot ORDER BY source"""))
 
+  // -------------------------------------------------------------- Q116b
+  // STREAMING INGEST DRIFT — q116's monitor run the way production runs
+  // it: per MICRO-BATCH, as each ingest batch arrives, instead of once
+  // over a pre-carved static batch. The q110d replay (mod-0 then mod-1
+  // as two AvailableNow micro-batches) drains through a foreachBatch
+  // that writes each batch's per-source counts to its own idempotent
+  // `batch=<id>` sink partition (the q79 change-log contract — a
+  // redelivered batch overwrites itself); the monitor report is then a
+  // READ-TIME join of those bounded per-batch counts against the
+  // standing corpus mixture (the mod-2 carve), with q113/q116's exact
+  // integer-ppm arithmetic so every column hashes cross-engine. Each
+  // row answers the production question: how far does THIS arriving
+  // batch's source mixture sit from the corpus it joins?
+  //
+  // Scale shape (100 TB corpus, bounded micro-batches): the streaming
+  // side is ONE scan-stage count per micro-batch (|sources| rows to
+  // the sink — bytes, not data); the corpus side is ONE |sources|-row
+  // aggregate computed once at read time; the corpus-total fanout is a
+  // one-row broadcast cross (the q74/q93 scalar-fanout shape) and the
+  // per-batch totals come from a window over the |batches|×|sources|
+  // bounded frame. No data-sized shuffle anywhere; the corpus is
+  // scanned once, the stream never holds state (the monitor is
+  // stateless by design — each batch reports independently).
+  private val q116b = QueryDef(
+    "q116b_stream_drift",
+    (s, dir) => {
+      import s.implicits._
+      val replay = graft.streaming.StreamingJobs.docsReplayDir(s, dir)
+      def tmp(tag: String): String = java.nio.file.Files
+        .createTempDirectory(s"graft-q116b-$tag").toString
+      val (sink, ckpt) = (tmp("sink"), tmp("ckpt"))
+      val q = graft.streaming.StreamingJobs.readDocsStream(s, replay)
+        .writeStream
+        .foreachBatch {
+          (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           id: Long) =>
+            df.groupBy(col("source"))
+              .agg(count(lit(1)).as("batch_docs"))
+              .coalesce(1)
+              .write.mode("overwrite").parquet(s"$sink/batch=$id")
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.streaming.StreamingJobs.capturePlan("q116b_stream_drift", q)
+      // read time: the standing corpus mixture + exact integer ppm
+      val corpus = docs(s, dir).filter(q110Mod === 2)
+        .groupBy($"source").agg(count(lit(1)).as("corpus_docs"))
+      val ctot = corpus.agg(sum($"corpus_docs").as("corpus_tot"))
+      val wb = Window.partitionBy($"batch").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      s.read.parquet(sink)
+        .select(($"batch".cast(LongType) + 1).as("batch"),
+          $"source", $"batch_docs")
+        .join(corpus, Seq("source"), "left")
+        .na.fill(0, Seq("corpus_docs"))
+        .crossJoin(broadcast(ctot))
+        .withColumn("batch_tot", sum($"batch_docs").over(wb))
+        .select($"batch", $"source", $"batch_docs", $"corpus_docs",
+          expr("batch_docs * 1000000 DIV batch_tot").as("batch_ppm"),
+          expr("corpus_docs * 1000000 DIV corpus_tot").as("corpus_ppm"),
+          expr("batch_docs * 1000000 DIV batch_tot" +
+            " - corpus_docs * 1000000 DIV corpus_tot").as("drift_ppm"))
+        .orderBy($"batch", $"source")
+    },
+    // CAST the window/plain SUMs (DuckDB HUGEINT promotion — the q47
+    // lesson); the corpus total is a scalar subquery over ALL corpus
+    // rows, not a per-batch window, so a source absent from one batch
+    // cannot shrink the denominator.
+    Some("""WITH m AS (
+        SELECT source,
+          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+            % 3 AS m
+        FROM documents),
+      c AS (
+        SELECT source, COUNT(*) AS corpus_docs
+        FROM m WHERE m = 2 GROUP BY 1),
+      b AS (
+        SELECT m + 1 AS batch, source, COUNT(*) AS batch_docs
+        FROM m WHERE m < 2 GROUP BY 1, 2),
+      j AS (
+        SELECT b.batch, b.source, b.batch_docs,
+          COALESCE(c.corpus_docs, 0) AS corpus_docs
+        FROM b LEFT JOIN c ON c.source = b.source),
+      tot AS (
+        SELECT batch, source, batch_docs, corpus_docs,
+          CAST(SUM(batch_docs) OVER (PARTITION BY batch) AS BIGINT)
+            AS batch_tot,
+          (SELECT CAST(SUM(corpus_docs) AS BIGINT) FROM c) AS corpus_tot
+        FROM j)
+      SELECT CAST(batch AS BIGINT) AS batch, source, batch_docs,
+        corpus_docs,
+        batch_docs * 1000000 // batch_tot AS batch_ppm,
+        corpus_docs * 1000000 // corpus_tot AS corpus_ppm,
+        batch_docs * 1000000 // batch_tot
+          - corpus_docs * 1000000 // corpus_tot AS drift_ppm
+      FROM tot ORDER BY batch, source"""))
+
   // --------------------------------------------------------------- Q117
   // N-GRAM NOVELTY: per-source fraction of the arriving batch's
   // distinct 5-gram shingles that the standing corpus has never seen —
@@ -3650,6 +3983,6 @@ object DocQueries {
   val all: Seq[QueryDef] =
     Seq(q22, q23, q25, q26, q27, q28, q29, q32, q39, q42, q45, q46, q47,
       q50, q51, q52, q53, q54, q59, q60, q65, q88, q89, q89b, q89c, q100,
-      q101, q104, q106, q107, q108, q109, q110, q110b, q110c, q111, q112,
-      q113, q115, q116, q117, q118, q120)
+      q101, q104, q106, q107, q108, q109, q110, q110b, q110c, q110d,
+      q110e, q111, q112, q113, q115, q116, q116b, q117, q118, q120)
 }

@@ -380,6 +380,60 @@ object StreamingJobs {
     })
   }
 
+  // ------------------------------------------------------------ S17/S18
+  /** Two-file DOCUMENT replay directory for the streaming ingest loop
+    * (q110d / q116b): the q110 family's md5-range carve written as two
+    * single-file parquet micro-batches — file 0 = the mod-0 docs
+    * ("ingest batch 1"), file 1 = the mod-1 docs ("ingest batch 2") —
+    * with modification times forced 60 s apart so the file source's
+    * timestamp ordering admits them in carve order (FileStreamSource
+    * sorts pending files by mtime; equal stamps would leave the order
+    * to listing luck, which the oracle's batch-1/batch-2 semantics
+    * cannot tolerate). maxFilesPerTrigger=1 then replays the SAME two
+    * ingest batches q110c grades relationally. Cached per (JVM, sfDir)
+    * like the event replay dirs. */
+  private val docsReplayDirs = scala.collection.mutable.Map[String, String]()
+
+  def docsReplayDir(spark: SparkSession, sfDir: String): String = synchronized {
+    docsReplayDirs.getOrElseUpdate(sfDir, {
+      val d = java.nio.file.Files.createTempDirectory("graft-docs-replay")
+      val docs = graft.Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val mod = graft.queries.DocQueries.q110Mod
+      val t0 = System.currentTimeMillis() - 120000L
+      Seq(0, 1).foreach { m =>
+        writeOneFile(docs.filter(mod === m),
+          d.resolve(s"b$m.parquet").toFile, t0 + m * 60000L)
+      }
+      d.toString
+    })
+  }
+
+  /** Write `df` as exactly ONE parquet file at `dest` with a pinned
+    * mtime — the unit of admission for a maxFilesPerTrigger=1 replay. */
+  private def writeOneFile(df: DataFrame, dest: java.io.File,
+      mtime: Long): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-onefile")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = tmp.toFile.listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(part.toPath, dest.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    dest.setLastModified(mtime): Unit
+    tmp.toFile.listFiles().foreach(_.delete())
+    tmp.toFile.delete(): Unit
+  }
+
+  /** File-stream over a docsReplayDir: one micro-batch per file. The
+    * schema comes from the written files (streaming file sources need
+    * an explicit schema; inferring it from the same parquet keeps the
+    * two in lockstep). */
+  def readDocsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+
   /** foreachBatch sink with IDEMPOTENT per-batch writes (§2.B sinks —
     * the programmable-sink tier next to memory/console/parquet).
     * foreachBatch's delivery contract is AT-LEAST-ONCE: after a failure

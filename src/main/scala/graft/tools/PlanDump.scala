@@ -43,7 +43,23 @@ object PlanDump {
     "q89c_bpe_encode"        -> "tokenizer apply: 3 nested bpe_merge literals in one scan stage (word Generate + map), no join before the |langs|-row report",
     "q24f_ann_pq"            -> "PQ ANN: broadcast codebook training passes, LUT-as-literals ADC over 4-bit codes, id-keyed exact rescore",
     "q109_dsir_select"       -> "DSIR selection: fixed 64-row model broadcast join-back, TakeOrderedAndProject global top-k, reused scored exchange",
-    "q110_incremental_dedup" -> "incremental dedup: batch-vs-corpus band equi-join, sorted_icount verify on candidates only, |sources|-row funnel")
+    "q110_incremental_dedup" -> "incremental dedup: batch-vs-corpus band equi-join, sorted_icount verify on candidates only, |sources|-row funnel",
+    // round-14 ten (verdict item 4: the spec-pinned plans in reviewable
+    // form) + round-15 compaction. q110d/q116b are deliberately absent:
+    // their returned DataFrames are change-log sink reads (the q44
+    // caveat) — their batch kernels are q110c's plan below and their
+    // streaming laws live in StreamIndexDedupSpec / the q116b scaladoc.
+    "q110c_index_append_cycle" -> "index append cycle: base∪delta union of pruned index scans, broadcast kept-id semis, delta segment written mid-query",
+    "q110e_index_compaction" -> "index compaction: base∪delta folded into one segment, batch 2 reads a single pruned scan per relation — no delta anywhere",
+    "q113_domain_mixture"    -> "DoReMi-lite mixture: |sources|-row broadcast plan join-back, scan-stage md5 accept coin",
+    "q114_semantic_decontam" -> "semantic decontamination: benchmark side broadcast end-to-end, corpus map-only — no corpus-side shuffle",
+    "q115_leakage_safe_split" -> "leakage-safe split: bounded min-label fixpoint, ONE cluster-label equi-join, scan-stage split rule",
+    "q116_ingest_drift"      -> "ingest drift: one scan-stage carve, |sources|-row count_if aggregate, window over the bounded aggregated frame",
+    "q117_ngram_novelty"     -> "n-gram novelty: broadcast batch gram set, ONE map-only semi-joined corpus pass — corpus never shuffles",
+    "q118_boilerplate_prune" -> "boilerplate suppression: cross-doc min/max flag inside the one chunk_md5 exchange, zero extra shuffles",
+    "q119_hard_negatives"    -> "hard-negative mining: banded LSH candidates, label gate BEFORE exact rescore, bounded topk_by_score heap",
+    "q120_curriculum_pack"   -> "curriculum packing: value-based quartiles from a bounded histogram, stage-map broadcast, per-stage packing",
+    "q121_alignment_audit"   -> "alignment audit: id equi-join, map-side contingency collapse, purity window on the bounded label frame")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

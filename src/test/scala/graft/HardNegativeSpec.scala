@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, FloatType}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.queries.{EmbeddingQueries, Registry}
@@ -38,18 +37,20 @@ class HardNegativeSpec extends AnyFunSuite {
     }
   }
 
-  test("planted recall: a 1.001-scaled cross-label copy of anchor 0 mines at rank 1") {
-    // scaling by a positive constant preserves every hyperplane dot's
-    // sign, so the plant shares anchor 0's signature in ALL tables —
-    // the index MUST surface it — and its cosine ≈ 1 beats every
-    // natural neighbor (max natural cosine ≈ 0.5 on random vectors)
+  test("planted recall: an exact cross-label copy of anchor 0 mines at rank 1") {
+    // the plant is anchor 0's embedding COPIED BIT FOR BIT (not scaled:
+    // both engines quantize via round(x*1e6) before the hyperplane
+    // dots, and a scaled copy's quantized dot near zero could in
+    // principle flip sign — round-14 ADVICE), so its LSH signature is
+    // identical to the anchor's in ALL tables by construction — the
+    // index MUST surface it — and its cosine is exactly 1, beating
+    // every natural neighbor (max natural cosine ≈ 0.5 on random
+    // vectors)
     val base = Tables.load(spark, TestSpark.sf0001, "embeddings")
     val a0 = base.filter(col("vec_id") === 0L)
     val plant = a0.select(
       lit(1000000L).as("vec_id"),
-      transform(col("embedding"),
-        x => (x.cast(DoubleType) * lit(1.001)).cast(FloatType))
-        .as("embedding"),
+      col("embedding"),
       ((col("label") + 1) % 10).as("label"))
     val r = EmbeddingQueries.bandBits(base.count())
     val got = EmbeddingQueries.hardNegatives(base.unionAll(plant), r)

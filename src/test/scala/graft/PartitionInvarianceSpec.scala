@@ -111,6 +111,11 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // the middle of the query — kept-set carve, the overwrite round
     // trip, and the base∪delta union must all commute with layout
     "q110c_index_append_cycle",
+    // q110e (round 15): compaction adds a fold WRITE (base ∪ delta →
+    // new base) between the two ingest steps — the folded segment's
+    // content and the batch-2 dedup against it must not depend on how
+    // either write's input fell into partitions
+    "q110e_index_compaction",
     // q113 (round 14): integer mixture fitting — per-source counts,
     // the broadcast plan join-back, and the salted-md5 accept test
     // must be layout-independent or the sampled set itself drifts

@@ -66,6 +66,19 @@ class PlanShapeSpec extends AnyFunSuite {
         "q58_stream_funnel", "q79_stream_foreach_sink",
         "q96_stream_totals", "q97_stream_sliding",
         "q98_stream_dedup", "q99_stream_enrich",
+        // q110d runs the full ingest-dedup stream replay as a side
+        // effect of building its DataFrame (q44's exclusion rationale);
+        // the returned plan is only the change-log sink read. The
+        // batch-kernel plan it shares with q110b/q110c is swept via
+        // those entries; its streaming laws live in
+        // StreamIndexDedupSpec.
+        "q110d_stream_index_dedup",
+        // q116b runs the same stream replay side effect AND its
+        // read-time report fans the ONE-row corpus total out over the
+        // bounded per-batch frame (the q74/q93 scalar-fanout shape: a
+        // broadcast of exactly one row); every data-sized join in it is
+        // equi-keyed on source.
+        "q116b_stream_drift",
         // q74 cross-joins the ONE-row corpus-size scalar against the
         // tf table — a broadcast of exactly one row (the standard
         // scalar-fanout shape); every other q74 join is equi-keyed.

@@ -127,6 +127,26 @@ class SubstrDedupSpec extends AnyFunSuite {
     assert(fast === Set(7L, 9L, 13L))
   }
 
+  test("collision fallback: same-hash/different-span bucket still catches true dups") {
+    // Inject a CONSTANT span hash — every window lands in one bucket,
+    // the maximal collision (round-13 ADVICE: a realized md5 collision
+    // where the min holder's span differs must not turn genuine dups
+    // into false negatives). Corpus: doc 1 holds span X (the bucket's
+    // min holder), docs 2 and 3 both hold span Y ≠ X. The min-holder
+    // verify fails for BOTH (Y ≠ X), so without the failed-residue
+    // all-pairs fallback nothing is flagged; exact d1<d2 semantics
+    // demand doc 3 (a verbatim dup of doc 2's span) and only doc 3.
+    val spanY = (0 until K).map(j => s"othery$j").mkString(" ")
+    val d = frame(1L -> span, 2L -> spanY, 3L -> spanY)
+    val weak: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      _ => lit("BUCKET")
+    assert(dupIds(DocQueries.substrDupDocs(d, K, weak)) === Set(3L))
+    // the same corpus under the production md5 hash: X and Y occupy
+    // different buckets, doc 3 still dups doc 2 — same answer, which
+    // is exactly the collision-independence the fallback guarantees
+    assert(dupIds(DocQueries.substrDupDocs(d, K)) === Set(3L))
+  }
+
   test("differential on the real sf0.001 corpus (665 shared spans bind)") {
     val d = Tables.load(spark, TestSpark.sf0001, "documents")
       .select(col("doc_id"), col("text"))

@@ -2890,6 +2890,32 @@ object DocQueries {
       .select(col("b_id").as("doc_id")).distinct()
   }
 
+  /** One ingest-batch step WITH its index append: dedup `batch`
+    * against (idxBands, idxSets) — full verify-set build, since the
+    * kept rows are the append payload — then write the kept docs' band
+    * rows and verify sets as a delta segment at the given locations
+    * (overwrite — idempotent). ONE definition for q110c's append,
+    * q110e's pre-compaction delta and q110d's per-micro-batch segment,
+    * so the append payload cannot drift between the three (the
+    * batchFunnel rationale applied to the write path; review finding).
+    * Returns the localCheckpointed near set (the funnel's input). */
+  private def ingestAndAppend(batch: DataFrame, idxBands: DataFrame,
+      idxSets: DataFrame, dBandsLoc: String,
+      dSetsLoc: String): DataFrame = {
+    val shB = shingleTable(batch, Nil).localCheckpoint()
+    val bBands = bandRows(shB, Nil).localCheckpoint()
+    val setsB = verifySets(shB, None).localCheckpoint()
+    val near = indexDedupStep(shB, bBands, Some(setsB), idxBands, idxSets)
+      .localCheckpoint()
+    val kept = batch.select(col("doc_id"))
+      .join(near, Seq("doc_id"), "left_anti")
+    bBands.join(broadcast(kept), Seq("doc_id"), "left_semi")
+      .write.mode("overwrite").parquet(dBandsLoc)
+    setsB.join(broadcast(kept), Seq("doc_id"), "left_semi")
+      .write.mode("overwrite").parquet(dSetsLoc)
+    near
+  }
+
   private val q110c = QueryDef(
     "q110c_index_append_cycle",
     (s, dir) => {
@@ -2898,20 +2924,10 @@ object DocQueries {
       val d = docs(s, dir)
       val b1 = d.filter(q110Mod === 0)
       val b2 = d.filter(q110Mod === 1)
-      // ---- ingest batch 1 vs the base index
-      val shB1 = shingleTable(b1, Nil).localCheckpoint()
-      val b1Bands = bandRows(shB1, Nil).localCheckpoint()
-      val setsB1 = verifySets(shB1, None).localCheckpoint()
-      val near1 =
-        indexDedupStep(shB1, b1Bands, Some(setsB1), iBands, iSets)
-          .localCheckpoint()
-      // ---- append: kept batch-1 docs' bands/sets become a delta segment
-      val kept1 = b1.select($"doc_id").join(near1, Seq("doc_id"), "left_anti")
+      // ---- ingest batch 1 vs the base index; kept batch-1 docs'
+      // bands/sets become the delta segment
       val (dBandsLoc, dSetsLoc) = q110cDeltaLocs(s, dir)
-      b1Bands.join(broadcast(kept1), Seq("doc_id"), "left_semi")
-        .write.mode("overwrite").parquet(dBandsLoc)
-      setsB1.join(broadcast(kept1), Seq("doc_id"), "left_semi")
-        .write.mode("overwrite").parquet(dSetsLoc)
+      val near1 = ingestAndAppend(b1, iBands, iSets, dBandsLoc, dSetsLoc)
       // ---- ingest batch 2 vs the UPDATED index (base ∪ delta)
       val shB2 = shingleTable(b2, Nil).localCheckpoint()
       val near2 = indexDedupStep(shB2, bandRows(shB2, Nil), None,
@@ -3053,26 +3069,16 @@ object DocQueries {
     // micro feeds three branches (shingles, kept anti-join, funnel):
     // pin it once so the file slice is read once
     val b = micro.localCheckpoint()
-    val shB = shingleTable(b, Nil).localCheckpoint()
-    val bBands = bandRows(shB, Nil).localCheckpoint()
-    // full verify sets: the kept rows are the append payload (q110c)
-    val setsB = verifySets(shB, None).localCheckpoint()
     def priorDelta(loc: String, cols: Seq[String]): DataFrame =
       s.read.parquet(loc).filter(col("batch") < id)
         .select(cols.map(col): _*)
-    val near = indexDedupStep(shB, bBands, Some(setsB),
+    val near = ingestAndAppend(b,
       baseBands.select("doc_id", "band_idx", "band_val")
         .union(priorDelta(deltaBandsDir,
           Seq("doc_id", "band_idx", "band_val"))),
       baseSets.select("doc_id", "ss", "n")
-        .union(priorDelta(deltaSetsDir, Seq("doc_id", "ss", "n"))))
-      .localCheckpoint()
-    val kept = b.select(col("doc_id"))
-      .join(near, Seq("doc_id"), "left_anti")
-    bBands.join(broadcast(kept), Seq("doc_id"), "left_semi")
-      .write.mode("overwrite").parquet(s"$deltaBandsDir/batch=$id")
-    setsB.join(broadcast(kept), Seq("doc_id"), "left_semi")
-      .write.mode("overwrite").parquet(s"$deltaSetsDir/batch=$id")
+        .union(priorDelta(deltaSetsDir, Seq("doc_id", "ss", "n"))),
+      s"$deltaBandsDir/batch=$id", s"$deltaSetsDir/batch=$id")
     dedupFunnel(b, near).coalesce(1)
       .write.mode("overwrite").parquet(s"$sinkDir/batch=$id")
   }
@@ -3176,19 +3182,10 @@ object DocQueries {
       val d = docs(s, dir)
       val b1 = d.filter(q110Mod === 0)
       val b2 = d.filter(q110Mod === 1)
-      // ---- ingest batch 1 vs the base index (q110c's step 1)
-      val shB1 = shingleTable(b1, Nil).localCheckpoint()
-      val b1Bands = bandRows(shB1, Nil).localCheckpoint()
-      val setsB1 = verifySets(shB1, None).localCheckpoint()
-      val near1 =
-        indexDedupStep(shB1, b1Bands, Some(setsB1), iBands, iSets)
-          .localCheckpoint()
-      val kept1 = b1.select($"doc_id").join(near1, Seq("doc_id"), "left_anti")
+      // ---- ingest batch 1 vs the base index (q110c's step 1), kept
+      // docs landing as this query's own delta segment
       val (dBandsLoc, dSetsLoc) = q110eDeltaLocs(s, dir)
-      b1Bands.join(broadcast(kept1), Seq("doc_id"), "left_semi")
-        .write.mode("overwrite").parquet(dBandsLoc)
-      setsB1.join(broadcast(kept1), Seq("doc_id"), "left_semi")
-        .write.mode("overwrite").parquet(dSetsLoc)
+      val near1 = ingestAndAppend(b1, iBands, iSets, dBandsLoc, dSetsLoc)
       // ---- major compaction: fold base ∪ delta into a new base
       val (cBandsLoc, cSetsLoc) = q110eCompactLocs(s, dir)
       iBands.select("doc_id", "band_idx", "band_val")
@@ -3685,9 +3682,14 @@ object DocQueries {
         .start()
       q.awaitTermination()
       graft.streaming.StreamingJobs.capturePlan("q116b_stream_drift", q)
-      // read time: the standing corpus mixture + exact integer ppm
+      // read time: the standing corpus mixture + exact integer ppm.
+      // The |sources|-row aggregate feeds TWO consumers (the source
+      // join and the ctot scalar) — localCheckpoint pins ONE corpus
+      // scan (the q113 fitted-plan pattern) so the "corpus is scanned
+      // once" contract holds without relying on exchange reuse
       val corpus = docs(s, dir).filter(q110Mod === 2)
         .groupBy($"source").agg(count(lit(1)).as("corpus_docs"))
+        .localCheckpoint()
       val ctot = corpus.agg(sum($"corpus_docs").as("corpus_tot"))
       val wb = Window.partitionBy($"batch").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing)

@@ -419,7 +419,11 @@ object StreamingJobs {
       .filter(_.getName.endsWith(".parquet")).head
     java.nio.file.Files.move(part.toPath, dest.toPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    dest.setLastModified(mtime): Unit
+    // fail fast if the mtime pin is refused (exotic FS): the replay's
+    // micro-batch ORDER rides on these stamps, and a silent fallback to
+    // write-completion mtimes would leave it to listing luck
+    require(dest.setLastModified(mtime),
+      s"could not pin mtime on $dest — replay order would be undefined")
     tmp.toFile.listFiles().foreach(_.delete())
     tmp.toFile.delete(): Unit
   }

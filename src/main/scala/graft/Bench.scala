@@ -310,6 +310,9 @@ object Bench {
       "events_replay" -> (() => graft.streaming.StreamingJobs.replayDirFor(spark, sfDir)),
       "events_replay_dup" -> (() => graft.streaming.StreamingJobs.replayDirDup(spark, sfDir)),
       "events_replay_multi" -> (() => graft.streaming.StreamingJobs.replayDirMulti(spark, sfDir)),
+      // the two-file documents replay q110d/q116b drain — same lazy-
+      // build-in-first-timed-pass hazard as the event replay dirs
+      "docs_replay" -> (() => graft.streaming.StreamingJobs.docsReplayDir(spark, sfDir)),
       // UNTIMED WARM-UP of every warehouse-layout reader (round-9
       // verdict item 1 for q03b; extended to its siblings per round-10
       // verdict item 6): the warehouse-dir copies — bucketed lineitem/

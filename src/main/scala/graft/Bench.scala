@@ -334,6 +334,9 @@ object Bench {
       // the delta segment is NOT here: writing it is the per-ingest
       // cost q110c exists to measure
       "docs_minhash_base" -> (() => Tables.minhashIndexBase(spark, sfDir)),
+      // the corpus gram set q117b probes — write-once ingest artifact,
+      // same contract as the MinHash indexes
+      "docs_grams" -> (() => Tables.gramIndex(spark, sfDir)),
       "q03b_warm" -> (() => warmQuery(spark, sfDir, "q03b_bucketed_revenue")),
       "q55_warm" -> (() => warmQuery(spark, sfDir, "q55_pruned_year_revenue")),
       "q56_warm" -> (() => warmQuery(spark, sfDir, "q56_dpp_era_revenue")),
@@ -342,7 +345,9 @@ object Bench {
       "q110b_warm" -> (() => warmQuery(spark, sfDir, "q110b_indexed_dedup")),
       // q110c reads the base index parquet (and re-writes its delta
       // segment each run) — warm like the other warehouse readers
-      "q110c_warm" -> (() => warmQuery(spark, sfDir, "q110c_index_append_cycle")))
+      "q110c_warm" -> (() => warmQuery(spark, sfDir, "q110c_index_append_cycle")),
+      // q117b reads the gram index parquet — same cold-read fairness
+      "q117b_warm" -> (() => warmQuery(spark, sfDir, "q117b_stream_novelty")))
     val ingestT0 = System.nanoTime()
     val ingestResults: Seq[(String, Boolean, Double, Option[String])] =
       ingestArtifacts.map { case (name, thunk) =>

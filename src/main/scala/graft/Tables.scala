@@ -385,6 +385,27 @@ object Tables {
         spark.read.parquet(setsLoc.toString))
     }
 
+  /** Write-once distinct 5-gram set of the standing corpus (the mod-2
+    * carve) — the gram-granularity ingest index q117's scale note
+    * promises and q117b probes per micro-batch: one `gram` string
+    * column, linear in corpus DISTINCT grams, built lazily once per
+    * sfDir (idempotent via _SUCCESS) and untimed in Bench's ingest
+    * phase like the MinHash indexes. */
+  def gramIndex(spark: SparkSession, dir: String): DataFrame =
+    synchronized {
+      val slug = "docs_grams_base_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      val loc = new java.io.File(wh, slug)
+      if (!new java.io.File(loc, "_SUCCESS").exists()) {
+        val t0 = System.nanoTime()
+        graft.queries.DocQueries.corpusGramSet(spark, dir)
+          .write.mode("overwrite").parquet(loc.toString)
+        System.err.println(
+          f"[tables] wrote gram index $slug in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      }
+      spark.read.parquet(loc.toString)
+    }
+
   /** Tiny year→era dimension, materialized ONCE as parquet (the
     * date-dim every warehouse keeps as a real table). It must be a
     * file-backed scan, not a literal LocalRelation: q56's point is

@@ -3758,8 +3758,9 @@ object DocQueries {
   // joined map-only against that broadcast, so the only corpus-derived
   // rows that ever reach a shuffle are the hits (a set bounded by the
   // batch grams). The corpus never shuffles and is never scanned
-  // twice. (In a standing deployment the corpus gram set is the
-  // write-once ingest index q110b materializes — same contract.)
+  // twice. (In a standing deployment the corpus gram set is a
+  // write-once ingest index, the q110b contract — q117b below
+  // materializes exactly that artifact and probes it per micro-batch.)
   private val q117 = QueryDef(
     "q117_ngram_novelty",
     (s, dir) => {
@@ -3813,6 +3814,111 @@ object DocQueries {
           * 1000000 // COUNT(*) AS novelty_ppm
       FROM bg LEFT JOIN cgrams c ON c.gram = bg.gram
       GROUP BY 1 ORDER BY 1"""))
+
+  // -------------------------------------------------------------- Q117b
+  // STREAMING N-GRAM NOVELTY — q117's monitor per MICRO-BATCH, probing
+  // a WRITE-ONCE gram index instead of re-scanning corpus text: the
+  // standing corpus's distinct 5-gram set (the mod-2 carve, matching
+  // the q110d/q116b streaming-family corpus) is materialized once at
+  // ingest (`Tables.gramIndex` — the artifact q117's scale note
+  // promises), and each arriving micro-batch's bounded gram set
+  // broadcasts against ONE pruned index scan inside a stateless
+  // foreachBatch; per-batch per-source counts land in idempotent
+  // `batch=<id>` sink partitions (the q79 contract) and the report is
+  // a pure sink read. Novelty here is measured against the STANDING
+  // corpus (stateless monitor, like q116b) — the cumulative
+  // admitted-gram form is the dedup loop's job (q110d), not the
+  // monitor's. Oracle recomputes both batches against the mod-2 gram
+  // set relationally; StreamNoveltySpec pins the stream ≡ relational
+  // parity per batch, the index's exact membership, and the
+  // corpus-monotonicity cross-law vs q117 (q117's corpus is a strict
+  // superset, so its novelty can only be lower on the same batch).
+  //
+  // Scale shape (100 TB corpus, bounded micro-batches): per batch,
+  // O(batch) shingling + one map-only semi-join over the gram-index
+  // scan (hits bounded by the batch grams — only they reach a
+  // shuffle); the corpus text is never touched after the index build,
+  // and the index is a single string column, linear in corpus DISTINCT
+  // grams. The monitor holds no streaming state.
+  /** Distinct 5-gram set of the standing corpus (mod-2 carve), single
+    * `gram` column — the relation `Tables.gramIndex` materializes and
+    * q117b probes. Raw explode + global distinct (q117's corpus-side
+    * rationale: no per-doc distinct shuffle for a set the query
+    * doesn't need per-doc). */
+  private[graft] def corpusGramSet(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).filter(q110Mod === 2)
+      .select(split(lower(col("text")), " ").as("toks"))
+      .filter(size(col("toks")) >= 5)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 4), " +
+          "i -> concat_ws(' ', slice(toks, i, 5)))")).as("gram"))
+      .distinct()
+
+  private val q117b = QueryDef(
+    "q117b_stream_novelty",
+    (s, dir) => {
+      import s.implicits._
+      val replay = graft.streaming.StreamingJobs.docsReplayDir(s, dir)
+      val grams = Tables.gramIndex(s, dir)
+      def tmp(tag: String): String = java.nio.file.Files
+        .createTempDirectory(s"graft-q117b-$tag").toString
+      val (sink, ckpt) = (tmp("sink"), tmp("ckpt"))
+      val q = graft.streaming.StreamingJobs.readDocsStream(s, replay)
+        .writeStream
+        .foreachBatch {
+          (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           id: Long) =>
+            // bg feeds the probe set and the final left join — pin one
+            // derivation (the q117 pattern; batch-sized blocks)
+            val bg = shingleTable(df, Seq("source"))
+              .select($"source", $"shingle").distinct()
+              .localCheckpoint()
+            // index rows are distinct by construction — no re-distinct
+            val hits = grams.select($"gram".as("shingle"))
+              .join(broadcast(bg.select($"shingle").distinct()),
+                Seq("shingle"), "left_semi")
+            bg.join(broadcast(hits.withColumn("hit", lit(1))),
+                Seq("shingle"), "left")
+              .groupBy($"source")
+              .agg(count(lit(1)).as("batch_grams"),
+                count_if($"hit".isNull).as("novel_grams"))
+              .coalesce(1)
+              .write.mode("overwrite").parquet(s"$sink/batch=$id")
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.streaming.StreamingJobs.capturePlan("q117b_stream_novelty", q)
+      s.read.parquet(sink)
+        .select(($"batch".cast(LongType) + 1).as("batch"), $"source",
+          $"batch_grams", $"novel_grams",
+          expr("novel_grams * 1000000 DIV batch_grams").as("novelty_ppm"))
+        .orderBy($"batch", $"source")
+    },
+    Some("""WITH t AS (
+        SELECT doc_id, source,
+          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+            % 3 AS m,
+          string_split(lower(text), ' ') AS ts
+        FROM documents),
+      g AS (
+        SELECT DISTINCT doc_id, source, m,
+          array_to_string(ts[s.i:s.i+4], ' ') AS gram
+        FROM t CROSS JOIN unnest(
+          CASE WHEN len(ts) >= 5 THEN generate_series(1, len(ts)-4)
+               ELSE [] END) AS s(i)),
+      cg AS (SELECT DISTINCT gram FROM g WHERE m = 2),
+      bg AS (
+        SELECT DISTINCT m + 1 AS batch, source, gram FROM g WHERE m < 2)
+      SELECT CAST(batch AS BIGINT) AS batch, bg.source,
+        COUNT(*) AS batch_grams,
+        CAST(SUM(CASE WHEN c.gram IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS novel_grams,
+        CAST(SUM(CASE WHEN c.gram IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          * 1000000 // COUNT(*) AS novelty_ppm
+      FROM bg LEFT JOIN cg c ON c.gram = bg.gram
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
 
   // --------------------------------------------------------------- Q118
   // BOILERPLATE CHUNK SUPPRESSION — the CCNet/RefinedWeb "frequent
@@ -3986,5 +4092,6 @@ object DocQueries {
     Seq(q22, q23, q25, q26, q27, q28, q29, q32, q39, q42, q45, q46, q47,
       q50, q51, q52, q53, q54, q59, q60, q65, q88, q89, q89b, q89c, q100,
       q101, q104, q106, q107, q108, q109, q110, q110b, q110c, q110d,
-      q110e, q111, q112, q113, q115, q116, q116b, q117, q118, q120)
+      q110e, q111, q112, q113, q115, q116, q116b, q117, q117b, q118,
+      q120)
 }

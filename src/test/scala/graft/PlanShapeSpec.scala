@@ -79,6 +79,11 @@ class PlanShapeSpec extends AnyFunSuite {
         // broadcast of exactly one row); every data-sized join in it is
         // equi-keyed on source.
         "q116b_stream_drift",
+        // q117b: same stream-replay side effect; its read-time plan is
+        // a pure sink scan (no join at all) — the per-batch probe plan
+        // is gram-index semi-join against a broadcast batch set,
+        // differentially pinned in StreamNoveltySpec.
+        "q117b_stream_novelty",
         // q74 cross-joins the ONE-row corpus-size scalar against the
         // tf table — a broadcast of exactly one row (the standard
         // scalar-fanout shape); every other q74 join is equi-keyed.

@@ -199,12 +199,17 @@ class BenchAggSpec extends AnyFunSuite {
   test("compact line keeps 2-decimal medians at realistic widths") {
     // degradation must not fire spuriously: with every median < 100 s
     // (two orders above anything observed) the full-precision form
-    // fits and is the one emitted
+    // fits and is the one emitted. At 144 queries this worst-realistic
+    // form sits EXACTLY at the 1950 ladder budget (hence <=, matching
+    // the ladder's own bound) — the next registry entry must either
+    // shave compact-tail fields or accept 1-dec in this synthetic
+    // worst case (real medians are mostly < 10 s, which keeps the
+    // real line ~200 chars shorter).
     val names = SparkEntry.queries.keys.toSeq.sorted
     val good = names.map(n => (n, 42.35, 42.35, 42.35, 3))
     val line = Bench.compactLine(good, 5000.0, 3, 3, Nil,
       ingestOk = true, 99.999, "/root/testdata/sf0.1")
-    assert(line.length < 1950)
+    assert(line.length <= 1950)
     assert(line.contains(":42.35"), "2-decimal medians were degraded")
   }
 

@@ -75,4 +75,41 @@ class StreamIndexDedupSpec extends AnyFunSuite {
     assert(snap() === before,
       "redelivered batches changed the sink or the index segments")
   }
+
+  test("checkpoint resume: a restart between batches equals the one-shot run") {
+    // the restart case redelivery doesn't cover: the stream DIES after
+    // batch 0 (here: drains a replay dir that only holds b0), then a
+    // NEW stream execution starts from the same checkpoint once b1 has
+    // arrived — it must resume at batchId 1 (not reprocess b0, not
+    // restart numbering at 0, which would overwrite batch 0's sink
+    // partition with b1's data) and the final funnel must equal the
+    // uninterrupted run's
+    import java.nio.file.{Files, Path, StandardCopyOption}
+    val src = new java.io.File(
+      StreamingJobs.docsReplayDir(spark, dir))
+    def tmp(t: String): Path =
+      Files.createTempDirectory(s"graft-sidr-$t")
+    val stage = tmp("replay")
+    val (db, ds, sink, ckpt) = (tmp("db").toString, tmp("ds").toString,
+      tmp("sink").toString, tmp("ckpt").toString)
+    def arrive(name: String): Unit = {
+      val from = new java.io.File(src, name)
+      val to = stage.resolve(name)
+      Files.copy(from.toPath, to, StandardCopyOption.REPLACE_EXISTING)
+      assert(to.toFile.setLastModified(from.lastModified))
+    }
+    // leg 1: only b0 has arrived; the stream drains it and "dies"
+    arrive("b0.parquet")
+    DocQueries.runStreamIndexDedup(spark, dir, stage.toString,
+      db, ds, sink, ckpt)
+    // leg 2: b1 arrives; a fresh execution resumes from the SAME
+    // checkpoint against the same sink/delta dirs
+    arrive("b1.parquet")
+    DocQueries.runStreamIndexDedup(spark, dir, stage.toString,
+      db, ds, sink, ckpt)
+    val resumed = DocQueries.streamDedupTable(spark, sink)
+      .collect().map(_.toSeq).toSeq
+    assert(resumed === streamed.map(_.toSeq).toSeq,
+      "restarted stream diverged from the one-shot run")
+  }
 }

@@ -26,6 +26,16 @@ object DocQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  /** The 5-gram window explode every gram/shingle consumer shares —
+    * ONE definition of the token-window contract (width 5,
+    * space-joined, over a `toks` array<string> column) so q23's
+    * fallback branch, `shingleTable`, q117's corpus pass and the gram
+    * index cannot drift apart (review finding: this expression
+    * previously lived in four hand-synchronized string literals). */
+  private def gramExplode: Column =
+    explode(expr("transform(sequence(1, size(toks) - 4), " +
+      "i -> concat_ws(' ', slice(toks, i, 5)))"))
+
   /** The q104/q108 vocab join-back strategy flag, parsed DEFENSIVELY:
     * only an explicit "false" (case-insensitive, trimmed) selects the
     * shuffle path; any other value — including "1"/"0"/typos that
@@ -177,9 +187,7 @@ object DocQueries {
           docs(s, dir)
             .select($"doc_id", split(lower($"text"), " ").as("toks"))
             .filter(size($"toks") >= 5)
-            .select($"doc_id", explode(expr(
-              "transform(sequence(1, size(toks) - 4), " +
-                "i -> concat_ws(' ', slice(toks, i, 5)))")).as("shingle"))
+            .select($"doc_id", gramExplode.as("shingle"))
             .distinct()
       val sh = shBase.localCheckpoint()
       // ONE aggregation computes all 16 minhashes AND the shingle-set
@@ -2637,9 +2645,7 @@ object DocQueries {
     val cols = (Seq("doc_id") ++ keep).map(col)
     d.select(cols :+ split(lower(col("text")), " ").as("toks"): _*)
       .filter(size(col("toks")) >= 5)
-      .select(cols :+ explode(expr(
-        "transform(sequence(1, size(toks) - 4), " +
-          "i -> concat_ws(' ', slice(toks, i, 5)))")).as("shingle"): _*)
+      .select(cols :+ gramExplode.as("shingle"): _*)
       .distinct()
   }
 
@@ -3777,9 +3783,7 @@ object DocQueries {
       val corpusGrams = d.filter(!$"is_batch")
         .select(split(lower($"text"), " ").as("toks"))
         .filter(size($"toks") >= 5)
-        .select(explode(expr(
-          "transform(sequence(1, size(toks) - 4), " +
-            "i -> concat_ws(' ', slice(toks, i, 5)))")).as("shingle"))
+        .select(gramExplode.as("shingle"))
       val hits = corpusGrams
         .join(broadcast(bg.select($"shingle").distinct()),
           Seq("shingle"), "left_semi")
@@ -3849,10 +3853,28 @@ object DocQueries {
     docs(s, dir).filter(q110Mod === 2)
       .select(split(lower(col("text")), " ").as("toks"))
       .filter(size(col("toks")) >= 5)
-      .select(explode(expr(
-        "transform(sequence(1, size(toks) - 4), " +
-          "i -> concat_ws(' ', slice(toks, i, 5)))")).as("gram"))
+      .select(gramExplode.as("gram"))
       .distinct()
+
+  /** One streaming-novelty micro-batch report: the bounded batch gram
+    * set vs ONE pruned gram-index scan — the hits come from a
+    * broadcast semi-join (the index side streams map-only, never
+    * shuffles) and the novel count from a broadcast join-back.
+    * private[graft] so StreamNoveltySpec can pin the PLAN shape
+    * (broadcast, no index-side exchange) that the value-level parity
+    * law cannot see. `bg` must expose (source, shingle). */
+  private[graft] def noveltyBatchReport(bg: DataFrame,
+      grams: DataFrame): DataFrame = {
+    // index rows are distinct by construction — no re-distinct
+    val hits = grams.select(col("gram").as("shingle"))
+      .join(broadcast(bg.select(col("shingle")).distinct()),
+        Seq("shingle"), "left_semi")
+    bg.join(broadcast(hits.withColumn("hit", lit(1))),
+        Seq("shingle"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("batch_grams"),
+        count_if(col("hit").isNull).as("novel_grams"))
+  }
 
   private val q117b = QueryDef(
     "q117b_stream_novelty",
@@ -3873,15 +3895,7 @@ object DocQueries {
             val bg = shingleTable(df, Seq("source"))
               .select($"source", $"shingle").distinct()
               .localCheckpoint()
-            // index rows are distinct by construction — no re-distinct
-            val hits = grams.select($"gram".as("shingle"))
-              .join(broadcast(bg.select($"shingle").distinct()),
-                Seq("shingle"), "left_semi")
-            bg.join(broadcast(hits.withColumn("hit", lit(1))),
-                Seq("shingle"), "left")
-              .groupBy($"source")
-              .agg(count(lit(1)).as("batch_grams"),
-                count_if($"hit".isNull).as("novel_grams"))
+            noveltyBatchReport(bg, grams)
               .coalesce(1)
               .write.mode("overwrite").parquet(s"$sink/batch=$id")
         }

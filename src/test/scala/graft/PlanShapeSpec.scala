@@ -80,9 +80,10 @@ class PlanShapeSpec extends AnyFunSuite {
         // equi-keyed on source.
         "q116b_stream_drift",
         // q117b: same stream-replay side effect; its read-time plan is
-        // a pure sink scan (no join at all) — the per-batch probe plan
-        // is gram-index semi-join against a broadcast batch set,
-        // differentially pinned in StreamNoveltySpec.
+        // a pure sink scan (no join at all). The per-batch probe plan
+        // (gram-index BROADCAST semi-join, index never shuffled) is
+        // plan-asserted in StreamNoveltySpec via noveltyBatchReport,
+        // and its values are parity-pinned there too.
         "q117b_stream_novelty",
         // q74 cross-joins the ONE-row corpus-size scalar against the
         // tf table — a broadcast of exactly one row (the standard

@@ -59,6 +59,26 @@ class StreamNoveltySpec extends AnyFunSuite {
     assert(streamed.map(_.toSeq).toSeq === expected)
   }
 
+  test("per-batch probe plan: index side broadcast-semi, never shuffled") {
+    // the scale contract the parity law cannot see: the gram index
+    // must stream map-only through a BROADCAST semi-join (hits bounded
+    // by the batch grams) — a regression to a sort-merge/shuffled-hash
+    // join would shuffle the full index per micro-batch while keeping
+    // every value-level test green
+    val bg = DocQueries
+      .shingleTable(Tables.load(spark, dir, "documents")
+          .filter(DocQueries.q110Mod === 0),
+        Seq("source"))
+      .select(col("source"), col("shingle")).distinct()
+    val rep = DocQueries.noveltyBatchReport(bg, Tables.gramIndex(spark, dir))
+    val plan = rep.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"index probe is not a broadcast semi-join:\n$plan")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"),
+      s"gram index side is being shuffled:\n$plan")
+  }
+
   test("corpus monotonicity vs q117: superset corpus never increases novelty") {
     val batch1 = streamed.filter(_.getAs[Long]("batch") == 1L)
       .map(r => r.getAs[String]("source") ->

@@ -193,14 +193,24 @@ object Bench {
     * degradation occurs — behaviors pinned in BenchAggSpec. */
   def compactLine(
       good: Seq[(String, Double, Double, Double, Int)],
-      total: Double, repsMin: Int, reps: Int, failed: Seq[String],
-      ingestOk: Boolean, ingestSecs: Double, sfDir: String): String = {
+      total: Double, reps: Int, failed: Seq[String],
+      ingestOk: Boolean, sfDir: String): String = {
     val shortKey = shortKeys(good.map(_._1))
+    // COMPACT-TAIL SHAVE (round-15 verdict item 1: the 144-query
+    // worst-realistic 2-dec form sat EXACTLY at the 1950 budget, so
+    // entry #145 would have silently degraded medians to 1-dec):
+    // reps_min and ingest_secs are diagnostics that always ride in the
+    // FULL JSON (reps_ok per query; the per-artifact "ingest" array),
+    // and the sf path collapses to its basename — 49 chars back, which
+    // buys 2-dec headroom past 150 entries at realistic (< 10 s)
+    // medians. Every field the driver gate reads (metric/value/unit/
+    // queries/failed/ingest_ok/sf) keeps its key.
+    val sfBase = new java.io.File(sfDir).getName
     def tail(failedJson: String): String =
-      s""""reps":$reps,"failed":$failedJson,"ingest_ok":$ingestOk,"ingest_secs":${num(ingestSecs)},"sf":"$sfDir""""
+      s""""reps":$reps,"failed":$failedJson,"ingest_ok":$ingestOk,"sf":"$sfBase""""
     val failedFull = failed.map("\"" + jesc(_) + "\"").mkString("[", ",", "]")
     def render(qs2: String, failedJson: String): String =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs2,"reps_min":$repsMin,${tail(failedJson)}}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs2,${tail(failedJson)}}"""
     def qsAt(dec: Int): String = good.map { case (k, med, mn, _, _) =>
       val v =
         if (mn > 0 && med / mn > 2.0)
@@ -229,7 +239,10 @@ object Bench {
     // at the 143-query registry (round 15): the realistic-width 2-dec
     // form reached 1936, and degrading it to 1-dec would quantize the
     // driver's per-query 2x gate on sub-second queries — precision the
-    // gate actually reads beats 50 chars of extra slack.
+    // gate actually reads beats 50 chars of extra slack. Round 16
+    // shaved the tail instead of raising the budget again (see the
+    // tail comment above); BenchAggSpec pins 2-dec headroom for a
+    // 150-entry registry at sub-10 s medians.
     ladder.find(_.length <= 1950).getOrElse(render("{}", failedShort))
   }
 
@@ -433,9 +446,15 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] pass $pass $name failed: ${e.getMessage}")
       } finally {
-        // POST-timing: release any cache the query persisted (q93) so
-        // each pass pays its own cache build and nothing accumulates
+        // POST-timing: release any cache the query persisted (q93) and
+        // delete the streaming queries' per-rep scratch dirs (sink/
+        // checkpoint/delta roots — round-15 ADVICE item 2: 3+ timed
+        // passes were accumulating a full delta-index + sink copy per
+        // rep under /tmp) so each pass pays its own build and nothing
+        // accumulates. Safe here: the toRdd action above already
+        // consumed the sink read.
         queries.QueryCaches.releaseAll()
+        queries.Scratch.purge()
       }
     }
     (1 to Passes).foreach { pass =>
@@ -499,13 +518,12 @@ object Bench {
     // Two renderings of the same measurement:
     //  - FULL (spread + reps_ok diagnostics) → bench_out.json,
     //    /tmp/graft-bench.json and a greppable stderr line;
-    //  - COMPACT (no spread/reps_ok; reps_min = min passes any query
-    //    survived, so a partially-failed query is still detectable) →
-    //    the single stdout line. The driver stores only the last 2000
-    //    chars of stdout and round-5's 3.4 KB full line overflowed that
-    //    window, leaving "parsed": null — the compact line is ~1.6 KB
-    //    for the 50-query corpus, so the gate can parse it again.
-    val repsMin = if (good.isEmpty) 0 else good.map(_._5).min
+    //  - COMPACT (no spread/reps_ok/reps_min/ingest_secs — a partially
+    //    failed query is detectable from the full JSON's per-query
+    //    reps_ok) → the single stdout line. The driver stores only the
+    //    last 2000 chars of stdout and round-5's 3.4 KB full line
+    //    overflowed that window, leaving "parsed": null — the compact
+    //    line stays under the 1950 ladder budget at 150+ queries.
     val tailCommon =
       s""""reps":$Passes,"failed":$failed,"ingest_ok":$ingestOk,"ingest_secs":${num(ingestSecs)},"sf":"$sfDir""""
     // per-artifact ingest detail rides only in the FULL renderings —
@@ -519,8 +537,8 @@ object Bench {
     // the compact stdout line must survive the driver's 2000-char tail
     // capture at 100+ queries: short keys, 2-decimal medians, no
     // value_min/qps/spread (all live in the full JSON renderings)
-    val compact = compactLine(good, total, repsMin, Passes, failedNames,
-      ingestOk, ingestSecs, sfDir)
+    val compact = compactLine(good, total, Passes, failedNames,
+      ingestOk, sfDir)
     if (compact.length > 1950) System.err.println(
       s"[bench] WARNING compact stdout line is ${compact.length} chars — nearing the driver's 2000-char tail window")
     // Greppable stderr copy + JSON files FIRST, then the bare stdout

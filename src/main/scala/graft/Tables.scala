@@ -393,18 +393,28 @@ object Tables {
     * phase like the MinHash indexes. */
   def gramIndex(spark: SparkSession, dir: String): DataFrame =
     synchronized {
-      val slug = "docs_grams_base_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-      val loc = new java.io.File(wh, slug)
+      val loc = gramBaseLoc(spark, dir, "")
       if (!new java.io.File(loc, "_SUCCESS").exists()) {
         val t0 = System.nanoTime()
         graft.queries.DocQueries.corpusGramSet(spark, dir)
           .write.mode("overwrite").parquet(loc.toString)
         System.err.println(
-          f"[tables] wrote gram index $slug in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+          f"[tables] wrote gram index ${loc.getName} in ${(System.nanoTime() - t0) / 1e9}%.1f s")
       }
       spark.read.parquet(loc.toString)
     }
+
+  /** Warehouse location of a gram-index relation: "" = the base set
+    * gramIndex materializes; "_delta" = the admitted-gram segment
+    * q117c appends — ONE slug derivation (the minhashBaseLoc contract
+    * at gram granularity) so the delta cannot drift away from the base
+    * it extends. */
+  private[graft] def gramBaseLoc(
+      spark: SparkSession, dir: String, suffix: String): java.io.File = {
+    val slug = "docs_grams_base_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    new java.io.File(wh, slug + suffix)
+  }
 
   /** Tiny year→era dimension, materialized ONCE as parquet (the
     * date-dim every warehouse keeps as a real table). It must be a

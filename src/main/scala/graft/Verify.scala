@@ -30,10 +30,14 @@ object Verify {
           errors(name) = msg
           System.err.println(s"[verify] $name failed: $msg")
         } finally {
-          // release any cache a query persisted (q93) — in a finally so a
+          // release any cache a query persisted (q93) and delete the
+          // streaming queries' scratch dirs — in a finally so a
           // failure AFTER persist() still drops its entries immediately
-          // (round-9 ADVICE item 3), mirroring Bench's structure
+          // (round-9 ADVICE item 3), mirroring Bench's structure. The
+          // write above already consumed the sink read, so deletion is
+          // safe (Scratch's contract).
           queries.QueryCaches.releaseAll()
+          queries.Scratch.purge()
         }
       }
     // JSON string escape (shared with Bench — ONE escape table, so the

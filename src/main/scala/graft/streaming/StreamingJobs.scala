@@ -49,6 +49,33 @@ object StreamingJobs {
   def incrementalPlanOf(name: String): Option[String] =
     Option(incrementalPlans.get(name))
 
+  /** INNER (foreachBatch) plans per streaming query, keyed
+    * "name batch=<id>". capturePlan above records the micro-batch
+    * SOURCE plan (the IncrementalExecution the streaming engine ran);
+    * for foreachBatch jobs the real work — the per-batch dedup joins,
+    * the novelty probe — happens in nested actions INSIDE the batch
+    * function, invisible to lastExecution. The per-batch kernels
+    * therefore record their work DataFrame's formatted plan here just
+    * before executing it (round-15 verdict item 4); PLANS.md's
+    * streaming sections and StreamIndexDedupSpec's compacted-read pin
+    * consume them. Keys are overwritten per run (idempotent, like the
+    * batch writes they describe). */
+  private val innerPlans =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def recordInnerPlan(key: String, df: DataFrame): Unit =
+    innerPlans.put(key, df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))): Unit
+
+  def innerPlanOf(key: String): Option[String] =
+    Option(innerPlans.get(key))
+
+  def innerPlanKeys: Seq[String] = {
+    val b = Seq.newBuilder[String]
+    innerPlans.forEach((k, _) => b += k)
+    b.result().sorted
+  }
+
   /** Schema of replay files written by prepareReplay (events with ts
     * already truncated to µs and typed LTZ for watermark support). */
   val replaySchema: StructType = StructType(Seq(

@@ -45,10 +45,11 @@ object PlanDump {
     "q109_dsir_select"       -> "DSIR selection: fixed 64-row model broadcast join-back, TakeOrderedAndProject global top-k, reused scored exchange",
     "q110_incremental_dedup" -> "incremental dedup: batch-vs-corpus band equi-join, sorted_icount verify on candidates only, |sources|-row funnel",
     // round-14 ten (verdict item 4: the spec-pinned plans in reviewable
-    // form) + round-15 compaction. q110d/q116b are deliberately absent:
-    // their returned DataFrames are change-log sink reads (the q44
-    // caveat) — their batch kernels are q110c's plan below and their
-    // streaming laws live in StreamIndexDedupSpec / the q116b scaladoc.
+    // form) + round-15 compaction. The streaming entries (q110d/q110f/
+    // q116b/q117b) are absent HERE because their returned DataFrames
+    // are change-log sink reads (the q44 caveat) — their real per-batch
+    // work is dumped from the RECORDED inner foreachBatch plans in the
+    // streaming section below (round-15 verdict item 4).
     "q110c_index_append_cycle" -> "index append cycle: base∪delta union of pruned index scans, broadcast kept-id semis, delta segment written mid-query",
     "q110e_index_compaction" -> "index compaction: base∪delta folded into one segment, batch 2 reads a single pruned scan per relation — no delta anywhere",
     "q113_domain_mixture"    -> "DoReMi-lite mixture: |sources|-row broadcast plan join-back, scan-stage md5 accept coin",
@@ -59,7 +60,21 @@ object PlanDump {
     "q118_boilerplate_prune" -> "boilerplate suppression: cross-doc min/max flag inside the one chunk_md5 exchange, zero extra shuffles",
     "q119_hard_negatives"    -> "hard-negative mining: banded LSH candidates, label gate BEFORE exact rescore, bounded topk_by_score heap",
     "q120_curriculum_pack"   -> "curriculum packing: value-based quartiles from a bounded histogram, stage-map broadcast, per-stage packing",
-    "q121_alignment_audit"   -> "alignment audit: id equi-join, map-side contingency collapse, purity window on the bounded label frame")
+    "q121_alignment_audit"   -> "alignment audit: id equi-join, map-side contingency collapse, purity window on the bounded label frame",
+    // round 16
+    "q117c_gram_index_append" -> "cumulative gram append: one broadcast-semi probe feeds report AND delta write; batch 2 probes base∪delta union map-only")
+
+  /** Streaming entries whose real work happens INSIDE foreachBatch
+    * (the returned DataFrame is a sink read): running the query
+    * records each micro-batch kernel's plan via
+    * StreamingJobs.recordInnerPlan, and the sections below dump them —
+    * the per-batch dedup/probe join shapes a 100 TB operator reads
+    * first (round-15 verdict item 4). */
+  private val streamPicks = Seq(
+    "q110d_stream_index_dedup" -> "streaming incremental dedup — per-batch dedup vs base ∪ strictly-earlier deltas (`batch < id`), broadcast kept-id semis",
+    "q110f_stream_compaction"  -> "streaming compaction — batch 0 dedups vs base then folds; batch 1 scans the COMPACTED segment alone (no base, no delta)",
+    "q116b_stream_drift"       -> "streaming drift — stateless |sources|-row count inside foreachBatch; corpus joined at read time",
+    "q117b_stream_novelty"     -> "streaming novelty — bounded batch grams broadcast-semi against ONE pruned gram-index scan per batch")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -78,8 +93,24 @@ object PlanDump {
       }
       out ++= s"\n## $name — $why\n\n```\n${buf.toString("UTF-8").trim}\n```\n"
     }
+    var streamSections = 0
+    streamPicks.foreach { case (name, why) =>
+      // building the DataFrame RUNS the replay (the q44 caveat), which
+      // records each micro-batch kernel's plan as a side effect
+      SparkEntry.queries(name)(spark, sfDir)
+      val keys = graft.streaming.StreamingJobs.innerPlanKeys
+        .filter(_.startsWith(name + " "))
+      require(keys.nonEmpty, s"$name recorded no inner plans")
+      out ++= s"\n## $name — $why (recorded inner foreachBatch plans)\n"
+      keys.foreach { k =>
+        val plan = graft.streaming.StreamingJobs.innerPlanOf(k).get.trim
+        out ++= s"\n### $k\n\n```\n$plan\n```\n"
+        streamSections += 1
+      }
+    }
     Files.writeString(Paths.get("PLANS.md"), out.toString)
-    println(s"[plandump] wrote PLANS.md (${picks.size} plans)")
+    println(s"[plandump] wrote PLANS.md (${picks.size} plans + " +
+      s"$streamSections streaming inner plans)")
     spark.stop()
   }
 }

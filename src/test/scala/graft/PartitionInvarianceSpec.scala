@@ -148,7 +148,17 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // q121 (round 14): the cross-table id join, the contingency
     // partials, and the purity argmax (deterministic count-desc/lang-
     // asc tie-break) must commute with partitioning
-    "q121_alignment_audit")
+    "q121_alignment_audit",
+    // q110f (round 16): the mid-stream compaction fold and the batch-1
+    // dedup against the compacted-only read must both commute with
+    // layout — same contract as q110e, now through the checkpointed
+    // streaming path (fresh scratch dirs per run, so the three layouts
+    // never share state)
+    "q110f_stream_compaction",
+    // q117c (round 16): the probe semi/anti chain, the admitted-gram
+    // delta round trip, and the base∪delta union probe must all
+    // commute with partitioning or batch-2's novelty would drift
+    "q117c_gram_index_append")
 
   private def canonical(name: String): Seq[String] = {
     val df = Registry.byName(name).run(spark, dir)

@@ -73,6 +73,11 @@ class PlanShapeSpec extends AnyFunSuite {
         // those entries; its streaming laws live in
         // StreamIndexDedupSpec.
         "q110d_stream_index_dedup",
+        // q110f: q110d's exclusion rationale (full stream replay as a
+        // side effect, sink-read return plan) — its per-batch inner
+        // plans, including the batch-1 compacted-only read, are
+        // RECORDED and pinned in StreamIndexDedupSpec.
+        "q110f_stream_compaction",
         // q116b runs the same stream replay side effect AND its
         // read-time report fans the ONE-row corpus total out over the
         // bounded per-batch frame (the q74/q93 scalar-fanout shape: a

@@ -76,6 +76,43 @@ class StreamIndexDedupSpec extends AnyFunSuite {
       "redelivered batches changed the sink or the index segments")
   }
 
+  test("torn write: a crash after the segment write, before the sink write, converges on restart") {
+    // the at-least-once case the between-batches resume law does NOT
+    // cover (round-15 verdict item 6): the process dies INSIDE
+    // foreachBatch after the batch's delta segment landed but before
+    // its sink partition (and therefore before the checkpoint commit).
+    // On restart the same batchId re-runs: its `batch < id` filter
+    // hides its own torn first-delivery segment, the segment overwrite
+    // rewrites the same bytes, and the sink write completes — the
+    // idempotence argument, demonstrated rather than argued.
+    val replay = StreamingJobs.docsReplayDir(spark, dir)
+    def tmp(t: String): String = java.nio.file.Files
+      .createTempDirectory(s"graft-sidt-$t").toString
+    val (db, ds, sink, ckpt) =
+      (tmp("dbands"), tmp("dsets"), tmp("sink"), tmp("ckpt"))
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val thrown = intercept[Exception] {
+      DocQueries.runStreamIndexDedup(spark, dir, replay, db, ds, sink,
+        ckpt, crashBeforeSink = id =>
+          if (id == 1L && crashed.compareAndSet(false, true))
+            throw new RuntimeException("torn-write injection"))
+    }
+    assert(thrown.getMessage != null)
+    assert(crashed.get, "the injected crash never fired")
+    // the tear is real: batch 1's segment exists, its sink doesn't
+    assert(new java.io.File(s"$db/batch=1").exists(),
+      "crash fired before the segment write — wrong injection point")
+    assert(!new java.io.File(s"$sink/batch=1").exists(),
+      "sink partition exists despite the pre-sink crash")
+    // restart from the same checkpoint with no injection: batch 1
+    // re-runs, overwrites its torn segment, writes its sink
+    DocQueries.runStreamIndexDedup(spark, dir, replay, db, ds, sink, ckpt)
+    val recovered = DocQueries.streamDedupTable(spark, sink)
+      .collect().map(_.toSeq).toSeq
+    assert(recovered === streamed.map(_.toSeq).toSeq,
+      "post-crash rerun diverged from the one-shot run")
+  }
+
   test("checkpoint resume: a restart between batches equals the one-shot run") {
     // the restart case redelivery doesn't cover: the stream DIES after
     // batch 0 (here: drains a replay dir that only holds b0), then a
@@ -111,5 +148,120 @@ class StreamIndexDedupSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSeq
     assert(resumed === streamed.map(_.toSeq).toSeq,
       "restarted stream diverged from the one-shot run")
+  }
+
+  // ------------------------------------------------------------- q110f
+  // Streaming compaction (round-15 verdict item 2): q110e's fold runs
+  // INSIDE the q110d loop after batch 0. The shared q110c oracle
+  // grades the funnel; these laws pin the storage story it cannot see.
+
+  private lazy val compacted = Registry.byName("q110f_stream_compaction")
+    .run(spark, dir).collect()
+
+  test("q110f: mid-stream compaction funnel equals the batch q110c relation") {
+    val cyc = Registry.byName("q110c_index_append_cycle")
+      .run(spark, dir).collect()
+    assert(compacted.map(_.toSeq).toSeq === cyc.map(_.toSeq).toSeq)
+  }
+
+  test("q110f: batch 1 reads the compacted segment only — no base, no delta") {
+    // the IndexCompactSpec read-side signature, extended to the
+    // streaming path: the RECORDED per-batch inner plan (the dedup
+    // join that actually ran inside foreachBatch) must scan the
+    // compacted locations and must NOT touch the base index or any
+    // delta segment. Driven directly so the dir paths are known.
+    val replay = StreamingJobs.docsReplayDir(spark, dir)
+    def tmp(t: String): String = java.nio.file.Files
+      .createTempDirectory(s"graft-sifc-$t").toString
+    val (db, ds, cb, cs, sink, ckpt) = (tmp("db"), tmp("ds"), tmp("cb"),
+      tmp("cs"), tmp("sink"), tmp("ckpt"))
+    DocQueries.runStreamCompactDedup(spark, dir, replay, db, ds, cb, cs,
+      sink, ckpt)
+    val plan = StreamingJobs
+      .innerPlanOf("q110f_stream_compaction batch=1")
+      .getOrElse(fail("batch-1 inner plan was not recorded"))
+    assert(plan.contains(cb) && plan.contains(cs),
+      s"batch-1 dedup does not scan the compacted segment:\n$plan")
+    assert(!plan.contains(db) && !plan.contains(ds),
+      s"batch-1 dedup still scans a delta segment:\n$plan")
+    assert(!plan.contains("docs_minhash_base_"),
+      s"batch-1 dedup still scans the base index:\n$plan")
+    // and batch 0's plan, by contrast, IS the base-index read
+    val plan0 = StreamingJobs
+      .innerPlanOf("q110f_stream_compaction batch=0")
+      .getOrElse(fail("batch-0 inner plan was not recorded"))
+    assert(plan0.contains("docs_minhash_base_"),
+      s"batch-0 dedup does not scan the base index:\n$plan0")
+  }
+
+  test("q110f: checkpoint restart ACROSS the compaction boundary resumes on the compacted base") {
+    // the stream dies after batch 0 (replay dir holds only b0 — the
+    // fold has run, the funnel committed); a fresh execution resumes
+    // from the same checkpoint once b1 arrives. It must dedup batch 1
+    // against the compacted segment alone (plan pin on the resumed
+    // execution's recorded inner plan) and reproduce the one-shot
+    // funnel.
+    import java.nio.file.{Files, Path, StandardCopyOption}
+    val src = new java.io.File(StreamingJobs.docsReplayDir(spark, dir))
+    def tmp(t: String): Path = Files.createTempDirectory(s"graft-sifr-$t")
+    val stage = tmp("replay")
+    val (db, ds, cb, cs, sink, ckpt) = (tmp("db").toString,
+      tmp("ds").toString, tmp("cb").toString, tmp("cs").toString,
+      tmp("sink").toString, tmp("ckpt").toString)
+    def arrive(name: String): Unit = {
+      val from = new java.io.File(src, name)
+      val to = stage.resolve(name)
+      Files.copy(from.toPath, to, StandardCopyOption.REPLACE_EXISTING)
+      assert(to.toFile.setLastModified(from.lastModified))
+    }
+    arrive("b0.parquet")
+    DocQueries.runStreamCompactDedup(spark, dir, stage.toString,
+      db, ds, cb, cs, sink, ckpt)
+    // the fold committed before the "death": the compacted segment is
+    // already on disk when the resumed execution starts
+    assert(new java.io.File(cb, "_SUCCESS").exists() &&
+      new java.io.File(cs, "_SUCCESS").exists(),
+      "compaction did not land with batch 0")
+    arrive("b1.parquet")
+    DocQueries.runStreamCompactDedup(spark, dir, stage.toString,
+      db, ds, cb, cs, sink, ckpt)
+    val resumed = DocQueries.streamDedupTable(spark, sink)
+      .collect().map(_.toSeq).toSeq
+    assert(resumed === compacted.map(_.toSeq).toSeq,
+      "restart across the compaction boundary diverged from one-shot")
+    val plan = StreamingJobs
+      .innerPlanOf("q110f_stream_compaction batch=1")
+      .getOrElse(fail("resumed batch-1 inner plan was not recorded"))
+    assert(plan.contains(cb) && !plan.contains(db),
+      s"resumed batch 1 does not read the compacted segment alone:\n$plan")
+  }
+
+  test("q110f: at-least-once redelivery leaves sink, deltas and compacted segment unchanged") {
+    val replay = StreamingJobs.docsReplayDir(spark, dir)
+    def tmp(t: String): String = java.nio.file.Files
+      .createTempDirectory(s"graft-sifd-$t").toString
+    val (db, ds, cb, cs, sink, ckpt) = (tmp("db"), tmp("ds"), tmp("cb"),
+      tmp("cs"), tmp("sink"), tmp("ckpt"))
+    DocQueries.runStreamCompactDedup(spark, dir, replay, db, ds, cb, cs,
+      sink, ckpt)
+    def snap(): (Seq[Seq[Any]], Set[Seq[Any]], Set[Long]) = (
+      DocQueries.streamDedupTable(spark, sink)
+        .collect().map(_.toSeq).toSeq,
+      spark.read.parquet(db).select("batch", "doc_id").distinct()
+        .collect().map(_.toSeq).toSet,
+      spark.read.parquet(cb).select("doc_id").distinct()
+        .collect().map(_.getLong(0)).toSet)
+    val before = snap()
+    // redeliver both batches; batch 0 re-runs the FOLD too — the
+    // compacted overwrite must rewrite the same relation
+    val (iBands, iSets) = Tables.minhashIndexBase(spark, dir)
+    val all = spark.read.parquet(replay)
+    Seq(0L, 1L).foreach { id =>
+      DocQueries.streamCompactBatch(spark,
+        all.filter(DocQueries.q110Mod === id), id,
+        iBands, iSets, db, ds, cb, cs, sink)
+    }
+    assert(snap() === before,
+      "redelivered batches changed the sink, a delta, or the compacted segment")
   }
 }

@@ -236,6 +236,70 @@ class StreamIndexDedupSpec extends AnyFunSuite {
       s"resumed batch 1 does not read the compacted segment alone:\n$plan")
   }
 
+  test("q110f: generalized id>1 read (compacted ∪ later deltas) equals the uncompacted path") {
+    // the two-batch replay never exercises streamCompactBatch's
+    // id > 1 branch (compacted ∪ deltas in (0, id)); drive a THREE-
+    // batch delivery through BOTH kernels directly and pin
+    // read-equivalence per batch: compacted = base ∪ delta-0, so
+    // q110f's (compacted ∪ delta-1) read at id 2 must produce the
+    // same funnel as q110d's (base ∪ delta-0 ∪ delta-1) read —
+    // byte-identical sink partitions across all three batches.
+    val docsAll = Tables.load(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.col("text"))
+    // batch 0 = the mod-0 carve; batches 1/2 split the mod-1 carve by
+    // doc_id parity — three genuine ingest batches over the same base
+    val batches = Seq(
+      docsAll.filter(DocQueries.q110Mod === 0),
+      docsAll.filter(DocQueries.q110Mod === 1)
+        .filter(col("doc_id") % 2 === 0),
+      docsAll.filter(DocQueries.q110Mod === 1)
+        .filter(col("doc_id") % 2 === 1))
+    val (iBands, iSets) = Tables.minhashIndexBase(spark, dir)
+    def tmp(t: String): String = java.nio.file.Files
+      .createTempDirectory(s"graft-sifg-$t").toString
+    def seed(db: String, ds: String): Unit = {
+      iBands.select("doc_id", "band_idx", "band_val").limit(0)
+        .write.mode("overwrite").parquet(s"$db/batch=-1")
+      iSets.select("doc_id", "ss", "n").limit(0)
+        .write.mode("overwrite").parquet(s"$ds/batch=-1")
+    }
+    // uncompacted path (q110d's kernel)
+    val (db1, ds1, sink1) = (tmp("db1"), tmp("ds1"), tmp("sink1"))
+    seed(db1, ds1)
+    batches.zipWithIndex.foreach { case (b, id) =>
+      DocQueries.streamDedupBatch(spark, b, id.toLong, iBands, iSets,
+        db1, ds1, sink1)
+    }
+    // compact-at-batch-0 path (q110f's kernel) — id 2 takes the
+    // compacted ∪ delta-1 branch
+    val (db2, ds2, cb, cs, sink2) =
+      (tmp("db2"), tmp("ds2"), tmp("cb"), tmp("cs"), tmp("sink2"))
+    seed(db2, ds2)
+    batches.zipWithIndex.foreach { case (b, id) =>
+      DocQueries.streamCompactBatch(spark, b, id.toLong, iBands, iSets,
+        db2, ds2, cb, cs, sink2)
+    }
+    def funnel(sink: String): Seq[Seq[Any]] =
+      DocQueries.streamDedupTable(spark, sink)
+        .collect().map(_.toSeq).toSeq
+    val (f1, f2) = (funnel(sink1), funnel(sink2))
+    assert(f1 === f2,
+      "compacted read diverged from the base∪deltas read at id 2")
+    assert(f1.map(_.head).toSet === Set(1L, 2L, 3L),
+      "three-batch delivery did not produce three sink partitions")
+    // and the id-2 inner plan really took the generalized branch:
+    // compacted location AND the delta root, never the base index
+    val plan2 = StreamingJobs
+      .innerPlanOf("q110f_stream_compaction batch=2")
+      .getOrElse(fail("batch-2 inner plan was not recorded"))
+    assert(plan2.contains(cb) && plan2.contains(db2),
+      s"id-2 read is not compacted ∪ later deltas:\n$plan2")
+    assert(!plan2.contains("docs_minhash_base_"),
+      s"id-2 read still scans the base index:\n$plan2")
+  }
+
   test("q110f: at-least-once redelivery leaves sink, deltas and compacted segment unchanged") {
     val replay = StreamingJobs.docsReplayDir(spark, dir)
     def tmp(t: String): String = java.nio.file.Files

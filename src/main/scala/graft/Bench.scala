@@ -199,8 +199,9 @@ object Bench {
     // COMPACT-TAIL SHAVE (round-15 verdict item 1: the 144-query
     // worst-realistic 2-dec form sat EXACTLY at the 1950 budget, so
     // entry #145 would have silently degraded medians to 1-dec):
-    // reps_min and ingest_secs are diagnostics that always ride in the
-    // FULL JSON (reps_ok per query; the per-artifact "ingest" array),
+    // reps_min (derivable from the full JSON's per-query reps_ok) and
+    // ingest_secs (present verbatim in the full JSON, plus per artifact
+    // in its "ingest" array) left the compact line,
     // and the sf path collapses to its basename — 49 chars back, which
     // buys 2-dec headroom past 150 entries at realistic (< 10 s)
     // medians. Every field the driver gate reads (metric/value/unit/

@@ -488,10 +488,11 @@ object EventQueries {
       import s.implicits._
       import graft.streaming.StreamingJobs
       val replay = StreamingJobs.replayDirMulti(s, dir)
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-q79-sink").toString
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft-q79-ckpt").toString
+      // Scratch-registered like the q110d family's dirs (round-16
+      // review finding: q79 was the one streaming query still leaking
+      // its per-rep sink/checkpoint copies past the harness purge)
+      val out = Scratch.dir("graft-q79-sink")
+      val ckpt = Scratch.dir("graft-q79-ckpt")
       StreamingJobs.withStatePartitions(s, 8) {
         StreamingJobs.runForeachBatchCounts(s, replay, ckpt, out)
       }

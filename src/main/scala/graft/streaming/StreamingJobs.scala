@@ -73,7 +73,18 @@ object StreamingJobs {
   def innerPlanKeys: Seq[String] = {
     val b = Seq.newBuilder[String]
     innerPlans.forEach((k, _) => b += k)
-    b.result().sorted
+    // order by (name, NUMERIC batch id): a lexicographic sort would
+    // put batch=10 before batch=2 in PLANS.md's streaming sections
+    // once a replay exceeds 9 micro-batches (round-16 review finding)
+    b.result().sortBy { k =>
+      val i = k.lastIndexOf("batch=")
+      val id = if (i < 0) Long.MaxValue
+        else k.drop(i + 6).takeWhile(c => c.isDigit || c == '-') match {
+          case "" => Long.MaxValue
+          case n  => n.toLong
+        }
+      (if (i < 0) k else k.take(i), id)
+    }
   }
 
   /** Schema of replay files written by prepareReplay (events with ts

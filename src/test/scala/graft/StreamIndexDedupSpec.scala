@@ -202,6 +202,12 @@ class StreamIndexDedupSpec extends AnyFunSuite {
     // execution's recorded inner plan) and reproduce the one-shot
     // funnel.
     import java.nio.file.{Files, Path, StandardCopyOption}
+    // force the one-shot reference FIRST: under isolated test
+    // selection the lazy Registry run would otherwise execute at the
+    // final assert, AFTER this test's own legs, and overwrite the
+    // recorded batch=1 inner plan with its own scratch paths (round-16
+    // review finding)
+    val oneShot = compacted.map(_.toSeq).toSeq
     val src = new java.io.File(StreamingJobs.docsReplayDir(spark, dir))
     def tmp(t: String): Path = Files.createTempDirectory(s"graft-sifr-$t")
     val stage = tmp("replay")
@@ -227,7 +233,7 @@ class StreamIndexDedupSpec extends AnyFunSuite {
       db, ds, cb, cs, sink, ckpt)
     val resumed = DocQueries.streamDedupTable(spark, sink)
       .collect().map(_.toSeq).toSeq
-    assert(resumed === compacted.map(_.toSeq).toSeq,
+    assert(resumed === oneShot,
       "restart across the compaction boundary diverged from one-shot")
     val plan = StreamingJobs
       .innerPlanOf("q110f_stream_compaction batch=1")

@@ -4019,8 +4019,8 @@ object DocQueries {
   // `batch=<id>` sink partitions (the q79 contract) and the report is
   // a pure sink read. Novelty here is measured against the STANDING
   // corpus (stateless monitor, like q116b) — the cumulative
-  // admitted-gram form is the dedup loop's job (q110d), not the
-  // monitor's. Oracle recomputes both batches against the mod-2 gram
+  // admitted-gram form is q117c (relational append cycle) and q117d
+  // (that cycle streamed). Oracle recomputes both batches against the mod-2 gram
   // set relationally; StreamNoveltySpec pins the stream ≡ relational
   // parity per batch, the index's exact membership, and the
   // corpus-monotonicity cross-law vs q117 (q117's corpus is a strict
@@ -4197,7 +4197,17 @@ object DocQueries {
           expr("novel_grams * 1000000 DIV batch_grams").as("novelty_ppm"))
         .orderBy($"batch", $"source")
     },
-    Some("""WITH t AS (
+    Some(q117cOracleSql))
+
+  /** The cumulative-novelty relation in pure set semantics — batch 1
+    * graded against the mod-2 gram set, batch 2 against mod-2 ∪ mod-0
+    * — never modeling the delta segment. ONE text shared by q117c
+    * (relational append cycle) and q117d (the same loop as a
+    * checkpointed stream), the q110c/q110d oracle-sharing pattern: the
+    * hash gate grades the streaming plumbing against the relation it
+    * must materialize. */
+  private lazy val q117cOracleSql: String =
+    """WITH t AS (
         SELECT doc_id, source,
           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
             % 3 AS m,
@@ -4225,7 +4235,106 @@ object DocQueries {
           AS novel_grams,
         CAST(SUM(CASE WHEN NOT hit THEN 1 ELSE 0 END) AS BIGINT)
           * 1000000 // COUNT(*) AS novelty_ppm
-      FROM f GROUP BY 1, 2 ORDER BY 1, 2"""))
+      FROM f GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  // -------------------------------------------------------------- Q117d
+  // STREAMING CUMULATIVE GRAM APPEND — q117c's append cycle run as a
+  // checkpointed stream, completing the monitor family the way q110d
+  // completed the dedup family (q117c : q117d :: q110c : q110d): the
+  // two-file replay drains through a foreachBatch that measures each
+  // arriving batch's novelty against the gram index ∪ the admitted
+  // grams of STRICTLY-EARLIER batches (`batch < id` — a redelivered
+  // batch ignores its own first-delivery segment, so at-least-once
+  // delivery cannot make a batch's grams look familiar to itself),
+  // writes its per-source counts to the sink's `batch=<id>` partition
+  // and appends its novel grams as its own idempotent `batch=<id>`
+  // delta segment. Every write is a pure function of (batchId, data) —
+  // the q79/q110d change-log contract. Oracle = q117c's UNCHANGED (the
+  // stream materializes the same cumulative relation), so the hash
+  // gate grades the streaming plumbing — ordering, checkpointing,
+  // idempotent segment/sink writes — against pure set semantics.
+  // GramAppendSpec pins stream ≡ q117c parity row for row, redelivery
+  // idempotence over sink AND segments, checkpoint resume between
+  // batches, and the recorded per-batch probe plan (index side
+  // broadcast-semi, never shuffled).
+  //
+  // Scale shape (100 TB corpus, bounded micro-batches): per batch,
+  // O(batch) shingling + one broadcast-semi probe over the pruned
+  // index ∪ prior-delta scans (hits bounded by the batch grams), a
+  // delta write linear in batch-NOVEL grams, and a |sources|-row sink
+  // write. The corpus text is never touched after the index build; the
+  // index grows by exactly the admitted novel grams per batch; the
+  // monitor holds no streaming state (the cumulative memory lives in
+  // the write-once segments, not the state store). Fresh
+  // sink/ckpt/delta dirs per run (Scratch-registered).
+  /** One streaming cumulative-novelty micro-batch — pure function of
+    * (batchId, data). private[graft] for GramAppendSpec's redelivery
+    * law. */
+  private[graft] def streamGramBatch(s: SparkSession, micro: DataFrame,
+      id: Long, grams: DataFrame, deltaDir: String,
+      sinkDir: String): Unit = {
+    val bg = shingleTable(micro, Seq("source"))
+      .select(col("source"), col("shingle")).distinct()
+      .localCheckpoint()
+    val ref = grams.union(
+      s.read.parquet(deltaDir).filter(col("batch") < id)
+        .select(col("gram")))
+    val hitsPlan = noveltyHits(bg, ref)
+    graft.streaming.StreamingJobs.recordInnerPlan(
+      s"q117d_stream_gram_append batch=$id", hitsPlan)
+    val hits = hitsPlan.localCheckpoint()
+    noveltyReportFromHits(bg, hits).coalesce(1)
+      .write.mode("overwrite").parquet(s"$sinkDir/batch=$id")
+    bg.select(col("shingle").as("gram")).distinct()
+      .join(broadcast(hits.select(col("shingle").as("gram"))),
+        Seq("gram"), "left_anti")
+      .write.mode("overwrite").parquet(s"$deltaDir/batch=$id")
+  }
+
+  /** Run the streaming cumulative-novelty replay: seed an empty delta
+    * root (the q110d schema-seed contract), drain the two-file replay
+    * with AvailableNow. private[graft] for GramAppendSpec's resume
+    * law. */
+  private[graft] def runStreamGramAppend(s: SparkSession, dir: String,
+      replayDir: String, deltaDir: String, sinkDir: String,
+      ckpt: String): Unit = {
+    val grams = Tables.gramIndex(s, dir)
+    grams.limit(0).select(col("gram"))
+      .write.mode("overwrite").parquet(s"$deltaDir/batch=-1")
+    val q = graft.streaming.StreamingJobs.readDocsStream(s, replayDir)
+      .writeStream
+      .foreachBatch {
+        (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         id: Long) =>
+          streamGramBatch(s, df, id, grams, deltaDir, sinkDir)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.streaming.StreamingJobs.capturePlan(
+      "q117d_stream_gram_append", q)
+  }
+
+  /** Resolve the q117d sink change-log to the q117c report shape. */
+  private[graft] def streamGramTable(s: SparkSession,
+      sinkDir: String): DataFrame =
+    s.read.parquet(sinkDir)
+      .select((col("batch").cast(LongType) + 1).as("batch"),
+        col("source"), col("batch_grams"), col("novel_grams"),
+        expr("novel_grams * 1000000 DIV batch_grams").as("novelty_ppm"))
+      .orderBy(col("batch"), col("source"))
+
+  private val q117d = QueryDef(
+    "q117d_stream_gram_append",
+    (s, dir) => {
+      val replay = graft.streaming.StreamingJobs.docsReplayDir(s, dir)
+      def tmp(tag: String): String = Scratch.dir(s"graft-q117d-$tag")
+      val (delta, sink, ckpt) = (tmp("delta"), tmp("sink"), tmp("ckpt"))
+      runStreamGramAppend(s, dir, replay, delta, sink, ckpt)
+      streamGramTable(s, sink)
+    },
+    Some(q117cOracleSql))
 
   // --------------------------------------------------------------- Q118
   // BOILERPLATE CHUNK SUPPRESSION — the CCNet/RefinedWeb "frequent
@@ -4400,5 +4509,5 @@ object DocQueries {
       q50, q51, q52, q53, q54, q59, q60, q65, q88, q89, q89b, q89c, q100,
       q101, q104, q106, q107, q108, q109, q110, q110b, q110c, q110d,
       q110e, q110f, q111, q112, q113, q115, q116, q116b, q117, q117b,
-      q117c, q118, q120)
+      q117c, q117d, q118, q120)
 }

@@ -75,6 +75,89 @@ class GramAppendSpec extends AnyFunSuite {
         "the cumulative form is indistinguishable from the stateless one")
   }
 
+  // ------------------------------------------------------------- q117d
+  // The append cycle as a checkpointed stream (shares q117c's oracle —
+  // read-equivalence); laws mirror StreamIndexDedupSpec's for q110d.
+
+  private lazy val streamed = Registry.byName("q117d_stream_gram_append")
+    .run(spark, dir).collect()
+
+  test("q117d: streamed cumulative report equals the batch q117c relation") {
+    assert(streamed.map(_.toSeq).toSeq === cumulative.map(_.toSeq).toSeq)
+  }
+
+  test("q117d: at-least-once redelivery leaves sink and segments unchanged") {
+    // redeliver BOTH batches through the per-batch function directly —
+    // batch 0 re-runs with batch 1's segment already on disk, so its
+    // `batch < 0` filter must hide both its own first delivery and
+    // batch 1's grams, or its novelty would shrink
+    val replay = graft.streaming.StreamingJobs.docsReplayDir(spark, dir)
+    def tmp(t: String): String = java.nio.file.Files
+      .createTempDirectory(s"graft-gad-$t").toString
+    val (delta, sink, ckpt) = (tmp("delta"), tmp("sink"), tmp("ckpt"))
+    DocQueries.runStreamGramAppend(spark, dir, replay, delta, sink, ckpt)
+    def snap(): (Seq[Seq[Any]], Set[Seq[Any]]) = (
+      DocQueries.streamGramTable(spark, sink).collect().map(_.toSeq).toSeq,
+      spark.read.parquet(delta).select("batch", "gram").distinct()
+        .collect().map(_.toSeq).toSet)
+    val before = snap()
+    val grams = Tables.gramIndex(spark, dir)
+    val all = spark.read.parquet(replay)
+    Seq(0L, 1L).foreach { id =>
+      DocQueries.streamGramBatch(spark,
+        all.filter(DocQueries.q110Mod === id), id, grams, delta, sink)
+    }
+    assert(snap() === before,
+      "redelivered batches changed the sink or the gram segments")
+  }
+
+  test("q117d: checkpoint resume between batches equals the one-shot run") {
+    import java.nio.file.{Files, Path, StandardCopyOption}
+    val oneShot = streamed.map(_.toSeq).toSeq // force BEFORE own legs
+    val src = new java.io.File(
+      graft.streaming.StreamingJobs.docsReplayDir(spark, dir))
+    def tmp(t: String): Path = Files.createTempDirectory(s"graft-gar-$t")
+    val stage = tmp("replay")
+    val (delta, sink, ckpt) =
+      (tmp("delta").toString, tmp("sink").toString, tmp("ckpt").toString)
+    def arrive(name: String): Unit = {
+      val from = new java.io.File(src, name)
+      val to = stage.resolve(name)
+      Files.copy(from.toPath, to, StandardCopyOption.REPLACE_EXISTING)
+      assert(to.toFile.setLastModified(from.lastModified))
+    }
+    arrive("b0.parquet")
+    DocQueries.runStreamGramAppend(spark, dir, stage.toString, delta,
+      sink, ckpt)
+    arrive("b1.parquet")
+    DocQueries.runStreamGramAppend(spark, dir, stage.toString, delta,
+      sink, ckpt)
+    val resumed = DocQueries.streamGramTable(spark, sink)
+      .collect().map(_.toSeq).toSeq
+    assert(resumed === oneShot,
+      "restarted gram-append stream diverged from the one-shot run")
+    // the resumed batch-1 probe really read index ∪ the batch-0 delta
+    val plan = graft.streaming.StreamingJobs
+      .innerPlanOf("q117d_stream_gram_append batch=1")
+      .getOrElse(fail("resumed batch-1 probe plan was not recorded"))
+    assert(plan.contains(delta) && plan.contains("docs_grams_base_"),
+      s"resumed batch-1 probe is not index ∪ prior delta:\n$plan")
+  }
+
+  test("q117d: recorded per-batch probe plan is broadcast-semi, index never shuffled") {
+    streamed // ensure a run recorded the plans
+    Seq(0, 1).foreach { id =>
+      val plan = graft.streaming.StreamingJobs
+        .innerPlanOf(s"q117d_stream_gram_append batch=$id")
+        .getOrElse(fail(s"batch-$id probe plan was not recorded"))
+      assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+        s"batch-$id probe is not a broadcast semi-join:\n$plan")
+      assert(!plan.contains("SortMergeJoin") &&
+        !plan.contains("ShuffledHashJoin"),
+        s"batch-$id gram index side is being shuffled:\n$plan")
+    }
+  }
+
   test("probe plan: base∪delta index side broadcast-semi, never shuffled") {
     // the q117b plan contract extended to the unioned read: both index
     // scans stream map-only through the broadcast semi

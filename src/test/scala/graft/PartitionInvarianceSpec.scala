@@ -158,7 +158,11 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // q117c (round 16): the probe semi/anti chain, the admitted-gram
     // delta round trip, and the base∪delta union probe must all
     // commute with partitioning or batch-2's novelty would drift
-    "q117c_gram_index_append")
+    "q117c_gram_index_append",
+    // q117d (round 16): q117c's contract through the checkpointed
+    // streaming path — per-batch segment/sink writes must carry no
+    // layout sensitivity (fresh scratch dirs per run)
+    "q117d_stream_gram_append")
 
   private def canonical(name: String): Seq[String] = {
     val df = Registry.byName(name).run(spark, dir)

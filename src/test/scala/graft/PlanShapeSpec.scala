@@ -90,6 +90,10 @@ class PlanShapeSpec extends AnyFunSuite {
         // plan-asserted in StreamNoveltySpec via noveltyBatchReport,
         // and its values are parity-pinned there too.
         "q117b_stream_novelty",
+        // q117d: the same stream-replay side effect (its returned plan
+        // is a sink read); the per-batch probe plan is RECORDED and
+        // pinned broadcast-semi in GramAppendSpec.
+        "q117d_stream_gram_append",
         // q74 cross-joins the ONE-row corpus-size scalar against the
         // tf table — a broadcast of exactly one row (the standard
         // scalar-fanout shape); every other q74 join is equi-keyed.

@@ -38,6 +38,9 @@ object Scratch {
     * purge. Safe when empty (the common case) and best-effort per
     * file — a vanished path must not fail the harness. */
   def purge(): Unit = {
+    // NonFatal only (round-16 ADVICE item 3): the best-effort contract
+    // must not swallow OutOfMemoryError or InterruptedException
+    import scala.util.control.NonFatal
     var p = live.poll()
     while (p != null) {
       try {
@@ -45,8 +48,8 @@ object Scratch {
         java.nio.file.Files.walk(p).iterator().asScala.toSeq
           .sortBy(-_.getNameCount)
           .foreach(f => try java.nio.file.Files.deleteIfExists(f)
-            catch { case _: Throwable => () })
-      } catch { case _: Throwable => () }
+            catch { case NonFatal(_) => () })
+      } catch { case NonFatal(_) => () }
       p = live.poll()
     }
   }

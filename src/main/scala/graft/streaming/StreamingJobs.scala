@@ -78,11 +78,13 @@ object StreamingJobs {
     // once a replay exceeds 9 micro-batches (round-16 review finding)
     b.result().sortBy { k =>
       val i = k.lastIndexOf("batch=")
+      // a malformed id (e.g. "batch=1-2") degrades to last-place
+      // lexicographic ordering instead of throwing from inside sortBy
+      // and crashing the whole listing (round-16 ADVICE item 2)
       val id = if (i < 0) Long.MaxValue
-        else k.drop(i + 6).takeWhile(c => c.isDigit || c == '-') match {
-          case "" => Long.MaxValue
-          case n  => n.toLong
-        }
+        else scala.util.Try(
+          k.drop(i + 6).takeWhile(c => c.isDigit || c == '-').toLong)
+          .getOrElse(Long.MaxValue)
       (if (i < 0) k else k.take(i), id)
     }
   }

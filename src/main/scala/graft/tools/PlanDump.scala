@@ -77,6 +77,17 @@ object PlanDump {
     "q117b_stream_novelty"     -> "streaming novelty — bounded batch grams broadcast-semi against ONE pruned gram-index scan per batch",
     "q117d_stream_gram_append" -> "streaming cumulative gram append — per-batch probe of index ∪ strictly-earlier deltas (`batch < id`), novel grams appended as the batch's own segment")
 
+  /** Replace per-run /tmp scratch paths (Scratch.dir and the replay
+    * temp dirs — `createTempDirectory(tag)` = tag + a random digit
+    * run) with the stable `<tag>` placeholder, so regenerating
+    * PLANS.md doesn't churn the diff with nondeterministic paths
+    * (round-16 ADVICE item 4). The lookahead pins the digit run to the
+    * END of the path component — tags like "graft-q110d-sink" keep
+    * their interior digits. */
+  private[tools] def normalizeScratch(text: String): String =
+    text.replaceAll(
+      "/tmp/(graft-[A-Za-z0-9.-]+?)\\d+(?![A-Za-z0-9.-])", "<$1>")
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = Sessions.local("graft-plandump")
@@ -109,7 +120,7 @@ object PlanDump {
         streamSections += 1
       }
     }
-    Files.writeString(Paths.get("PLANS.md"), out.toString)
+    Files.writeString(Paths.get("PLANS.md"), normalizeScratch(out.toString))
     println(s"[plandump] wrote PLANS.md (${picks.size} plans + " +
       s"$streamSections streaming inner plans)")
     spark.stop()

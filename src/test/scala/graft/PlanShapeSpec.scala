@@ -94,6 +94,12 @@ class PlanShapeSpec extends AnyFunSuite {
         // is a sink read); the per-batch probe plan is RECORDED and
         // pinned broadcast-semi in GramAppendSpec.
         "q117d_stream_gram_append",
+        // q122: the composed capstone runs the full replay as a side
+        // effect (sink-read return plan, plus a one-row corpus-total
+        // broadcast cross in the read-time drift join — q116b's
+        // exclusion rationale); its per-batch dedup AND novelty inner
+        // plans are RECORDED and pinned in StreamCapstoneSpec.
+        "q122_stream_ingest_capstone",
         // q74 cross-joins the ONE-row corpus-size scalar against the
         // tf table — a broadcast of exactly one row (the standard
         // scalar-fanout shape); every other q74 join is equi-keyed.

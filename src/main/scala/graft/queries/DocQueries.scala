@@ -3268,87 +3268,117 @@ object DocQueries {
 
   // -------------------------------------------------------------- Q110f
   // STREAMING COMPACTION — q110e's major compaction folded INTO the
-  // q110d streaming loop (round-15 verdict item 2): the full LSM story
-  // a production ingest pipeline actually runs. The same two-file
-  // replay drains through foreachBatch; batch 0 dedups against the
-  // base index, appends its kept docs as delta segment `batch=0`, and
-  // then TRIGGERS THE FOLD — base ∪ delta-0 written as the compacted
-  // segment — before committing its funnel. Batch 1 dedups against the
-  // COMPACTED segment ALONE: one pruned scan per relation, no base
-  // union, no delta scan (IndexCompactSpec's read-side signature, now
-  // on the streaming path — StreamIndexDedupSpec pins it on the
+  // q110d streaming loop (round-15 verdict item 2), driven by a
+  // COMPACT-EVERY-K cadence POLICY rather than a hard-coded
+  // fold-at-batch-0 (round-16 verdict item 2): after every k-th batch
+  // commits its delta, the fold writes base ∪ all deltas so far to an
+  // immutable `fold=<id>` segment, and each batch dedups against the
+  // latest fold at or before it ∪ the non-folded delta tail — one
+  // pruned scan per relation right after a fold (IndexCompactSpec's
+  // read-side signature, now on the streaming path), the tail union
+  // exactly once per later pre-fold batch. The registry entry runs
+  // k = 1 over the two-file replay: batch 0 reads the base, folds;
+  // batch 1 reads fold=0 ALONE (StreamIndexDedupSpec pins it on the
   // RECORDED per-batch inner plan, including after a checkpoint
-  // restart across the compaction boundary). Every write stays a pure
-  // function of (batchId, data): a redelivered batch 0 recomputes the
-  // same delta, rewrites the same compacted bytes and the same sink
-  // partition; a redelivered batch 1 re-reads the stable compacted
-  // segment. The oracle is q110c's, UNCHANGED — read-equivalence of
-  // the compacted index is the entire point, so the hash gate grades
-  // the mid-stream fold against pure two-step semantics.
+  // restart across the compaction boundary); the k = 2 cadence over a
+  // four-batch delivery — pre-fold tail read, post-fold clean read,
+  // post-fold tail read — is spec-pinned against q110d's uncompacted
+  // kernel batch for batch. Every write stays a pure function of
+  // (batchId, data): folds read only the immutable base + write-once
+  // deltas and land at per-fold locations, so a redelivered batch
+  // reads the fold its first delivery read and rewrites identical
+  // bytes. The oracle is q110c's, UNCHANGED — read-equivalence of the
+  // compacted index is the entire point, so the hash gate grades the
+  // mid-stream fold against pure two-step semantics.
   //
   // Scale shape (100 TB corpus, bounded micro-batches): per-batch work
   // is q110d's (O(batch) shingling, pruned index equi-joins, broadcast
   // kept-id semis); the fold is q110e's — linear in the INDEX summary,
-  // one union, no shuffle — now amortized at whatever batch cadence
-  // the operator picks (here: after batch 0), after which every
-  // subsequent ingest pays one pruned scan per relation instead of
-  // base + k delta segments. The generalized read for a batch AFTER
-  // later deltas accumulate (compacted ∪ deltas in (0, id)) keeps
-  // redelivery exact at any cadence.
-  /** One micro-batch under the COMPACT-AT-BATCH-0 policy: batch 0
-    * dedups vs base, appends delta 0, folds base ∪ delta-0 into the
-    * compacted segment; batch id ≥ 1 dedups vs compacted ∪ the
-    * strictly-earlier NON-compacted deltas (batches in (0, id) — empty
-    * at id 1, where the read is the compacted scan alone). Pure
-    * function of (batchId, data); `crashBeforeSink` is the torn-write
-    * injection point (StreamIndexDedupSpec). */
+  // one union, no shuffle — amortized at whatever k the operator
+  // picks: between folds an ingest pays the fold scan + at most k-1
+  // delta segments instead of base + ALL segments, and k trades fold
+  // write volume against read fan-in exactly like an LSM level policy.
+  // Old folds are GC'd past the live fold point (here: Scratch).
+  /** The last batch id whose completion triggered a fold under the
+    * compact-every-k policy, as seen by batch `id` — a pure function
+    * of (id, k), so a redelivered batch derives the SAME fold point as
+    * its first delivery and never reads a fold that postdates it:
+    * folds fire after batches k-1, 2k-1, …, so the latest fold at or
+    * before id-1 is k·⌊id/k⌋ - 1 (-1 = no fold yet: read the base). */
+  private[graft] def foldPoint(id: Long, k: Int): Long = k * (id / k) - 1
+
+  /** One micro-batch under the COMPACT-EVERY-K cadence policy
+    * (round-16 verdict item 2 — the hard-coded compact-at-batch-0
+    * generalized): batch id dedups against fold=f ∪ the delta segments
+    * of batches in (f, id), where f = foldPoint(id, k) and fold=-1
+    * means the base relations (pre-fold batches read base ∪ deltas in
+    * [0, id), q110d's shape); after the batch's own delta and sink
+    * land, a fold fires iff (id+1) % k == 0, writing base ∪ deltas in
+    * [0, id] to the IMMUTABLE per-fold location `fold=<id>`. Per-fold
+    * locations (not one overwritten dir) are what keep redelivery
+    * exact: a re-run batch reads the fold its first delivery read —
+    * never a fold its own torn first delivery wrote — the `batch < id`
+    * self-exclusion contract at fold granularity; and the fold's
+    * inputs are only the immutable base + write-once deltas, so a
+    * redelivered fold rewrites byte-identical content. Everything
+    * stays a pure function of (batchId, data). A deployment GCs folds
+    * older than the live fold point; the fixtures let Scratch purge
+    * them. */
   private[graft] def streamCompactBatch(s: SparkSession, micro: DataFrame,
       id: Long, baseBands: DataFrame, baseSets: DataFrame,
       deltaBandsDir: String, deltaSetsDir: String,
       compactBandsDir: String, compactSetsDir: String, sinkDir: String,
-      crashBeforeSink: Long => Unit = _ => ()): Unit = {
+      k: Int = 1, crashBeforeSink: Long => Unit = _ => ()): Unit = {
+    require(k >= 1, s"compact-every-k cadence needs k >= 1, got $k")
     val b = micro.localCheckpoint()
     val record: DataFrame => Unit =
       graft.streaming.StreamingJobs.recordInnerPlan(
         s"q110f_stream_compaction batch=$id", _)
-    val near =
-      if (id <= 0L) {
-        val n = ingestAndAppend(b,
-          baseBands.select("doc_id", "band_idx", "band_val"),
-          baseSets.select("doc_id", "ss", "n"),
-          s"$deltaBandsDir/batch=$id", s"$deltaSetsDir/batch=$id", record)
-        // major compaction, inside the batch: fold base ∪ delta-0 into
-        // the compacted segment (one linear union per relation, no
-        // shuffle — both inputs are already per-doc relations).
-        // Overwrite = idempotent: a redelivered batch 0 rewrites the
-        // same relation.
-        baseBands.select("doc_id", "band_idx", "band_val")
-          .union(s.read.parquet(s"$deltaBandsDir/batch=$id")
-            .select("doc_id", "band_idx", "band_val"))
-          .write.mode("overwrite").parquet(compactBandsDir)
-        baseSets.select("doc_id", "ss", "n")
-          .union(s.read.parquet(s"$deltaSetsDir/batch=$id")
-            .select("doc_id", "ss", "n"))
-          .write.mode("overwrite").parquet(compactSetsDir)
-        n
-      } else {
-        def prior(loc: String, cols: Seq[String]): DataFrame =
-          s.read.parquet(loc)
-            .filter(col("batch") > 0L && col("batch") < id)
-            .select(cols.map(col): _*)
-        val cBands = s.read.parquet(compactBandsDir)
-        val cSets = s.read.parquet(compactSetsDir)
-        // id == 1 reads the compacted segment ALONE — no union node,
-        // no delta location anywhere in the plan (the pin below reads
-        // this recorded plan); later ids union the non-compacted tail
-        val (ib, is) =
-          if (id == 1L) (cBands, cSets)
-          else (cBands.union(
-              prior(deltaBandsDir, Seq("doc_id", "band_idx", "band_val"))),
-            cSets.union(prior(deltaSetsDir, Seq("doc_id", "ss", "n"))))
-        ingestAndAppend(b, ib, is,
-          s"$deltaBandsDir/batch=$id", s"$deltaSetsDir/batch=$id", record)
-      }
+    val f = foldPoint(id, k)
+    // deltas in (lo, hi) — the non-folded tail a read unions, or the
+    // [0, id] prefix a fold consumes (the batch=-1 schema seed is
+    // excluded by lo >= -1 on reads and folds alike)
+    def deltas(loc: String, cols: Seq[String], lo: Long,
+        hi: Long): DataFrame =
+      s.read.parquet(loc)
+        .filter(col("batch") > lo && col("batch") < hi)
+        .select(cols.map(col): _*)
+    val bandCols = Seq("doc_id", "band_idx", "band_val")
+    val setCols = Seq("doc_id", "ss", "n")
+    // the read: fold=f ∪ delta tail. At a fresh post-fold batch
+    // (id = f + 1) the tail is empty and Spark prunes the union to the
+    // compacted scan ALONE — the read-side signature the plan pin
+    // reads; pre-fold (f = -1) this is exactly q110d's base ∪ deltas.
+    def tail(loc: String, cols: Seq[String]): DataFrame =
+      deltas(loc, cols, f, id)
+    val (ib, is) =
+      if (f < 0L)
+        (baseBands.select(bandCols.map(col): _*)
+            .union(tail(deltaBandsDir, bandCols)),
+          baseSets.select(setCols.map(col): _*)
+            .union(tail(deltaSetsDir, setCols)))
+      else if (id == f + 1L)
+        (s.read.parquet(s"$compactBandsDir/fold=$f"),
+          s.read.parquet(s"$compactSetsDir/fold=$f"))
+      else
+        (s.read.parquet(s"$compactBandsDir/fold=$f")
+            .union(tail(deltaBandsDir, bandCols)),
+          s.read.parquet(s"$compactSetsDir/fold=$f")
+            .union(tail(deltaSetsDir, setCols)))
+    val near = ingestAndAppend(b, ib, is,
+      s"$deltaBandsDir/batch=$id", s"$deltaSetsDir/batch=$id", record)
+    // major compaction at the cadence: fold base ∪ deltas [0, id] into
+    // the immutable fold=<id> segment — linear in the INDEX summary,
+    // one union per relation, no shuffle; inputs are all write-once,
+    // so a redelivered fold rewrites the same relation
+    if ((id + 1) % k == 0) {
+      baseBands.select(bandCols.map(col): _*)
+        .union(deltas(deltaBandsDir, bandCols, -1L, id + 1))
+        .write.mode("overwrite").parquet(s"$compactBandsDir/fold=$id")
+      baseSets.select(setCols.map(col): _*)
+        .union(deltas(deltaSetsDir, setCols, -1L, id + 1))
+        .write.mode("overwrite").parquet(s"$compactSetsDir/fold=$id")
+    }
     crashBeforeSink(id)
     dedupFunnel(b, near).coalesce(1)
       .write.mode("overwrite").parquet(s"$sinkDir/batch=$id")
@@ -3356,13 +3386,14 @@ object DocQueries {
 
   /** Run the streaming compaction replay: seed empty delta roots (the
     * q110d schema-seed contract), drain the two-file replay through
-    * streamCompactBatch with AvailableNow. private[graft] for
-    * StreamIndexDedupSpec's restart-across-the-fold and torn-write
-    * laws. */
+    * streamCompactBatch with AvailableNow under the compact-every-k
+    * cadence. private[graft] for StreamIndexDedupSpec's
+    * restart-across-the-fold and torn-write laws. */
   private[graft] def runStreamCompactDedup(s: SparkSession, dir: String,
       replayDir: String, deltaBandsDir: String, deltaSetsDir: String,
       compactBandsDir: String, compactSetsDir: String, sinkDir: String,
-      ckpt: String, crashBeforeSink: Long => Unit = _ => ()): Unit = {
+      ckpt: String, k: Int = 1,
+      crashBeforeSink: Long => Unit = _ => ()): Unit = {
     val (iBands, iSets) = Tables.minhashIndexBase(s, dir)
     iBands.select("doc_id", "band_idx", "band_val").limit(0)
       .write.mode("overwrite").parquet(s"$deltaBandsDir/batch=-1")
@@ -3375,7 +3406,7 @@ object DocQueries {
          id: Long) =>
           streamCompactBatch(s, df, id, iBands, iSets,
             deltaBandsDir, deltaSetsDir, compactBandsDir, compactSetsDir,
-            sinkDir, crashBeforeSink)
+            sinkDir, k, crashBeforeSink)
       }
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

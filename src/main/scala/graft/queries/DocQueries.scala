@@ -3299,30 +3299,51 @@ object DocQueries {
   // delta segments instead of base + ALL segments, and k trades fold
   // write volume against read fan-in exactly like an LSM level policy.
   // Old folds are GC'd past the live fold point (here: Scratch).
-  /** The last batch id whose completion triggered a fold under the
-    * compact-every-k policy, as seen by batch `id` — a pure function
-    * of (id, k), so a redelivered batch derives the SAME fold point as
-    * its first delivery and never reads a fold that postdates it:
-    * folds fire after batches k-1, 2k-1, …, so the latest fold at or
-    * before id-1 is k·⌊id/k⌋ - 1 (-1 = no fold yet: read the base). */
-  private[graft] def foldPoint(id: Long, k: Int): Long = k * (id / k) - 1
+  /** The fold a batch reads: the LATEST `fold=<n>` segment on disk
+    * with n STRICTLY BELOW the batch id (-1 = none: read the base).
+    * Derived from the directory listing, not from (id, k) arithmetic
+    * (review finding): under a fixed cadence the two agree — folds
+    * fire after batches k-1, 2k-1, …, so the latest committed fold
+    * below id is k·⌊id/k⌋-1 — but the listing also survives RETUNING
+    * k across a checkpoint resume (arithmetic would derive a fold
+    * that never fired and crash the read). The n < id bound is the
+    * `batch < id` self-exclusion contract at fold granularity: a
+    * redelivered batch never sees its own (possibly torn) fold, and
+    * folds of LATER batches cannot exist when a batch first runs, so
+    * every re-run reads exactly what the first delivery read. A fold
+    * dir without a committed writer is unreachable the same way: a
+    * crash mid-fold at batch n means batch n never checkpointed, so
+    * batch n re-runs (overwriting fold=n) before any n' > n starts. */
+  private[graft] def foldPoint(dir: String, id: Long): Long = {
+    val fs = new java.io.File(dir).listFiles()
+    if (fs == null) -1L
+    else fs.iterator.map(_.getName)
+      .filter(_.startsWith("fold="))
+      .flatMap(n => scala.util.Try(n.drop(5).toLong).toOption)
+      .filter(_ < id)
+      .foldLeft(-1L)(math.max)
+  }
 
   /** One micro-batch under the COMPACT-EVERY-K cadence policy
     * (round-16 verdict item 2 — the hard-coded compact-at-batch-0
     * generalized): batch id dedups against fold=f ∪ the delta segments
-    * of batches in (f, id), where f = foldPoint(id, k) and fold=-1
-    * means the base relations (pre-fold batches read base ∪ deltas in
-    * [0, id), q110d's shape); after the batch's own delta and sink
-    * land, a fold fires iff (id+1) % k == 0, writing base ∪ deltas in
-    * [0, id] to the IMMUTABLE per-fold location `fold=<id>`. Per-fold
-    * locations (not one overwritten dir) are what keep redelivery
-    * exact: a re-run batch reads the fold its first delivery read —
-    * never a fold its own torn first delivery wrote — the `batch < id`
-    * self-exclusion contract at fold granularity; and the fold's
-    * inputs are only the immutable base + write-once deltas, so a
-    * redelivered fold rewrites byte-identical content. Everything
-    * stays a pure function of (batchId, data). A deployment GCs folds
-    * older than the live fold point; the fixtures let Scratch purge
+    * of batches in (f, id), where f = foldPoint(dir, id) — the latest
+    * committed fold below id — and f = -1 means the base relations
+    * (pre-fold batches read base ∪ deltas in [0, id), q110d's shape);
+    * after the batch's own delta lands, a fold fires iff
+    * (id+1) % k == 0, writing the prior fold ∪ the delta tail through
+    * this batch (byte-equivalent to base ∪ all deltas so far, bounded
+    * at O(fold + k) inputs) to the IMMUTABLE per-fold location
+    * `fold=<id>`. Per-fold locations (not one overwritten dir) are
+    * what keep redelivery exact: a re-run batch reads the fold its
+    * first delivery read — never a fold its own torn first delivery
+    * wrote — the `batch < id` self-exclusion contract at fold
+    * granularity; and the fold's inputs are only the immutable prior
+    * fold + write-once deltas, so a redelivered fold rewrites
+    * byte-identical content. Everything stays a pure function of
+    * (batchId, disk state at batch start), which redelivery preserves.
+    * A deployment GCs superseded folds AND the deltas at or below the
+    * live fold point (both are dead); the fixtures let Scratch purge
     * them. */
   private[graft] def streamCompactBatch(s: SparkSession, micro: DataFrame,
       id: Long, baseBands: DataFrame, baseSets: DataFrame,
@@ -3334,10 +3355,9 @@ object DocQueries {
     val record: DataFrame => Unit =
       graft.streaming.StreamingJobs.recordInnerPlan(
         s"q110f_stream_compaction batch=$id", _)
-    val f = foldPoint(id, k)
-    // deltas in (lo, hi) — the non-folded tail a read unions, or the
-    // [0, id] prefix a fold consumes (the batch=-1 schema seed is
-    // excluded by lo >= -1 on reads and folds alike)
+    val f = foldPoint(compactBandsDir, id)
+    // deltas in (lo, hi) — the non-folded tail (the batch=-1 schema
+    // seed is excluded by lo >= -1)
     def deltas(loc: String, cols: Seq[String], lo: Long,
         hi: Long): DataFrame =
       s.read.parquet(loc)
@@ -3345,39 +3365,44 @@ object DocQueries {
         .select(cols.map(col): _*)
     val bandCols = Seq("doc_id", "band_idx", "band_val")
     val setCols = Seq("doc_id", "ss", "n")
-    // the read: fold=f ∪ delta tail. At a fresh post-fold batch
-    // (id = f + 1) the tail is empty and Spark prunes the union to the
-    // compacted scan ALONE — the read-side signature the plan pin
-    // reads; pre-fold (f = -1) this is exactly q110d's base ∪ deltas.
-    def tail(loc: String, cols: Seq[String]): DataFrame =
-      deltas(loc, cols, f, id)
-    val (ib, is) =
+    // prior index state as of just before `hi`: fold=f ∪ the delta
+    // tail in (f, hi) — fold=-1 means the base relations. ONE
+    // definition for the dedup read (hi = id) and the fold input
+    // (hi = id + 1), so the two views of "the index so far" cannot
+    // drift. At a fresh post-fold batch (id = f + 1) the read's tail
+    // is empty and Spark prunes the union to the compacted scan ALONE
+    // — the read-side signature the plan pin reads.
+    def stateAsOf(hi: Long): (DataFrame, DataFrame) =
       if (f < 0L)
         (baseBands.select(bandCols.map(col): _*)
-            .union(tail(deltaBandsDir, bandCols)),
+            .union(deltas(deltaBandsDir, bandCols, f, hi)),
           baseSets.select(setCols.map(col): _*)
-            .union(tail(deltaSetsDir, setCols)))
-      else if (id == f + 1L)
+            .union(deltas(deltaSetsDir, setCols, f, hi)))
+      else if (hi == f + 1L)
         (s.read.parquet(s"$compactBandsDir/fold=$f"),
           s.read.parquet(s"$compactSetsDir/fold=$f"))
       else
         (s.read.parquet(s"$compactBandsDir/fold=$f")
-            .union(tail(deltaBandsDir, bandCols)),
+            .union(deltas(deltaBandsDir, bandCols, f, hi)),
           s.read.parquet(s"$compactSetsDir/fold=$f")
-            .union(tail(deltaSetsDir, setCols)))
+            .union(deltas(deltaSetsDir, setCols, f, hi)))
+    val (ib, is) = stateAsOf(id)
     val near = ingestAndAppend(b, ib, is,
       s"$deltaBandsDir/batch=$id", s"$deltaSetsDir/batch=$id", record)
-    // major compaction at the cadence: fold base ∪ deltas [0, id] into
-    // the immutable fold=<id> segment — linear in the INDEX summary,
-    // one union per relation, no shuffle; inputs are all write-once,
-    // so a redelivered fold rewrites the same relation
+    // major compaction at the cadence: fold the prior fold ∪ the delta
+    // tail THROUGH this batch into the immutable fold=<id> segment —
+    // byte-equivalent to base ∪ all deltas so far but bounded at
+    // O(fold + k) input segments (review finding: re-reading base +
+    // every delta since batch 0 grew with stream lifetime and kept
+    // folded deltas forever-live; now deltas at or below f are DEAD
+    // and a deployment GCs them with the superseded folds). One
+    // linear union per relation, no shuffle; inputs are the immutable
+    // prior fold + write-once deltas, so a redelivered fold rewrites
+    // the same relation.
     if ((id + 1) % k == 0) {
-      baseBands.select(bandCols.map(col): _*)
-        .union(deltas(deltaBandsDir, bandCols, -1L, id + 1))
-        .write.mode("overwrite").parquet(s"$compactBandsDir/fold=$id")
-      baseSets.select(setCols.map(col): _*)
-        .union(deltas(deltaSetsDir, setCols, -1L, id + 1))
-        .write.mode("overwrite").parquet(s"$compactSetsDir/fold=$id")
+      val (fb, fs2) = stateAsOf(id + 1)
+      fb.write.mode("overwrite").parquet(s"$compactBandsDir/fold=$id")
+      fs2.write.mode("overwrite").parquet(s"$compactSetsDir/fold=$id")
     }
     crashBeforeSink(id)
     dedupFunnel(b, near).coalesce(1)
@@ -4111,6 +4136,18 @@ object DocQueries {
       .agg(count(lit(1)).as("batch_grams"),
         count_if(col("hit").isNull).as("novel_grams"))
 
+  /** The admitted-gram delta payload: the batch's distinct grams NOT
+    * already members of the probed index (its hits) — ONE definition
+    * for q117c's append, the q117d/q117e per-batch segments and the
+    * q122 capstone's gram step, so the append payload cannot drift
+    * between the four consumers (the ingestAndAppend rationale at
+    * gram granularity; review finding). `hits` must be pinned and is
+    * bounded by the batch grams, so it broadcasts. */
+  private def novelGrams(bg: DataFrame, hits: DataFrame): DataFrame =
+    bg.select(col("shingle").as("gram")).distinct()
+      .join(broadcast(hits.select(col("shingle").as("gram"))),
+        Seq("gram"), "left_anti")
+
   private val q117b = QueryDef(
     "q117b_stream_novelty",
     (s, dir) => {
@@ -4218,10 +4255,7 @@ object DocQueries {
         .withColumn("batch", lit(1L))
       // admitted novel grams → the delta segment (overwrite =
       // idempotent per run, the q110c delta contract)
-      bg1.select($"shingle".as("gram")).distinct()
-        .join(broadcast(hits1.select($"shingle".as("gram"))),
-          Seq("gram"), "left_anti")
-        .write.mode("overwrite").parquet(deltaLoc)
+      novelGrams(bg1, hits1).write.mode("overwrite").parquet(deltaLoc)
       // ---- batch 2 vs the UPDATED index (base ∪ admitted delta)
       val bg2 = shingleTable(d.filter(q110Mod === 1), Seq("source"))
         .select($"source", $"shingle").distinct().localCheckpoint()
@@ -4326,9 +4360,7 @@ object DocQueries {
     noveltyReportFromHits(bg, hits).coalesce(1)
       .write.mode("overwrite").parquet(s"$sinkDir/batch=$id")
     crashAfterSink(id)
-    bg.select(col("shingle").as("gram")).distinct()
-      .join(broadcast(hits.select(col("shingle").as("gram"))),
-        Seq("gram"), "left_anti")
+    novelGrams(bg, hits)
       .write.mode("overwrite").parquet(s"$deltaDir/batch=$id")
   }
 
@@ -4418,28 +4450,33 @@ object DocQueries {
     val bg = shingleTable(micro, Seq("source"))
       .select(col("source"), col("shingle")).distinct()
       .localCheckpoint()
-    val f = foldPoint(id, k)
+    val f = foldPoint(foldDir, id)
     def deltaTail(lo: Long, hi: Long): DataFrame =
       s.read.parquet(deltaDir)
         .filter(col("batch") > lo && col("batch") < hi)
         .select(col("gram"))
-    val ref =
-      if (f < 0L) grams.union(deltaTail(f, id))
-      else if (id == f + 1L) s.read.parquet(s"$foldDir/fold=$f")
-      else s.read.parquet(s"$foldDir/fold=$f").union(deltaTail(f, id))
-    val hitsPlan = noveltyHits(bg, ref)
+    // gram-index state as of just before `hi`: fold=f ∪ the delta
+    // tail in (f, hi) — one definition for the probe (hi = id) and
+    // the fold input (hi = id + 1), the streamCompactBatch contract
+    def stateAsOf(hi: Long): DataFrame =
+      if (f < 0L) grams.union(deltaTail(f, hi))
+      else if (hi == f + 1L) s.read.parquet(s"$foldDir/fold=$f")
+      else s.read.parquet(s"$foldDir/fold=$f").union(deltaTail(f, hi))
+    val hitsPlan = noveltyHits(bg, stateAsOf(id))
     graft.streaming.StreamingJobs.recordInnerPlan(
       s"q117e_stream_gram_compaction batch=$id", hitsPlan)
     val hits = hitsPlan.localCheckpoint()
     noveltyReportFromHits(bg, hits).coalesce(1)
       .write.mode("overwrite").parquet(s"$sinkDir/batch=$id")
     crashAfterSink(id)
-    bg.select(col("shingle").as("gram")).distinct()
-      .join(broadcast(hits.select(col("shingle").as("gram"))),
-        Seq("gram"), "left_anti")
+    novelGrams(bg, hits)
       .write.mode("overwrite").parquet(s"$deltaDir/batch=$id")
+    // fold the prior fold ∪ the tail THROUGH this batch — bounded at
+    // O(fold + k) inputs, byte-equivalent to base ∪ all deltas so far
+    // (the streamCompactBatch fold contract; deltas at or below f are
+    // dead once superseded)
     if ((id + 1) % k == 0)
-      grams.union(deltaTail(-1L, id + 1))
+      stateAsOf(id + 1)
         .write.mode("overwrite").parquet(s"$foldDir/fold=$id")
   }
 
@@ -4560,9 +4597,7 @@ object DocQueries {
     graft.streaming.StreamingJobs.recordInnerPlan(
       s"q122_stream_ingest_capstone novelty batch=$id", hitsPlan)
     val hits = hitsPlan.localCheckpoint()
-    bg.select(col("shingle").as("gram")).distinct()
-      .join(broadcast(hits.select(col("shingle").as("gram"))),
-        Seq("gram"), "left_anti")
+    novelGrams(bg, hits)
       .write.mode("overwrite").parquet(s"$gramDeltaDir/batch=$id")
     // ---- (c) sink commits (torn-write injection point: all segments
     // landed, neither sink has — the worst at-least-once case)

@@ -45,10 +45,16 @@ object Scratch {
     while (p != null) {
       try {
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq
+        // close the walk stream even when iteration aborts mid-walk
+        // (a concurrent delete can throw from the iterator) — an
+        // abandoned stream holds directory fds until GC (review
+        // finding)
+        val walk = java.nio.file.Files.walk(p)
+        try walk.iterator().asScala.toSeq
           .sortBy(-_.getNameCount)
           .foreach(f => try java.nio.file.Files.deleteIfExists(f)
             catch { case NonFatal(_) => () })
+        finally walk.close()
       } catch { case NonFatal(_) => () }
       p = live.poll()
     }

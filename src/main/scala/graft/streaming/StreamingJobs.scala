@@ -389,7 +389,11 @@ object StreamingJobs {
 
   def replayDirMulti(spark: SparkSession, sfDir: String): String = synchronized {
     replayDirsMulti.getOrElseUpdate(sfDir, {
-      val d = java.nio.file.Files.createTempDirectory("graft-replay4").toString
+      // tag must not END in a digit: PlanDump.normalizeScratch splits
+      // tag from the random temp suffix at the trailing digit run, so
+      // a digit-final tag ("graft-replay4") would normalize to another
+      // tag's placeholder (review finding)
+      val d = java.nio.file.Files.createTempDirectory("graft-replay-multi").toString
       graft.Tables.load(spark, sfDir, "events")
         .withColumn("ts", col("ts").cast(TimestampType))
         .repartition(4).write.mode("overwrite").parquet(d)

@@ -85,7 +85,10 @@ object PlanDump {
     * PLANS.md doesn't churn the diff with nondeterministic paths
     * (round-16 ADVICE item 4). The lookahead pins the digit run to the
     * END of the path component — tags like "graft-q110d-sink" keep
-    * their interior digits. */
+    * their interior digits. CONTRACT: temp-dir tags must not END in a
+    * digit (the split between tag and random suffix would be
+    * ambiguous and two tags could normalize to one placeholder —
+    * review finding; "graft-replay4" was renamed for this). */
   private[tools] def normalizeScratch(text: String): String =
     text.replaceAll(
       "/tmp/(graft-[A-Za-z0-9.-]+?)\\d+(?![A-Za-z0-9.-])", "<$1>")

@@ -246,6 +246,46 @@ class GramAppendSpec extends AnyFunSuite {
       "fold=0 membership is not base ∪ delta-0")
   }
 
+  test("q117e: gram deltas at or below the fold point are DEAD — GC'ing them changes nothing") {
+    // the fold-input contract's GC claim at gram granularity (the
+    // StreamIndexDedupSpec law's mirror): after the k=1 fold at
+    // batch 0, delta-0 is folded into fold=0; deleting it must leave
+    // batch 1's report, its delta and fold=1's membership
+    // byte-identical.
+    val replay = graft.streaming.StreamingJobs.docsReplayDir(spark, dir)
+    val grams = Tables.gramIndex(spark, dir)
+    val all = spark.read.parquet(replay)
+    def tmp(t: String): String = java.nio.file.Files
+      .createTempDirectory(s"graft-gfgc-$t").toString
+    def rmr(p: String): Unit = {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(p)
+      if (java.nio.file.Files.exists(root)) {
+        val walk = java.nio.file.Files.walk(root)
+        try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close()
+      }
+    }
+    def run(gc: Boolean): (Seq[Seq[Any]], Long) = {
+      val (delta, fold, sink) = (tmp("delta"), tmp("fold"), tmp("sink"))
+      grams.limit(0).select(col("gram"))
+        .write.mode("overwrite").parquet(s"$delta/batch=-1")
+      DocQueries.streamGramCompactBatch(spark,
+        all.filter(DocQueries.q110Mod === 0), 0L, grams, delta, fold,
+        sink)
+      if (gc) rmr(s"$delta/batch=0")
+      DocQueries.streamGramCompactBatch(spark,
+        all.filter(DocQueries.q110Mod === 1), 1L, grams, delta, fold,
+        sink)
+      (DocQueries.streamGramTable(spark, sink)
+          .collect().map(_.toSeq).toSeq,
+        spark.read.parquet(s"$fold/fold=1").count())
+    }
+    assert(run(gc = false) === run(gc = true),
+      "GC of the folded gram delta changed the report or fold=1")
+  }
+
   test("q117e: at-least-once redelivery leaves sink, deltas and folds unchanged") {
     val replay = graft.streaming.StreamingJobs.docsReplayDir(spark, dir)
     def tmp(t: String): String = java.nio.file.Files

@@ -329,6 +329,119 @@ class StreamIndexDedupSpec extends AnyFunSuite {
       s"id-3 read is not fold ∪ later deltas:\n${plan(3)}")
   }
 
+  test("q110f: retuning k across a resume keeps reading the folds that actually fired") {
+    // the review-pass contract behind the disk-derived fold point:
+    // foldPoint reads the latest committed fold BELOW the batch id
+    // from the listing, so a stream resumed with a DIFFERENT k keeps
+    // working against whatever folds the old cadence left behind
+    // ((id, k) arithmetic would derive fold=1 here, which never fired,
+    // and crash the read). Batches 0-2 run at k=3 (one fold, after
+    // batch 2); batch 3 runs at k=2 and must read fold=2 ∪ nothing.
+    val docsAll = Tables.load(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.col("text"))
+    val batches = Seq(
+      docsAll.filter(DocQueries.q110Mod === 0)
+        .filter(col("doc_id") % 2 === 0),
+      docsAll.filter(DocQueries.q110Mod === 0)
+        .filter(col("doc_id") % 2 === 1),
+      docsAll.filter(DocQueries.q110Mod === 1)
+        .filter(col("doc_id") % 2 === 0),
+      docsAll.filter(DocQueries.q110Mod === 1)
+        .filter(col("doc_id") % 2 === 1))
+    val (iBands, iSets) = Tables.minhashIndexBase(spark, dir)
+    def tmp(t: String): String = java.nio.file.Files
+      .createTempDirectory(s"graft-sifk-$t").toString
+    def seed(db: String, ds: String): Unit = {
+      iBands.select("doc_id", "band_idx", "band_val").limit(0)
+        .write.mode("overwrite").parquet(s"$db/batch=-1")
+      iSets.select("doc_id", "ss", "n").limit(0)
+        .write.mode("overwrite").parquet(s"$ds/batch=-1")
+    }
+    // reference: q110d's uncompacted kernel over the same four batches
+    val (db1, ds1, sink1) = (tmp("db1"), tmp("ds1"), tmp("sink1"))
+    seed(db1, ds1)
+    batches.zipWithIndex.foreach { case (b, id) =>
+      DocQueries.streamDedupBatch(spark, b, id.toLong, iBands, iSets,
+        db1, ds1, sink1)
+    }
+    // retuned path: k=3 for batches 0-2, then k=2 for batch 3
+    val (db2, ds2, cb, cs, sink2) =
+      (tmp("db2"), tmp("ds2"), tmp("cb"), tmp("cs"), tmp("sink2"))
+    seed(db2, ds2)
+    batches.zipWithIndex.foreach { case (b, id) =>
+      DocQueries.streamCompactBatch(spark, b, id.toLong, iBands, iSets,
+        db2, ds2, cb, cs, sink2, k = if (id < 3) 3 else 2)
+    }
+    // fold=2 fired under k=3 (batches 0-2); batch 3 then folds again
+    // under its own k=2 ((3+1) % 2 == 0) — both and nothing else
+    val folds = new java.io.File(cb).listFiles()
+      .filter(_.getName.startsWith("fold=")).map(_.getName).toSet
+    assert(folds === Set("fold=2", "fold=3"),
+      s"folds landed off the retuned cadence: $folds")
+    def funnel(sink: String): Seq[Seq[Any]] =
+      DocQueries.streamDedupTable(spark, sink)
+        .collect().map(_.toSeq).toSeq
+    assert(funnel(sink1) === funnel(sink2),
+      "retuned-cadence read diverged from the base∪deltas read")
+    val plan3 = StreamingJobs
+      .innerPlanOf("q110f_stream_compaction batch=3")
+      .getOrElse(fail("batch-3 inner plan was not recorded"))
+    assert(plan3.contains(s"$cb/fold=2") && !plan3.contains(db2) &&
+      !plan3.contains("docs_minhash_base_"),
+      s"retuned batch-3 read is not the fold=2 scan alone:\n$plan3")
+  }
+
+  test("q110f: deltas at or below the fold point are DEAD — GC'ing them changes nothing") {
+    // the fold-input review fix's GC claim, demonstrated: after the
+    // k=1 fold at batch 0, delta-0 is folded into fold=0 and a
+    // deployment deletes it; batch 1 (read = fold=0 alone) and its
+    // fold (input = fold=0 ∪ delta-1) must produce byte-identical
+    // results with the folded delta REMOVED. Before the fix the fold
+    // re-read base ∪ ALL deltas, so the GC would have silently
+    // shrunk fold=1 and admitted near-dups downstream.
+    val replay = StreamingJobs.docsReplayDir(spark, dir)
+    val (iBands, iSets) = Tables.minhashIndexBase(spark, dir)
+    val all = spark.read.parquet(replay)
+    def tmp(t: String): String = java.nio.file.Files
+      .createTempDirectory(s"graft-sifgc-$t").toString
+    def seed(db: String, ds: String): Unit = {
+      iBands.select("doc_id", "band_idx", "band_val").limit(0)
+        .write.mode("overwrite").parquet(s"$db/batch=-1")
+      iSets.select("doc_id", "ss", "n").limit(0)
+        .write.mode("overwrite").parquet(s"$ds/batch=-1")
+    }
+    def rmr(p: String): Unit = {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(p)
+      if (java.nio.file.Files.exists(root)) {
+        val walk = java.nio.file.Files.walk(root)
+        try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close()
+      }
+    }
+    def run(gc: Boolean): (Seq[Seq[Any]], Set[Long]) = {
+      val (db, ds, cb, cs, sink) =
+        (tmp("db"), tmp("ds"), tmp("cb"), tmp("cs"), tmp("sink"))
+      seed(db, ds)
+      DocQueries.streamCompactBatch(spark,
+        all.filter(DocQueries.q110Mod === 0), 0L, iBands, iSets,
+        db, ds, cb, cs, sink)
+      if (gc) { rmr(s"$db/batch=0"); rmr(s"$ds/batch=0") }
+      DocQueries.streamCompactBatch(spark,
+        all.filter(DocQueries.q110Mod === 1), 1L, iBands, iSets,
+        db, ds, cb, cs, sink)
+      (DocQueries.streamDedupTable(spark, sink)
+          .collect().map(_.toSeq).toSeq,
+        spark.read.parquet(s"$cb/fold=1").select("doc_id").distinct()
+          .collect().map(_.getLong(0)).toSet)
+    }
+    assert(run(gc = false) === run(gc = true),
+      "GC of the folded delta changed the funnel or fold=1's membership")
+  }
+
   test("q110f: at-least-once redelivery leaves sink, deltas and compacted segment unchanged") {
     val replay = StreamingJobs.docsReplayDir(spark, dir)
     def tmp(t: String): String = java.nio.file.Files

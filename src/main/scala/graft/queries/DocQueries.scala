@@ -3271,9 +3271,12 @@ object DocQueries {
   // q110d streaming loop (round-15 verdict item 2), driven by a
   // COMPACT-EVERY-K cadence POLICY rather than a hard-coded
   // fold-at-batch-0 (round-16 verdict item 2): after every k-th batch
-  // commits its delta, the fold writes base ∪ all deltas so far to an
-  // immutable `fold=<id>` segment, and each batch dedups against the
-  // latest fold at or before it ∪ the non-folded delta tail — one
+  // commits its delta, the fold writes the prior fold ∪ the delta
+  // tail (byte-equivalent to base ∪ all deltas so far, bounded at
+  // O(fold + k) inputs) to an immutable `fold=<id>` segment, and each
+  // batch dedups against the latest COMMITTED fold below it (derived
+  // from the fold listing, so k can be retuned across a resume) ∪ the
+  // non-folded delta tail — one
   // pruned scan per relation right after a fold (IndexCompactSpec's
   // read-side signature, now on the streaming path), the tail union
   // exactly once per later pre-fold batch. The registry entry runs

@@ -3302,30 +3302,82 @@ object DocQueries {
   // delta segments instead of base + ALL segments, and k trades fold
   // write volume against read fan-in exactly like an LSM level policy.
   // Old folds are GC'd past the live fold point (here: Scratch).
-  /** The fold a batch reads: the LATEST `fold=<n>` segment on disk
-    * with n STRICTLY BELOW the batch id (-1 = none: read the base).
-    * Derived from the directory listing, not from (id, k) arithmetic
-    * (review finding): under a fixed cadence the two agree — folds
-    * fire after batches k-1, 2k-1, …, so the latest committed fold
-    * below id is k·⌊id/k⌋-1 — but the listing also survives RETUNING
-    * k across a checkpoint resume (arithmetic would derive a fold
-    * that never fired and crash the read). The n < id bound is the
-    * `batch < id` self-exclusion contract at fold granularity: a
-    * redelivered batch never sees its own (possibly torn) fold, and
-    * folds of LATER batches cannot exist when a batch first runs, so
-    * every re-run reads exactly what the first delivery read. A fold
-    * dir without a committed writer is unreachable the same way: a
-    * crash mid-fold at batch n means batch n never checkpointed, so
-    * batch n re-runs (overwriting fold=n) before any n' > n starts. */
-  private[graft] def foldPoint(dir: String, id: Long): Long = {
-    val fs = new java.io.File(dir).listFiles()
-    if (fs == null) -1L
-    else fs.iterator.map(_.getName)
-      .filter(_.startsWith("fold="))
-      .flatMap(n => scala.util.Try(n.drop(5).toLong).toOption)
-      .filter(_ < id)
-      .foldLeft(-1L)(math.max)
+  /** One relation of an LSM-compacted index under the compact-every-k
+    * cadence: the immutable base, the write-once `batch=<id>` delta
+    * segments under deltaDir, and the immutable `fold=<id>` segments
+    * under foldDir. ONE definition of the cadence machinery (fold
+    * point, read state, fold write) for both compaction families —
+    * q110f's two-relation minhash index and q117e's gram index — so a
+    * cadence fix cannot land in one and miss the other. */
+  private[graft] final case class LsmRelation(base: DataFrame,
+      deltaDir: String, cols: Seq[String], foldDir: String)
+
+  /** The fold a batch reads: the LATEST COMMITTED `fold=<n>` segment
+    * on disk with n STRICTLY BELOW the batch id (-1 = none: read the
+    * base). Committed means the writer's `_SUCCESS` marker exists in
+    * EVERY relation's fold dir (the Tables.scala idempotence
+    * contract) — mere directory existence is not enough, because a
+    * crash between a fold's per-relation writes (or mid-write) leaves
+    * a torn fold that the crashed batch is NOT guaranteed to rewrite:
+    * if k was retuned across the restart, the re-run may not fire a
+    * fold at all, and the torn dir would otherwise wedge or silently
+    * truncate every later read. Derived from the listing, not from
+    * (id, k) arithmetic (review finding): under a fixed cadence the
+    * two agree — folds fire after batches k-1, 2k-1, …, so the latest
+    * committed fold below id is k·⌊id/k⌋-1 — but the listing also
+    * survives RETUNING k across a checkpoint resume (arithmetic would
+    * derive a fold that never fired and crash the read). The n < id
+    * bound is the `batch < id` self-exclusion contract at fold
+    * granularity: a redelivered batch never sees its own (possibly
+    * torn) fold, and folds of LATER batches cannot exist when a batch
+    * first runs, so every re-run reads exactly what the first
+    * delivery read. A deployment's GC must use the same committed
+    * predicate AND retain a fold's inputs until its writer batch
+    * checkpoints (a re-run fold overwrite passes through an
+    * uncommitted window). */
+  private[graft] def foldPoint(dirs: Seq[String], id: Long): Long = {
+    def committed(dir: String): Set[Long] = {
+      val fs = new java.io.File(dir).listFiles()
+      if (fs == null) Set.empty
+      else fs.iterator
+        .filter(f => f.getName.startsWith("fold=") &&
+          new java.io.File(f, "_SUCCESS").exists())
+        .flatMap(f => scala.util.Try(f.getName.drop(5).toLong).toOption)
+        .toSet
+    }
+    dirs.map(committed).reduce(_ intersect _)
+      .filter(_ < id).foldLeft(-1L)(math.max)
   }
+
+  /** Index state as of just before `hi`, per relation: fold=f ∪ the
+    * delta tail in (f, hi) — f = -1 means the base relation. ONE
+    * definition for the batch read (hi = id) and the fold input
+    * (hi = id + 1), so the two views of "the index so far" cannot
+    * drift. At a fresh post-fold batch (hi = f + 1) the tail is empty
+    * and the state is the fold scan ALONE — the read-side signature
+    * the plan pins read. */
+  private def lsmStateAsOf(s: SparkSession, rels: Seq[LsmRelation],
+      f: Long, hi: Long): Seq[DataFrame] = rels.map { r =>
+    def tail: DataFrame = s.read.parquet(r.deltaDir)
+      .filter(col("batch") > f && col("batch") < hi)
+      .select(r.cols.map(col): _*)
+    if (f < 0L) r.base.select(r.cols.map(col): _*).union(tail)
+    else if (hi == f + 1L) s.read.parquet(s"${r.foldDir}/fold=$f")
+    else s.read.parquet(s"${r.foldDir}/fold=$f").union(tail)
+  }
+
+  /** Write the fold at batch `id`: prior fold ∪ the delta tail
+    * THROUGH this batch (byte-equivalent to base ∪ all deltas so far,
+    * bounded at O(fold + k) inputs) to the immutable per-fold
+    * location `fold=<id>` of every relation. `midFold` fires between
+    * per-relation writes — the torn-fold crash-injection point. */
+  private def lsmFoldAt(s: SparkSession, rels: Seq[LsmRelation],
+      f: Long, id: Long, midFold: () => Unit = () => ()): Unit =
+    rels.zip(lsmStateAsOf(s, rels, f, id + 1)).zipWithIndex.foreach {
+      case ((r, st), i) =>
+        if (i > 0) midFold()
+        st.write.mode("overwrite").parquet(s"${r.foldDir}/fold=$id")
+    }
 
   /** One micro-batch under the COMPACT-EVERY-K cadence policy
     * (round-16 verdict item 2 — the hard-coded compact-at-batch-0
@@ -3352,44 +3404,22 @@ object DocQueries {
       id: Long, baseBands: DataFrame, baseSets: DataFrame,
       deltaBandsDir: String, deltaSetsDir: String,
       compactBandsDir: String, compactSetsDir: String, sinkDir: String,
-      k: Int = 1, crashBeforeSink: Long => Unit = _ => ()): Unit = {
+      k: Int = 1, crashBeforeSink: Long => Unit = _ => (),
+      crashMidFold: Long => Unit = _ => ()): Unit = {
     require(k >= 1, s"compact-every-k cadence needs k >= 1, got $k")
     val b = micro.localCheckpoint()
     val record: DataFrame => Unit =
       graft.streaming.StreamingJobs.recordInnerPlan(
         s"q110f_stream_compaction batch=$id", _)
-    val f = foldPoint(compactBandsDir, id)
-    // deltas in (lo, hi) — the non-folded tail (the batch=-1 schema
-    // seed is excluded by lo >= -1)
-    def deltas(loc: String, cols: Seq[String], lo: Long,
-        hi: Long): DataFrame =
-      s.read.parquet(loc)
-        .filter(col("batch") > lo && col("batch") < hi)
-        .select(cols.map(col): _*)
-    val bandCols = Seq("doc_id", "band_idx", "band_val")
-    val setCols = Seq("doc_id", "ss", "n")
-    // prior index state as of just before `hi`: fold=f ∪ the delta
-    // tail in (f, hi) — fold=-1 means the base relations. ONE
-    // definition for the dedup read (hi = id) and the fold input
-    // (hi = id + 1), so the two views of "the index so far" cannot
-    // drift. At a fresh post-fold batch (id = f + 1) the read's tail
-    // is empty and Spark prunes the union to the compacted scan ALONE
-    // — the read-side signature the plan pin reads.
-    def stateAsOf(hi: Long): (DataFrame, DataFrame) =
-      if (f < 0L)
-        (baseBands.select(bandCols.map(col): _*)
-            .union(deltas(deltaBandsDir, bandCols, f, hi)),
-          baseSets.select(setCols.map(col): _*)
-            .union(deltas(deltaSetsDir, setCols, f, hi)))
-      else if (hi == f + 1L)
-        (s.read.parquet(s"$compactBandsDir/fold=$f"),
-          s.read.parquet(s"$compactSetsDir/fold=$f"))
-      else
-        (s.read.parquet(s"$compactBandsDir/fold=$f")
-            .union(deltas(deltaBandsDir, bandCols, f, hi)),
-          s.read.parquet(s"$compactSetsDir/fold=$f")
-            .union(deltas(deltaSetsDir, setCols, f, hi)))
-    val (ib, is) = stateAsOf(id)
+    val rels = Seq(
+      LsmRelation(baseBands, deltaBandsDir,
+        Seq("doc_id", "band_idx", "band_val"), compactBandsDir),
+      LsmRelation(baseSets, deltaSetsDir,
+        Seq("doc_id", "ss", "n"), compactSetsDir))
+    // the latest fold COMMITTED in both relations' dirs (the batch=-1
+    // schema seed in the delta tail is excluded by the > f bound)
+    val f = foldPoint(rels.map(_.foldDir), id)
+    val Seq(ib, is) = lsmStateAsOf(s, rels, f, id)
     val near = ingestAndAppend(b, ib, is,
       s"$deltaBandsDir/batch=$id", s"$deltaSetsDir/batch=$id", record)
     // major compaction at the cadence: fold the prior fold ∪ the delta
@@ -3402,11 +3432,8 @@ object DocQueries {
     // linear union per relation, no shuffle; inputs are the immutable
     // prior fold + write-once deltas, so a redelivered fold rewrites
     // the same relation.
-    if ((id + 1) % k == 0) {
-      val (fb, fs2) = stateAsOf(id + 1)
-      fb.write.mode("overwrite").parquet(s"$compactBandsDir/fold=$id")
-      fs2.write.mode("overwrite").parquet(s"$compactSetsDir/fold=$id")
-    }
+    if ((id + 1) % k == 0)
+      lsmFoldAt(s, rels, f, id, () => crashMidFold(id))
     crashBeforeSink(id)
     dedupFunnel(b, near).coalesce(1)
       .write.mode("overwrite").parquet(s"$sinkDir/batch=$id")
@@ -3421,7 +3448,8 @@ object DocQueries {
       replayDir: String, deltaBandsDir: String, deltaSetsDir: String,
       compactBandsDir: String, compactSetsDir: String, sinkDir: String,
       ckpt: String, k: Int = 1,
-      crashBeforeSink: Long => Unit = _ => ()): Unit = {
+      crashBeforeSink: Long => Unit = _ => (),
+      crashMidFold: Long => Unit = _ => ()): Unit = {
     val (iBands, iSets) = Tables.minhashIndexBase(s, dir)
     iBands.select("doc_id", "band_idx", "band_val").limit(0)
       .write.mode("overwrite").parquet(s"$deltaBandsDir/batch=-1")
@@ -3434,7 +3462,7 @@ object DocQueries {
          id: Long) =>
           streamCompactBatch(s, df, id, iBands, iSets,
             deltaBandsDir, deltaSetsDir, compactBandsDir, compactSetsDir,
-            sinkDir, k, crashBeforeSink)
+            sinkDir, k, crashBeforeSink, crashMidFold)
       }
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -3916,6 +3944,38 @@ object DocQueries {
   // bounded frame. No data-sized shuffle anywhere; the corpus is
   // scanned once, the stream never holds state (the monitor is
   // stateless by design — each batch reports independently).
+  /** Read-time drift columns over per-(batch, source) `batch_docs`
+    * counts against the standing corpus mixture (q116's exact
+    * integer-ppm arithmetic) — ONE definition for q116b's monitor and
+    * the q122 capstone read, so the two drift consumers cannot drift.
+    * Appends corpus_docs/batch_ppm/corpus_ppm/drift_ppm; every other
+    * input column passes through. The |sources|-row corpus aggregate
+    * feeds TWO consumers (the source join and the ctot scalar) —
+    * localCheckpoint pins ONE corpus scan (the q113 fitted-plan
+    * pattern); the corpus total is computed over ALL corpus rows, so
+    * a source absent from one batch cannot shrink the denominator. */
+  private def withDriftColumns(s: SparkSession, dir: String,
+      counts: DataFrame): DataFrame = {
+    val corpus = docs(s, dir).filter(q110Mod === 2)
+      .groupBy(col("source")).agg(count(lit(1)).as("corpus_docs"))
+      .localCheckpoint()
+    val ctot = corpus.agg(sum(col("corpus_docs")).as("corpus_tot"))
+    val wb = Window.partitionBy(col("batch")).rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    counts.join(corpus, Seq("source"), "left")
+      .na.fill(0, Seq("corpus_docs"))
+      .crossJoin(broadcast(ctot))
+      .withColumn("batch_tot", sum(col("batch_docs")).over(wb))
+      .withColumn("batch_ppm",
+        expr("batch_docs * 1000000 DIV batch_tot"))
+      .withColumn("corpus_ppm",
+        expr("corpus_docs * 1000000 DIV corpus_tot"))
+      .withColumn("drift_ppm",
+        expr("batch_docs * 1000000 DIV batch_tot" +
+          " - corpus_docs * 1000000 DIV corpus_tot"))
+      .drop("batch_tot", "corpus_tot")
+  }
+
   private val q116b = QueryDef(
     "q116b_stream_drift",
     (s, dir) => {
@@ -3940,29 +4000,13 @@ object DocQueries {
         .start()
       q.awaitTermination()
       graft.streaming.StreamingJobs.capturePlan("q116b_stream_drift", q)
-      // read time: the standing corpus mixture + exact integer ppm.
-      // The |sources|-row aggregate feeds TWO consumers (the source
-      // join and the ctot scalar) — localCheckpoint pins ONE corpus
-      // scan (the q113 fitted-plan pattern) so the "corpus is scanned
-      // once" contract holds without relying on exchange reuse
-      val corpus = docs(s, dir).filter(q110Mod === 2)
-        .groupBy($"source").agg(count(lit(1)).as("corpus_docs"))
-        .localCheckpoint()
-      val ctot = corpus.agg(sum($"corpus_docs").as("corpus_tot"))
-      val wb = Window.partitionBy($"batch").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing)
-      s.read.parquet(sink)
-        .select(($"batch".cast(LongType) + 1).as("batch"),
-          $"source", $"batch_docs")
-        .join(corpus, Seq("source"), "left")
-        .na.fill(0, Seq("corpus_docs"))
-        .crossJoin(broadcast(ctot))
-        .withColumn("batch_tot", sum($"batch_docs").over(wb))
+      // read time: the standing corpus mixture + exact integer ppm
+      // (the shared withDriftColumns arithmetic)
+      withDriftColumns(s, dir, s.read.parquet(sink)
+          .select(($"batch".cast(LongType) + 1).as("batch"),
+            $"source", $"batch_docs"))
         .select($"batch", $"source", $"batch_docs", $"corpus_docs",
-          expr("batch_docs * 1000000 DIV batch_tot").as("batch_ppm"),
-          expr("corpus_docs * 1000000 DIV corpus_tot").as("corpus_ppm"),
-          expr("batch_docs * 1000000 DIV batch_tot" +
-            " - corpus_docs * 1000000 DIV corpus_tot").as("drift_ppm"))
+          $"batch_ppm", $"corpus_ppm", $"drift_ppm")
         .orderBy($"batch", $"source")
     },
     // CAST the window/plain SUMs (DuckDB HUGEINT promotion — the q47
@@ -4453,19 +4497,12 @@ object DocQueries {
     val bg = shingleTable(micro, Seq("source"))
       .select(col("source"), col("shingle")).distinct()
       .localCheckpoint()
-    val f = foldPoint(foldDir, id)
-    def deltaTail(lo: Long, hi: Long): DataFrame =
-      s.read.parquet(deltaDir)
-        .filter(col("batch") > lo && col("batch") < hi)
-        .select(col("gram"))
-    // gram-index state as of just before `hi`: fold=f ∪ the delta
-    // tail in (f, hi) — one definition for the probe (hi = id) and
-    // the fold input (hi = id + 1), the streamCompactBatch contract
-    def stateAsOf(hi: Long): DataFrame =
-      if (f < 0L) grams.union(deltaTail(f, hi))
-      else if (hi == f + 1L) s.read.parquet(s"$foldDir/fold=$f")
-      else s.read.parquet(s"$foldDir/fold=$f").union(deltaTail(f, hi))
-    val hitsPlan = noveltyHits(bg, stateAsOf(id))
+    // the shared LSM cadence machinery (foldPoint/lsmStateAsOf/
+    // lsmFoldAt — the streamCompactBatch contract at gram granularity)
+    val rels = Seq(LsmRelation(grams, deltaDir, Seq("gram"), foldDir))
+    val f = foldPoint(rels.map(_.foldDir), id)
+    val Seq(gramState) = lsmStateAsOf(s, rels, f, id)
+    val hitsPlan = noveltyHits(bg, gramState)
     graft.streaming.StreamingJobs.recordInnerPlan(
       s"q117e_stream_gram_compaction batch=$id", hitsPlan)
     val hits = hitsPlan.localCheckpoint()
@@ -4478,9 +4515,7 @@ object DocQueries {
     // O(fold + k) inputs, byte-equivalent to base ∪ all deltas so far
     // (the streamCompactBatch fold contract; deltas at or below f are
     // dead once superseded)
-    if ((id + 1) % k == 0)
-      stateAsOf(id + 1)
-        .write.mode("overwrite").parquet(s"$foldDir/fold=$id")
+    if ((id + 1) % k == 0) lsmFoldAt(s, rels, f, id)
   }
 
   /** Run the streaming gram-compaction replay (seed, drain,
@@ -4655,28 +4690,16 @@ object DocQueries {
       .select((col("batch").cast(LongType) + 1).as("batch"),
         col("source"), col("batch_docs"), col("near_dups"),
         col("kept_docs"))
-    // the |sources|-row corpus mixture feeds the source join and the
-    // ctot scalar — localCheckpoint pins ONE corpus scan (q116b)
-    val corpus = docs(s, dir).filter(q110Mod === 2)
-      .groupBy(col("source")).agg(count(lit(1)).as("corpus_docs"))
-      .localCheckpoint()
-    val ctot = corpus.agg(sum(col("corpus_docs")).as("corpus_tot"))
-    val wb = Window.partitionBy(col("batch")).rowsBetween(
-      Window.unboundedPreceding, Window.unboundedFollowing)
     val nov = s.read.parquet(novSinkDir)
       .select((col("batch").cast(LongType) + 1).as("batch"),
         col("source"), col("batch_grams"), col("novel_grams"))
-    fun.join(corpus, Seq("source"), "left")
-      .na.fill(0, Seq("corpus_docs"))
-      .crossJoin(broadcast(ctot))
-      .withColumn("batch_tot", sum(col("batch_docs")).over(wb))
+    // drift columns from the shared q116b arithmetic — the batch
+    // counts are the funnel's, so the monitor costs nothing extra
+    withDriftColumns(s, dir, fun)
       .join(nov, Seq("batch", "source"), "left")
       .select(col("batch"), col("source"), col("batch_docs"),
         col("near_dups"), col("kept_docs"), col("corpus_docs"),
-        expr("batch_docs * 1000000 DIV batch_tot").as("batch_ppm"),
-        expr("corpus_docs * 1000000 DIV corpus_tot").as("corpus_ppm"),
-        expr("batch_docs * 1000000 DIV batch_tot" +
-          " - corpus_docs * 1000000 DIV corpus_tot").as("drift_ppm"),
+        col("batch_ppm"), col("corpus_ppm"), col("drift_ppm"),
         col("batch_grams"), col("novel_grams"),
         expr("novel_grams * 1000000 DIV batch_grams").as("novelty_ppm"))
       .orderBy(col("batch"), col("source"))

@@ -257,16 +257,6 @@ class GramAppendSpec extends AnyFunSuite {
     val all = spark.read.parquet(replay)
     def tmp(t: String): String = java.nio.file.Files
       .createTempDirectory(s"graft-gfgc-$t").toString
-    def rmr(p: String): Unit = {
-      import scala.jdk.CollectionConverters._
-      val root = java.nio.file.Paths.get(p)
-      if (java.nio.file.Files.exists(root)) {
-        val walk = java.nio.file.Files.walk(root)
-        try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-        finally walk.close()
-      }
-    }
     def run(gc: Boolean): (Seq[Seq[Any]], Long) = {
       val (delta, fold, sink) = (tmp("delta"), tmp("fold"), tmp("sink"))
       grams.limit(0).select(col("gram"))
@@ -274,7 +264,7 @@ class GramAppendSpec extends AnyFunSuite {
       DocQueries.streamGramCompactBatch(spark,
         all.filter(DocQueries.q110Mod === 0), 0L, grams, delta, fold,
         sink)
-      if (gc) rmr(s"$delta/batch=0")
+      if (gc) TestSpark.rmr(s"$delta/batch=0")
       DocQueries.streamGramCompactBatch(spark,
         all.filter(DocQueries.q110Mod === 1), 1L, grams, delta, fold,
         sink)

@@ -242,6 +242,45 @@ class StreamIndexDedupSpec extends AnyFunSuite {
       s"resumed batch 1 does not read the compacted segment alone:\n$plan")
   }
 
+  // ---- shared four-batch cadence fixture (the k=2, k-retune and
+  // torn-fold laws): the mod-0 and mod-1 carves each split by doc_id
+  // parity — four genuine ingest batches over the real documents table.
+  private lazy val fourBatches: Seq[org.apache.spark.sql.DataFrame] = {
+    val docsAll = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    for (m <- Seq(0, 1); p <- Seq(0, 1))
+      yield docsAll.filter(DocQueries.q110Mod === m)
+        .filter(col("doc_id") % 2 === p)
+  }
+
+  private def cadenceTmp(t: String): String = java.nio.file.Files
+    .createTempDirectory(s"graft-sifx-$t").toString
+
+  private def seedDeltas(db: String, ds: String): Unit = {
+    val (iBands, iSets) = Tables.minhashIndexBase(spark, dir)
+    iBands.select("doc_id", "band_idx", "band_val").limit(0)
+      .write.mode("overwrite").parquet(s"$db/batch=-1")
+    iSets.select("doc_id", "ss", "n").limit(0)
+      .write.mode("overwrite").parquet(s"$ds/batch=-1")
+  }
+
+  private def funnel(sink: String): Seq[Seq[Any]] =
+    DocQueries.streamDedupTable(spark, sink).collect().map(_.toSeq).toSeq
+
+  /** q110d's uncompacted kernel over the four-batch fixture — the
+    * reference funnel every cadence law compares against. */
+  private lazy val uncompactedFourBatch: Seq[Seq[Any]] = {
+    val (iBands, iSets) = Tables.minhashIndexBase(spark, dir)
+    val (db, ds, sink) =
+      (cadenceTmp("db1"), cadenceTmp("ds1"), cadenceTmp("sink1"))
+    seedDeltas(db, ds)
+    fourBatches.zipWithIndex.foreach { case (b, id) =>
+      DocQueries.streamDedupBatch(spark, b, id.toLong, iBands, iSets,
+        db, ds, sink)
+    }
+    funnel(sink)
+  }
+
   test("q110f: k=2 cadence over four batches equals the uncompacted path, with the pinned read set per batch") {
     // the cadence law (round-16 verdict item 2): drive a FOUR-batch
     // delivery through q110d's uncompacted kernel and q110f's kernel
@@ -250,53 +289,20 @@ class StreamIndexDedupSpec extends AnyFunSuite {
     // inner plans — id 0 reads base (no fold yet), id 1 reads base ∪
     // the delta tail (pre-fold, tail union once) then folds, id 2
     // reads fold=1 ALONE, id 3 reads fold=1 ∪ the delta tail (the
-    // post-fold tail union, exactly once) then folds again. Four
-    // genuine ingest batches: the mod-0 and mod-1 carves each split by
-    // doc_id parity.
-    val docsAll = Tables.load(spark, dir, "documents")
-      .select(org.apache.spark.sql.functions.col("doc_id"),
-        org.apache.spark.sql.functions.col("source"),
-        org.apache.spark.sql.functions.col("text"))
-    val batches = Seq(
-      docsAll.filter(DocQueries.q110Mod === 0)
-        .filter(col("doc_id") % 2 === 0),
-      docsAll.filter(DocQueries.q110Mod === 0)
-        .filter(col("doc_id") % 2 === 1),
-      docsAll.filter(DocQueries.q110Mod === 1)
-        .filter(col("doc_id") % 2 === 0),
-      docsAll.filter(DocQueries.q110Mod === 1)
-        .filter(col("doc_id") % 2 === 1))
+    // post-fold tail union, exactly once) then folds again.
     val (iBands, iSets) = Tables.minhashIndexBase(spark, dir)
-    def tmp(t: String): String = java.nio.file.Files
-      .createTempDirectory(s"graft-sifg-$t").toString
-    def seed(db: String, ds: String): Unit = {
-      iBands.select("doc_id", "band_idx", "band_val").limit(0)
-        .write.mode("overwrite").parquet(s"$db/batch=-1")
-      iSets.select("doc_id", "ss", "n").limit(0)
-        .write.mode("overwrite").parquet(s"$ds/batch=-1")
-    }
-    // uncompacted path (q110d's kernel)
-    val (db1, ds1, sink1) = (tmp("db1"), tmp("ds1"), tmp("sink1"))
-    seed(db1, ds1)
-    batches.zipWithIndex.foreach { case (b, id) =>
-      DocQueries.streamDedupBatch(spark, b, id.toLong, iBands, iSets,
-        db1, ds1, sink1)
-    }
     // compact-every-2 path (q110f's kernel): folds after batches 1, 3
-    val (db2, ds2, cb, cs, sink2) =
-      (tmp("db2"), tmp("ds2"), tmp("cb"), tmp("cs"), tmp("sink2"))
-    seed(db2, ds2)
-    batches.zipWithIndex.foreach { case (b, id) =>
+    val (db2, ds2, cb, cs, sink2) = (cadenceTmp("db2"), cadenceTmp("ds2"),
+      cadenceTmp("cb"), cadenceTmp("cs"), cadenceTmp("sink2"))
+    seedDeltas(db2, ds2)
+    fourBatches.zipWithIndex.foreach { case (b, id) =>
       DocQueries.streamCompactBatch(spark, b, id.toLong, iBands, iSets,
         db2, ds2, cb, cs, sink2, k = 2)
     }
-    def funnel(sink: String): Seq[Seq[Any]] =
-      DocQueries.streamDedupTable(spark, sink)
-        .collect().map(_.toSeq).toSeq
-    val (f1, f2) = (funnel(sink1), funnel(sink2))
-    assert(f1 === f2,
+    val f2 = funnel(sink2)
+    assert(uncompactedFourBatch === f2,
       "compacted cadence read diverged from the base∪deltas read")
-    assert(f1.map(_.head).toSet === Set(1L, 2L, 3L, 4L),
+    assert(f2.map(_.head).toSet === Set(1L, 2L, 3L, 4L),
       "four-batch delivery did not produce four sink partitions")
     // folds landed exactly at the cadence: fold=1 and fold=3, no other
     val folds = new java.io.File(cb).listFiles()
@@ -337,40 +343,12 @@ class StreamIndexDedupSpec extends AnyFunSuite {
     // ((id, k) arithmetic would derive fold=1 here, which never fired,
     // and crash the read). Batches 0-2 run at k=3 (one fold, after
     // batch 2); batch 3 runs at k=2 and must read fold=2 ∪ nothing.
-    val docsAll = Tables.load(spark, dir, "documents")
-      .select(org.apache.spark.sql.functions.col("doc_id"),
-        org.apache.spark.sql.functions.col("source"),
-        org.apache.spark.sql.functions.col("text"))
-    val batches = Seq(
-      docsAll.filter(DocQueries.q110Mod === 0)
-        .filter(col("doc_id") % 2 === 0),
-      docsAll.filter(DocQueries.q110Mod === 0)
-        .filter(col("doc_id") % 2 === 1),
-      docsAll.filter(DocQueries.q110Mod === 1)
-        .filter(col("doc_id") % 2 === 0),
-      docsAll.filter(DocQueries.q110Mod === 1)
-        .filter(col("doc_id") % 2 === 1))
     val (iBands, iSets) = Tables.minhashIndexBase(spark, dir)
-    def tmp(t: String): String = java.nio.file.Files
-      .createTempDirectory(s"graft-sifk-$t").toString
-    def seed(db: String, ds: String): Unit = {
-      iBands.select("doc_id", "band_idx", "band_val").limit(0)
-        .write.mode("overwrite").parquet(s"$db/batch=-1")
-      iSets.select("doc_id", "ss", "n").limit(0)
-        .write.mode("overwrite").parquet(s"$ds/batch=-1")
-    }
-    // reference: q110d's uncompacted kernel over the same four batches
-    val (db1, ds1, sink1) = (tmp("db1"), tmp("ds1"), tmp("sink1"))
-    seed(db1, ds1)
-    batches.zipWithIndex.foreach { case (b, id) =>
-      DocQueries.streamDedupBatch(spark, b, id.toLong, iBands, iSets,
-        db1, ds1, sink1)
-    }
     // retuned path: k=3 for batches 0-2, then k=2 for batch 3
-    val (db2, ds2, cb, cs, sink2) =
-      (tmp("db2"), tmp("ds2"), tmp("cb"), tmp("cs"), tmp("sink2"))
-    seed(db2, ds2)
-    batches.zipWithIndex.foreach { case (b, id) =>
+    val (db2, ds2, cb, cs, sink2) = (cadenceTmp("db2"), cadenceTmp("ds2"),
+      cadenceTmp("cb"), cadenceTmp("cs"), cadenceTmp("sink2"))
+    seedDeltas(db2, ds2)
+    fourBatches.zipWithIndex.foreach { case (b, id) =>
       DocQueries.streamCompactBatch(spark, b, id.toLong, iBands, iSets,
         db2, ds2, cb, cs, sink2, k = if (id < 3) 3 else 2)
     }
@@ -380,10 +358,7 @@ class StreamIndexDedupSpec extends AnyFunSuite {
       .filter(_.getName.startsWith("fold=")).map(_.getName).toSet
     assert(folds === Set("fold=2", "fold=3"),
       s"folds landed off the retuned cadence: $folds")
-    def funnel(sink: String): Seq[Seq[Any]] =
-      DocQueries.streamDedupTable(spark, sink)
-        .collect().map(_.toSeq).toSeq
-    assert(funnel(sink1) === funnel(sink2),
+    assert(uncompactedFourBatch === funnel(sink2),
       "retuned-cadence read diverged from the base∪deltas read")
     val plan3 = StreamingJobs
       .innerPlanOf("q110f_stream_compaction batch=3")
@@ -391,6 +366,63 @@ class StreamIndexDedupSpec extends AnyFunSuite {
     assert(plan3.contains(s"$cb/fold=2") && !plan3.contains(db2) &&
       !plan3.contains("docs_minhash_base_"),
       s"retuned batch-3 read is not the fold=2 scan alone:\n$plan3")
+  }
+
+  test("q110f: a fold torn mid-write is not a committed fold — a k-retune after the crash cannot wedge or truncate the read") {
+    // the review scenario behind foldPoint's _SUCCESS commit check:
+    // under k=2, batch 1's fold crashes BETWEEN the bands and sets
+    // writes; the operator restarts with k=3, so the re-run batch 1
+    // never re-fires its fold ((1+1) % 3 != 0) and the torn fold=1
+    // stays on disk FOREVER — the old "batch n re-runs, overwriting
+    // fold=n" argument no longer holds. Every later batch must treat
+    // the torn fold as uncommitted: read base ∪ the delta tail past
+    // it (scanning it would wedge on the missing sets relation, or
+    // silently dedup against truncated bands and admit near-dups),
+    // and the funnel must stay byte-equal to the uncompacted kernel's.
+    val (iBands, iSets) = Tables.minhashIndexBase(spark, dir)
+    val (db, ds, cb, cs, sink) = (cadenceTmp("db3"), cadenceTmp("ds3"),
+      cadenceTmp("cb3"), cadenceTmp("cs3"), cadenceTmp("sink3"))
+    seedDeltas(db, ds)
+    DocQueries.streamCompactBatch(spark, fourBatches(0), 0L,
+      iBands, iSets, db, ds, cb, cs, sink, k = 2)
+    val thrown = intercept[RuntimeException] {
+      DocQueries.streamCompactBatch(spark, fourBatches(1), 1L,
+        iBands, iSets, db, ds, cb, cs, sink, k = 2,
+        crashMidFold =
+          _ => throw new RuntimeException("torn-fold injection"))
+    }
+    assert(thrown.getMessage === "torn-fold injection")
+    // the tear is real: the bands fold committed, the sets fold never
+    // started — fold=1 exists in one relation's dir only
+    assert(new java.io.File(s"$cb/fold=1", "_SUCCESS").exists(),
+      "bands fold missing — wrong injection point")
+    assert(!new java.io.File(s"$cs/fold=1").exists(),
+      "sets fold exists despite the mid-fold crash")
+    // restart retuned to k=3: batch 1 re-runs (its delta and sink
+    // overwrites are idempotent) and does NOT re-fire the fold;
+    // batch 2 folds under the new cadence ((2+1) % 3 == 0)
+    (1 to 3).foreach { id =>
+      DocQueries.streamCompactBatch(spark, fourBatches(id), id.toLong,
+        iBands, iSets, db, ds, cb, cs, sink, k = 3)
+    }
+    assert(!new java.io.File(s"$cs/fold=1").exists(),
+      "the retuned re-run resurrected the torn fold")
+    assert(new java.io.File(s"$cb/fold=2", "_SUCCESS").exists() &&
+      new java.io.File(s"$cs/fold=2", "_SUCCESS").exists(),
+      "the k=3 fold at batch 2 did not commit")
+    def plan(id: Int): String = StreamingJobs
+      .innerPlanOf(s"q110f_stream_compaction batch=$id")
+      .getOrElse(fail(s"batch-$id inner plan was not recorded"))
+    // batch 2 read PAST the torn fold: base ∪ deltas, never fold=1
+    assert(plan(2).contains("docs_minhash_base_") &&
+      !plan(2).contains(cb),
+      s"batch-2 read touched the torn fold instead of the base:\n${plan(2)}")
+    // batch 3 reads its committed fold=2 alone
+    assert(plan(3).contains(s"$cb/fold=2") && !plan(3).contains(db) &&
+      !plan(3).contains("docs_minhash_base_"),
+      s"batch-3 read is not the committed fold=2 scan alone:\n${plan(3)}")
+    assert(uncompactedFourBatch === funnel(sink),
+      "the torn fold leaked into the funnel")
   }
 
   test("q110f: deltas at or below the fold point are DEAD — GC'ing them changes nothing") {
@@ -406,30 +438,16 @@ class StreamIndexDedupSpec extends AnyFunSuite {
     val all = spark.read.parquet(replay)
     def tmp(t: String): String = java.nio.file.Files
       .createTempDirectory(s"graft-sifgc-$t").toString
-    def seed(db: String, ds: String): Unit = {
-      iBands.select("doc_id", "band_idx", "band_val").limit(0)
-        .write.mode("overwrite").parquet(s"$db/batch=-1")
-      iSets.select("doc_id", "ss", "n").limit(0)
-        .write.mode("overwrite").parquet(s"$ds/batch=-1")
-    }
-    def rmr(p: String): Unit = {
-      import scala.jdk.CollectionConverters._
-      val root = java.nio.file.Paths.get(p)
-      if (java.nio.file.Files.exists(root)) {
-        val walk = java.nio.file.Files.walk(root)
-        try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-        finally walk.close()
-      }
-    }
     def run(gc: Boolean): (Seq[Seq[Any]], Set[Long]) = {
       val (db, ds, cb, cs, sink) =
         (tmp("db"), tmp("ds"), tmp("cb"), tmp("cs"), tmp("sink"))
-      seed(db, ds)
+      seedDeltas(db, ds)
       DocQueries.streamCompactBatch(spark,
         all.filter(DocQueries.q110Mod === 0), 0L, iBands, iSets,
         db, ds, cb, cs, sink)
-      if (gc) { rmr(s"$db/batch=0"); rmr(s"$ds/batch=0") }
+      if (gc) {
+        TestSpark.rmr(s"$db/batch=0"); TestSpark.rmr(s"$ds/batch=0")
+      }
       DocQueries.streamCompactBatch(spark,
         all.filter(DocQueries.q110Mod === 1), 1L, iBands, iSets,
         db, ds, cb, cs, sink)

@@ -13,6 +13,20 @@ object TestSpark {
   }
   val sf0001 = "/root/testdata/sf0.001"
 
+  /** Recursive delete of a test scratch path (deepest-first walk,
+    * stream closed — the Scratch.purge contract, shared by the GC
+    * laws in StreamIndexDedupSpec and GramAppendSpec). */
+  def rmr(p: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(p)
+    if (java.nio.file.Files.exists(root)) {
+      val walk = java.nio.file.Files.walk(root)
+      try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
   /** The FINAL section of an executed AQE plan string. AQE's toString
     * prints "== Final Plan ==" followed by "== Initial Plan ==", and
     * the Initial section legitimately contains shapes (e.g. an SMJ

@@ -130,6 +130,31 @@ object Bench {
         ",\"scan_ms\":" + (if (m == Long.MaxValue) -1L else m) + "}"
     }.mkString("{", ",", "}")
 
+  /** Deterministic single-thread CPU probe: a fixed xorshift64* mix
+    * loop whose wall time depends only on how fast this box runs one
+    * core RIGHT NOW. Sampled once before the timed passes and once
+    * after, and emitted as "probe_secs":[before, after] in the FULL
+    * JSON only. Exists because the per-query floor-flag machinery is
+    * blind to steal that is UNIFORM across reps (round-17: three
+    * same-code recordings read 228-285 s with ZERO floor-flags on a
+    * box whose every query ran ~1.6x slow): dividing a run's probe by
+    * the recording's probe gives the box-speed ratio to normalize
+    * per-query ratios by before calling a regression. */
+  def cpuProbe(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9E3779B97F4A7C15L
+    var acc = 0L
+    var i = 0
+    while (i < 150000000) {
+      x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
+      acc += x * 0x2545F4914F6CDD1DL
+      i += 1
+    }
+    // consume acc so the loop cannot be dead-code-eliminated
+    if (acc == 42L) System.err.println("[bench] probe fixed point")
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** name -> compact stdout key. Short keys are qNN tokens (+initials
     * where the token repeats). Collisions are disambiguated PER
     * COLLIDING GROUP with a numeric suffix (round-7 ADVICE item 2: the
@@ -462,6 +487,11 @@ object Bench {
         queries.Scratch.purge()
       }
     }
+    // box-speed probe brackets the timed region (full JSON only); one
+    // discarded call first so both samples run the C2-compiled loop
+    // (the cold first call reads ~1.5x slow — JIT, not steal)
+    cpuProbe()
+    val probeBefore = cpuProbe()
     (1 to Passes).foreach { pass =>
       names.foreach(runOne(pass.toString, _))
     }
@@ -487,6 +517,9 @@ object Bench {
       flagged.foreach(runOne(s"adaptive$adaptiveRound", _))
       flagged = adaptiveEligible(summarize(names, times), attempts, MaxReps)
     }
+    val probeAfter = cpuProbe()
+    System.err.println(
+      f"[bench] cpu probe before=$probeBefore%.3f s after=$probeAfter%.3f s")
     val good = summarize(names, times)
     val qs = good.map { case (k, med, _, _, _) => "\"" + k + "\":" + num(med) }
       .mkString("{", ",", "}")
@@ -538,7 +571,7 @@ object Bench {
       s"""{"name":"$n","ok":$ok,"secs":${num(secs)}$e}"""
     }.mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","value_min":${num(totalMin)},"qps":${num(qps)},"queries":$qs,"spread":$spread,"floor_ratio":$floorRatio,"scan":$scanBlock,"reps_ok":$repsOk,"keymap":$keymap,"ingest":$ingestJson,$tailCommon}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","value_min":${num(totalMin)},"qps":${num(qps)},"queries":$qs,"spread":$spread,"floor_ratio":$floorRatio,"scan":$scanBlock,"reps_ok":$repsOk,"keymap":$keymap,"ingest":$ingestJson,"probe_secs":[${num(probeBefore)},${num(probeAfter)}],$tailCommon}"""
     // the compact stdout line must survive the driver's 2000-char tail
     // capture at 100+ queries: short keys, 2-decimal medians, no
     // value_min/qps/spread (all live in the full JSON renderings)

@@ -281,4 +281,26 @@ class BenchAggSpec extends AnyFunSuite {
     assert(line.contains(""""queries":{}"""))
     assert(line.contains(""""value":999999.000"""))
   }
+
+  test("cpu probe: positive, repeatable, and OUT of the compact line") {
+    // the box-speed probe exists because per-query floor-flags cannot
+    // see steal that is uniform across reps (round-17: three same-code
+    // recordings at 1.6x with zero flags). Two back-to-back samples on
+    // the same box must be positive and within a loose factor of each
+    // other (a 3x swing within milliseconds would make the probe
+    // useless as a cross-run normalizer); the probe rides ONLY in the
+    // full bench_out.json, so the driver's 2000-char stdout tail and
+    // the gate-read compact schema are untouched.
+    Bench.cpuProbe() // discard the cold JIT call, as main() does
+    val (a, b) = (Bench.cpuProbe(), Bench.cpuProbe())
+    assert(a > 0.01 && b > 0.01, s"probe too fast to measure: $a / $b")
+    assert(a < 30 && b < 30, s"probe too slow — shrink the loop: $a / $b")
+    assert(math.max(a, b) / math.min(a, b) < 3.0,
+      s"back-to-back probes diverge: $a vs $b")
+    val line = Bench.compactLine(
+      Seq(("q01_pricing_summary", 1.0, 1.0, 1.0, 3)), 1.0, Nil,
+      ingestOk = true, "/root/testdata/sf0.1")
+    assert(!line.contains("probe_secs"),
+      "probe leaked into the compact stdout line")
+  }
 }

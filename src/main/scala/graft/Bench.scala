@@ -140,8 +140,7 @@ object Bench {
     * box whose every query ran ~1.6x slow): dividing a run's probe by
     * the recording's probe gives the box-speed ratio to normalize
     * per-query ratios by before calling a regression. */
-  def cpuProbe(): Double = {
-    val t0 = System.nanoTime()
+  private def probeLoop(): Unit = {
     var x = 0x9E3779B97F4A7C15L
     var acc = 0L
     var i = 0
@@ -152,6 +151,28 @@ object Bench {
     }
     // consume acc so the loop cannot be dead-code-eliminated
     if (acc == 42L) System.err.println("[bench] probe fixed point")
+  }
+
+  def cpuProbe(): Double = {
+    val t0 = System.nanoTime()
+    probeLoop()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Multi-core twin of cpuProbe: n threads run the same loop
+    * concurrently; wall time reads ~= the serial probe on an idle box
+    * and inflates with the core contention the serial probe CANNOT
+    * see. Round-17 calibration: a 255.9 s recording (1.75x the §3
+    * table) carried a NOMINAL serial probe (0.34 s) — the co-tenant
+    * was consuming whole cores, not clock, so parallel capacity is
+    * the statistic that actually tracks the query slowdown. */
+  def cpuProbePar(n: Int = 8): Double = {
+    val t0 = System.nanoTime()
+    val ts = (1 to n).map { _ =>
+      val t = new Thread(() => probeLoop())
+      t.start(); t
+    }
+    ts.foreach(_.join())
     (System.nanoTime() - t0) / 1e9
   }
 
@@ -487,11 +508,12 @@ object Bench {
         queries.Scratch.purge()
       }
     }
-    // box-speed probe brackets the timed region (full JSON only); one
-    // discarded call first so both samples run the C2-compiled loop
+    // box-speed probes bracket the timed region (full JSON only); one
+    // discarded call first so all samples run the C2-compiled loop
     // (the cold first call reads ~1.5x slow — JIT, not steal)
     cpuProbe()
     val probeBefore = cpuProbe()
+    val probeParBefore = cpuProbePar()
     (1 to Passes).foreach { pass =>
       names.foreach(runOne(pass.toString, _))
     }
@@ -518,8 +540,10 @@ object Bench {
       flagged = adaptiveEligible(summarize(names, times), attempts, MaxReps)
     }
     val probeAfter = cpuProbe()
+    val probeParAfter = cpuProbePar()
     System.err.println(
-      f"[bench] cpu probe before=$probeBefore%.3f s after=$probeAfter%.3f s")
+      f"[bench] cpu probe serial=[$probeBefore%.3f, $probeAfter%.3f] s " +
+        f"parallel8=[$probeParBefore%.3f, $probeParAfter%.3f] s")
     val good = summarize(names, times)
     val qs = good.map { case (k, med, _, _, _) => "\"" + k + "\":" + num(med) }
       .mkString("{", ",", "}")
@@ -571,7 +595,7 @@ object Bench {
       s"""{"name":"$n","ok":$ok,"secs":${num(secs)}$e}"""
     }.mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","value_min":${num(totalMin)},"qps":${num(qps)},"queries":$qs,"spread":$spread,"floor_ratio":$floorRatio,"scan":$scanBlock,"reps_ok":$repsOk,"keymap":$keymap,"ingest":$ingestJson,"probe_secs":[${num(probeBefore)},${num(probeAfter)}],$tailCommon}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","value_min":${num(totalMin)},"qps":${num(qps)},"queries":$qs,"spread":$spread,"floor_ratio":$floorRatio,"scan":$scanBlock,"reps_ok":$repsOk,"keymap":$keymap,"ingest":$ingestJson,"probe_secs":[${num(probeBefore)},${num(probeAfter)}],"probe_par_secs":[${num(probeParBefore)},${num(probeParAfter)}],$tailCommon}"""
     // the compact stdout line must survive the driver's 2000-char tail
     // capture at 100+ queries: short keys, 2-decimal medians, no
     // value_min/qps/spread (all live in the full JSON renderings)

@@ -297,6 +297,13 @@ class BenchAggSpec extends AnyFunSuite {
     assert(a < 30 && b < 30, s"probe too slow — shrink the loop: $a / $b")
     assert(math.max(a, b) / math.min(a, b) < 3.0,
       s"back-to-back probes diverge: $a vs $b")
+    // the parallel twin: n concurrent copies of the same loop cannot
+    // be faster than one, and on any box with >= n idle cores should
+    // be far cheaper than running them back to back (contention is
+    // exactly what it exists to measure, so the upper bound is loose)
+    val p = Bench.cpuProbePar()
+    assert(p >= math.min(a, b) * 0.9, s"parallel probe beat serial: $p")
+    assert(p < 30, s"parallel probe too slow — shrink the loop: $p")
     val line = Bench.compactLine(
       Seq(("q01_pricing_summary", 1.0, 1.0, 1.0, 3)), 1.0, Nil,
       ingestOk = true, "/root/testdata/sf0.1")

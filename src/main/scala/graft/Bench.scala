@@ -159,17 +159,36 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
-  /** Multi-core twin of cpuProbe: n threads run the same loop
-    * concurrently; wall time reads ~= the serial probe on an idle box
-    * and inflates with the core contention the serial probe CANNOT
-    * see. Round-17 calibration: a 255.9 s recording (1.75x the §3
-    * table) carried a NOMINAL serial probe (0.34 s) — the co-tenant
-    * was consuming whole cores, not clock, so parallel capacity is
-    * the statistic that actually tracks the query slowdown. */
-  def cpuProbePar(n: Int = 8): Double = {
+  /** Parallel CAPACITY probe: availableProcessors threads (the
+    * parallelism the bench actually asks Spark for), each walking a
+    * private 4 MiB array with data-dependent indices — register-only
+    * work measures clock, but Spark's scans/joins contend on cores
+    * AND memory, and both must be in the probe for it to track query
+    * slowdown. Round-17 calibration, two stages: a 255.9 s recording
+    * (1.75x the §3 table) carried a NOMINAL serial probe — cores, not
+    * clock, were stolen; then an 8-thread register-loop variant ALSO
+    * read nominal on a 297.6 s run — the co-tenant left ~8 cores
+    * free, so the probe must demand the full width. Wall time reads
+    * ~= a single thread's walk on an idle box and inflates with
+    * exactly the contention the 32-thread query passes pay. */
+  def cpuProbePar(n: Int = Runtime.getRuntime.availableProcessors())
+      : Double = {
     val t0 = System.nanoTime()
     val ts = (1 to n).map { _ =>
-      val t = new Thread(() => probeLoop())
+      val t = new Thread(() => {
+        val mask = 524287
+        val mem = new Array[Long](mask + 1) // 4 MiB per thread
+        var x = 0x9E3779B97F4A7C15L
+        var acc = 0L
+        var i = 0
+        while (i < 30000000) {
+          x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
+          val idx = (x >>> 8).toInt & mask
+          acc += mem(idx); mem(idx) = acc + x
+          i += 1
+        }
+        if (acc == 42L) System.err.println("[bench] probe fixed point")
+      })
       t.start(); t
     }
     ts.foreach(_.join())
@@ -509,9 +528,10 @@ object Bench {
       }
     }
     // box-speed probes bracket the timed region (full JSON only); one
-    // discarded call first so all samples run the C2-compiled loop
-    // (the cold first call reads ~1.5x slow — JIT, not steal)
-    cpuProbe()
+    // discarded call per loop body first so all samples run the
+    // C2-compiled code (a cold first call reads ~1.5x slow — JIT,
+    // not steal; the parallel warm-up runs single-width)
+    cpuProbe(); cpuProbePar(1)
     val probeBefore = cpuProbe()
     val probeParBefore = cpuProbePar()
     (1 to Passes).foreach { pass =>
@@ -543,7 +563,7 @@ object Bench {
     val probeParAfter = cpuProbePar()
     System.err.println(
       f"[bench] cpu probe serial=[$probeBefore%.3f, $probeAfter%.3f] s " +
-        f"parallel8=[$probeParBefore%.3f, $probeParAfter%.3f] s")
+        f"parallel=[$probeParBefore%.3f, $probeParAfter%.3f] s")
     val good = summarize(names, times)
     val qs = good.map { case (k, med, _, _, _) => "\"" + k + "\":" + num(med) }
       .mkString("{", ",", "}")

@@ -297,13 +297,16 @@ class BenchAggSpec extends AnyFunSuite {
     assert(a < 30 && b < 30, s"probe too slow — shrink the loop: $a / $b")
     assert(math.max(a, b) / math.min(a, b) < 3.0,
       s"back-to-back probes diverge: $a vs $b")
-    // the parallel twin: n concurrent copies of the same loop cannot
-    // be faster than one, and on any box with >= n idle cores should
-    // be far cheaper than running them back to back (contention is
-    // exactly what it exists to measure, so the upper bound is loose)
-    val p = Bench.cpuProbePar()
-    assert(p >= math.min(a, b) * 0.9, s"parallel probe beat serial: $p")
-    assert(p < 30, s"parallel probe too slow — shrink the loop: $p")
+    // the parallel capacity twin (full-width threads, memory-walking
+    // loop): only loose bounds are assertable — contention is exactly
+    // what it exists to measure — but it must be measurable, bounded,
+    // and JIT-warmed repeatable like the serial probe
+    Bench.cpuProbePar() // discard the cold JIT call
+    val (p1, p2) = (Bench.cpuProbePar(), Bench.cpuProbePar())
+    assert(p1 > 0.01 && p2 > 0.01, s"parallel probe too fast: $p1 / $p2")
+    assert(p1 < 30 && p2 < 30, s"parallel probe too slow: $p1 / $p2")
+    assert(math.max(p1, p2) / math.min(p1, p2) < 3.0,
+      s"back-to-back parallel probes diverge: $p1 vs $p2")
     val line = Bench.compactLine(
       Seq(("q01_pricing_summary", 1.0, 1.0, 1.0, 3)), 1.0, Nil,
       ingestOk = true, "/root/testdata/sf0.1")

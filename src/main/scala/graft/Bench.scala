@@ -35,7 +35,14 @@ package graft
   * Output: the ONE stdout line is the COMPACT JSON (fits the driver's
   * 2000-char stdout-tail capture); the FULL JSON with per-query
   * spread/reps_ok diagnostics goes to bench_out.json,
-  * /tmp/graft-bench.json and a GRAFT_BENCH_JSON-prefixed stderr line.
+  * /tmp/graft-bench.json and a GRAFT_BENCH_JSON-prefixed stderr line —
+  * REWRITTEN after every completed pass and adaptive round, so a run
+  * killed mid-flight (BENCH_r17: driver rc 124 at pass 3/3 → "parsed":
+  * null, two complete passes destroyed) still leaves the newest
+  * complete state on disk; "passes_done"/"adaptive_done"/"shed" say
+  * how much of the plan the artifact reflects. An optional
+  * SPARK_GRAFT_BENCH_BUDGET_SECS sheds remaining passes when elapsed +
+  * a projected pass would cross it, finalizing with what exists.
   */
 object Bench {
   private val Passes =
@@ -159,8 +166,17 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
-  /** Parallel CAPACITY probe: availableProcessors threads (the
-    * parallelism the bench actually asks Spark for), each walking a
+  /** Width of the parallel capacity probe: the parallelism the bench
+    * actually asks Spark for (local[SPARK_GRAFT_CPUS], default 32) —
+    * NOT the machine's core count, which can differ and would skew
+    * cross-box probe-ratio normalization (round-17 ADVICE item 2).
+    * On the driver box the two coincide (no override → 32 → full
+    * width), so the round-17 calibration carries over unchanged. */
+  def probeParWidth: Int = scala.util.Try(Sessions.cpus.toInt)
+    .getOrElse(Runtime.getRuntime.availableProcessors())
+
+  /** Parallel CAPACITY probe: probeParWidth threads (the parallelism
+    * the bench actually asks Spark for), each walking a
     * private 4 MiB array with data-dependent indices — register-only
     * work measures clock, but Spark's scans/joins contend on cores
     * AND memory, and both must be in the probe for it to track query
@@ -170,9 +186,15 @@ object Bench {
     * read nominal on a 297.6 s run — the co-tenant left ~8 cores
     * free, so the probe must demand the full width. Wall time reads
     * ~= a single thread's walk on an idle box and inflates with
-    * exactly the contention the 32-thread query passes pay. */
-  def cpuProbePar(n: Int = Runtime.getRuntime.availableProcessors())
-      : Double = {
+    * exactly the contention the 32-thread query passes pay.
+    *
+    * Returns -1 when any worker DIED (e.g. OOM allocating 4 MiB per
+    * thread at full width): a silently-joined dead thread would read
+    * fast/nominal — exactly the false negative the probe exists to
+    * eliminate (round-17 ADVICE item 1). -1 is unambiguous to the
+    * gate; a real contended walk is always positive. */
+  def cpuProbePar(n: Int = probeParWidth): Double = {
+    val failed = new java.util.concurrent.atomic.AtomicBoolean(false)
     val t0 = System.nanoTime()
     val ts = (1 to n).map { _ =>
       val t = new Thread(() => {
@@ -189,10 +211,15 @@ object Bench {
         }
         if (acc == 42L) System.err.println("[bench] probe fixed point")
       })
+      t.setUncaughtExceptionHandler((w, e) => {
+        failed.set(true)
+        System.err.println(
+          s"[bench] WARNING capacity-probe worker ${w.getName} died: $e")
+      })
       t.start(); t
     }
     ts.foreach(_.join())
-    (System.nanoTime() - t0) / 1e9
+    if (failed.get) -1.0 else (System.nanoTime() - t0) / 1e9
   }
 
   /** name -> compact stdout key. Short keys are qNN tokens (+initials
@@ -316,6 +343,70 @@ object Bench {
     ladder.find(_.length <= 1950).getOrElse(render("{}", failedShort))
   }
 
+  /** Budget-shed decision (SPARK_GRAFT_BENCH_BUDGET_SECS, round-17
+    * verdict item 1): shed the next unit of work when the time already
+    * elapsed plus the projected unit cost would cross the budget —
+    * finalizing with the passes that exist beats a driver timeout
+    * (rc 124) that destroys them all (pass-1 medians of 149 queries
+    * beat `parsed: null` every time). No budget env → never shed. */
+  def shouldShed(budget: Option[Double], elapsed: Double,
+      projected: Double): Boolean =
+    budget.exists(b => elapsed + projected > b)
+
+  /** The FULL-JSON artifact rendered from the aggregation state as it
+    * stands after `passesDone` completed passes. Pure so BenchAggSpec
+    * can pin the timeout-survivability law (round-17 verdict item 1:
+    * BENCH_r17 died at pass 3/3 holding two COMPLETE passes of
+    * per-query data that the old emit-at-the-end-only main() lost —
+    * rc 124, `parsed: null`). main() writes this artifact after EVERY
+    * completed pass and adaptive round (overwrite-in-place), so a run
+    * killed at any point leaves the newest complete state on disk;
+    * "passes_done"/"adaptive_done" say how much of the plan it
+    * reflects. Probe arrays carry whatever has been measured so far
+    * (before-values during the passes, before+after at the end) — the
+    * reference emits its metrics line every frame, not at shutdown
+    * (/root/reference/src/DoublePsramBuffer480x480.cpp:209-214), and
+    * this is that design value applied to the artifact. */
+  def fullJson(
+      names: Seq[String],
+      times: scala.collection.Map[String, Vector[Double]],
+      scanFiles: scala.collection.Map[String, Long],
+      scanBytes: scala.collection.Map[String, Long],
+      scanMs: scala.collection.Map[String, Long],
+      ingestResults: Seq[(String, Boolean, Double, Option[String])],
+      ingestSecs: Double,
+      probes: Seq[Double], probesPar: Seq[Double],
+      passesDone: Int, adaptiveDone: Int, shed: Boolean,
+      sfDir: String): String = {
+    val good = summarize(names, times)
+    val qs = good.map { case (k, med, _, _, _) => "\"" + k + "\":" + num(med) }
+      .mkString("{", ",", "}")
+    val shortKey = shortKeys(good.map(_._1))
+    val keymap = good.map { case (k, _, _, _, _) =>
+      "\"" + shortKey(k) + "\":\"" + k + "\"" }.mkString("{", ",", "}")
+    val spread = good.map { case (k, _, mn, mx, _) =>
+      "\"" + k + "\":[" + num(mn) + "," + num(mx) + "]"
+    }.mkString("{", ",", "}")
+    val floorRatio = good.map { case (k, med, mn, _, _) =>
+      "\"" + k + "\":" + num(if (mn > 0) med / mn else 1.0, 2)
+    }.mkString("{", ",", "}")
+    val scanBlock = scanJson(good.map(_._1), scanFiles, scanBytes, scanMs)
+    val repsOk = good.map { case (k, _, _, _, n) => "\"" + k + "\":" + n }
+      .mkString("{", ",", "}")
+    val failed = names.filter(times.getOrElse(_, Vector.empty).isEmpty)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = good.map(_._2).sum
+    val totalMin = good.map(_._3).sum
+    val qps = if (total > 0) good.size / total else 0.0
+    val ingestOk = ingestResults.forall(_._2)
+    val ingestJson = ingestResults.map { case (n, ok, secs, err) =>
+      val e = err.map(m => s""","err":"${jesc(m)}"""").getOrElse("")
+      s"""{"name":"$n","ok":$ok,"secs":${num(secs)}$e}"""
+    }.mkString("[", ",", "]")
+    def arr(vs: Seq[Double]): String = vs.map(num(_)).mkString("[", ",", "]")
+    s"""{"metric":"total","value":${num(total)},"unit":"sec","value_min":${num(totalMin)},"qps":${num(qps)},"queries":$qs,"spread":$spread,"floor_ratio":$floorRatio,"scan":$scanBlock,"reps_ok":$repsOk,"keymap":$keymap,"ingest":$ingestJson,"probe_secs":${arr(probes)},"probe_par_secs":${arr(probesPar)},"passes_done":$passesDone,"adaptive_done":$adaptiveDone,"shed":$shed,"reps":$Passes,"failed":$failed,"ingest_ok":$ingestOk,"ingest_secs":${num(ingestSecs)},"sf":"$sfDir"}"""
+  }
+
   /** One untimed throwaway execution of a registry query's own plan
     * (toRdd, like the timed passes) — the warm-up primitive for the
     * warehouse-layout readers. Unknown names are a silent no-op so a
@@ -327,6 +418,10 @@ object Bench {
       .foreach(fn => fn(spark, sfDir).queryExecution.toRdd.count())
 
   def main(args: Array[String]): Unit = {
+    // budget clock anchors at main entry so warm-up + ingest count
+    // against SPARK_GRAFT_BENCH_BUDGET_SECS exactly like they count
+    // against the driver's external timeout
+    val benchT0 = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local("graft-bench")
     // Warm up the JVM/codegen paths once (vectorized parquet scan,
@@ -527,15 +622,73 @@ object Bench {
         queries.Scratch.purge()
       }
     }
+    // INCREMENTAL ARTIFACT EMISSION (round-17 verdict item 1): write
+    // the full JSON to bench_out.json + /tmp/graft-bench.json and the
+    // GRAFT_BENCH_JSON stderr line after EVERY completed pass and every
+    // adaptive round, overwriting in place with "passes_done"/
+    // "adaptive_done" recording how much of the plan the artifact
+    // reflects. BENCH_r17 died at pass 3/3 (driver rc 124) holding two
+    // COMPLETE passes that the old emit-at-the-end-only flow destroyed
+    // ("parsed": null); the reference emits its metrics line every
+    // frame, not at shutdown (DoublePsramBuffer480x480.cpp:209-214).
+    // The driver greps the LAST GRAFT_BENCH_JSON line / reads the file
+    // as overwritten — both always carry the newest complete state.
+    var probes = Vector.empty[Double]
+    var probesPar = Vector.empty[Double]
+    var passesDone = 0
+    var adaptiveDone = 0
+    var shed = false
+    def emit(): String = {
+      val json = fullJson(names, times, scanFiles, scanBytes, scanMs,
+        ingestResults, ingestSecs, probes, probesPar,
+        passesDone, adaptiveDone, shed, sfDir)
+      System.err.println("GRAFT_BENCH_JSON " + json)
+      for (p <- Seq("bench_out.json", "/tmp/graft-bench.json")) {
+        try {
+          java.nio.file.Files.write(java.nio.file.Paths.get(p),
+            (json + "\n").getBytes("UTF-8"))
+        } catch { case _: Throwable => () }
+      }
+      json
+    }
+    // Optional wall-clock budget: when elapsed + a projected next unit
+    // would cross it, shed the remaining passes/adaptive rounds and
+    // finalize with what exists — a self-shortened run with pass-1
+    // medians beats the driver's rc-124 kill that parses as null.
+    // Elapsed counts from main entry (warm-up + ingest included),
+    // matching what the driver's timeout actually covers.
+    val budget =
+      sys.env.get("SPARK_GRAFT_BENCH_BUDGET_SECS").map(_.toDouble)
+    def elapsed: Double = (System.nanoTime() - benchT0) / 1e9
     // box-speed probes bracket the timed region (full JSON only); one
     // discarded call per loop body first so all samples run the
     // C2-compiled code (a cold first call reads ~1.5x slow — JIT,
-    // not steal; the parallel warm-up runs single-width)
+    // not steal; the parallel warm-up runs single-width). Each reading
+    // prints to stderr THE MOMENT it is measured — a killed run keeps
+    // its probe evidence (round-17 verdict item 1).
     cpuProbe(); cpuProbePar(1)
-    val probeBefore = cpuProbe()
-    val probeParBefore = cpuProbePar()
-    (1 to Passes).foreach { pass =>
-      names.foreach(runOne(pass.toString, _))
+    probes :+= cpuProbe()
+    System.err.println(f"[bench] cpu probe serial before=${probes.last}%.3f s")
+    probesPar :+= cpuProbePar()
+    System.err.println(
+      f"[bench] cpu probe parallel before=${probesPar.last}%.3f s " +
+        s"(width=$probeParWidth)")
+    var lastPassSecs = 0.0
+    var pass = 1
+    while (pass <= Passes && !shed) {
+      if (pass > 1 && shouldShed(budget, elapsed, lastPassSecs)) {
+        shed = true
+        System.err.println(
+          f"[bench] budget ${budget.get}%.0f s: elapsed $elapsed%.0f s + " +
+            f"projected pass $lastPassSecs%.0f s — shedding passes $pass..$Passes")
+      } else {
+        val t0 = System.nanoTime()
+        names.foreach(runOne(pass.toString, _))
+        lastPassSecs = (System.nanoTime() - t0) / 1e9
+        passesDone = pass
+        pass += 1
+        emit()
+      }
     }
     // ADAPTIVE EXTRA REPS for spread-flagged queries (median/min > 2):
     // co-tenant steal inflates medians, not floors — more samples pull
@@ -549,91 +702,57 @@ object Bench {
     // TERMINATION: the eligibility filter counts ATTEMPTS, so
     // every iteration strictly advances each flagged query toward the
     // MaxReps ceiling even when its reps fail (round-12 ADVICE item 1).
-    var adaptiveRound = 0
+    // Budget: an adaptive round's projected cost is the flagged set's
+    // current median sum (what re-running them should take on a clean
+    // window — an underestimate under steal, but shedding is best-
+    // effort and the artifact is already on disk either way).
     var flagged = adaptiveEligible(summarize(names, times), attempts, MaxReps)
-    while (flagged.nonEmpty) {
-      adaptiveRound += 1
-      System.err.println(
-        s"[bench] adaptive pass $adaptiveRound for ${flagged.size} " +
-          s"spread-flagged: " + flagged.mkString(", "))
-      flagged.foreach(runOne(s"adaptive$adaptiveRound", _))
-      flagged = adaptiveEligible(summarize(names, times), attempts, MaxReps)
+    while (flagged.nonEmpty && !shed) {
+      val projected = {
+        val med = summarize(names, times).map(t => t._1 -> t._2).toMap
+        flagged.flatMap(med.get).sum
+      }
+      if (shouldShed(budget, elapsed, projected)) {
+        shed = true
+        System.err.println(
+          f"[bench] budget ${budget.get}%.0f s: elapsed $elapsed%.0f s + " +
+            f"projected adaptive $projected%.0f s — shedding escalation")
+      } else {
+        adaptiveDone += 1
+        System.err.println(
+          s"[bench] adaptive pass $adaptiveDone for ${flagged.size} " +
+            s"spread-flagged: " + flagged.mkString(", "))
+        flagged.foreach(runOne(s"adaptive$adaptiveDone", _))
+        emit()
+        flagged = adaptiveEligible(summarize(names, times), attempts, MaxReps)
+      }
     }
-    val probeAfter = cpuProbe()
-    val probeParAfter = cpuProbePar()
+    probes :+= cpuProbe()
+    System.err.println(f"[bench] cpu probe serial after=${probes.last}%.3f s")
+    probesPar :+= cpuProbePar()
     System.err.println(
-      f"[bench] cpu probe serial=[$probeBefore%.3f, $probeAfter%.3f] s " +
-        f"parallel=[$probeParBefore%.3f, $probeParAfter%.3f] s")
+      f"[bench] cpu probe parallel after=${probesPar.last}%.3f s")
     val good = summarize(names, times)
-    val qs = good.map { case (k, med, _, _, _) => "\"" + k + "\":" + num(med) }
-      .mkString("{", ",", "}")
-    // SHORT-KEY twin for the compact stdout line: at 92 queries even a
-    // 2-decimal full-name map is ~2.6 KB — past the driver's 2000-char
-    // stdout-tail window (the round-5 failure mode, again). Key = the
-    // query's leading qNN/qNNx token ("q15_distinct_parts" -> "q15");
-    // where two names share a token (q15/q18 pairs) the key is
-    // token + "_" + initials of the remaining words ("q15_dp" /
-    // "q15_dpa", "q18_ve" / "q18_vi"). Uniqueness is ENFORCED by
-    // shortKeys (full-name fallback on collision). The short->full
-    // mapping is self-describing: the FULL json (bench_out.json /
-    // stderr) carries it under "keymap", and BASELINE.md §3 lists both
-    // forms. 92 queries render to ~1.2 KB — headroom to ~150 queries.
-    val shortKey = shortKeys(good.map(_._1))
-    val keymap = good.map { case (k, _, _, _, _) => "\"" + shortKey(k) + "\":\"" + k + "\"" }
-      .mkString("{", ",", "}")
-    val spread = good.map { case (k, _, mn, mx, _) =>
-      "\"" + k + "\":[" + num(mn) + "," + num(mx) + "]"
-    }.mkString("{", ",", "}")
-    // per-query median/min ratio — the gate can read FLOORS directly
-    // instead of re-deriving them from spread (round-9 verdict item 4)
-    val floorRatio = good.map { case (k, med, mn, _, _) =>
-      "\"" + k + "\":" + num(if (mn > 0) med / mn else 1.0, 2)
-    }.mkString("{", ",", "}")
-    val scanBlock = scanJson(good.map(_._1), scanFiles, scanBytes, scanMs)
-    val repsOk = good.map { case (k, _, _, _, n) => "\"" + k + "\":" + n }
-      .mkString("{", ",", "}")
     val failedNames = names.filter(times(_).isEmpty)
-    val failed = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = good.map(_._2).sum
-    val totalMin = good.map(_._3).sum
-    val qps = if (total > 0) good.size / total else 0.0
     // Two renderings of the same measurement:
-    //  - FULL (spread + reps_ok diagnostics) → bench_out.json,
-    //    /tmp/graft-bench.json and a greppable stderr line;
-    //  - COMPACT (no spread/reps_ok/reps_min/ingest_secs — a partially
-    //    failed query is detectable from the full JSON's per-query
-    //    reps_ok) → the single stdout line. The driver stores only the
+    //  - FULL (spread + reps_ok diagnostics, probe readings, keymap)
+    //    → bench_out.json, /tmp/graft-bench.json and a greppable
+    //    stderr line — re-emitted here with the after-probes;
+    //  - COMPACT (short keys, 2-decimal medians — no spread/reps_ok/
+    //    probes) → the single stdout line. The driver stores only the
     //    last 2000 chars of stdout and round-5's 3.4 KB full line
     //    overflowed that window, leaving "parsed": null — the compact
     //    line stays under the 1950 ladder budget at 150+ queries.
-    val tailCommon =
-      s""""reps":$Passes,"failed":$failed,"ingest_ok":$ingestOk,"ingest_secs":${num(ingestSecs)},"sf":"$sfDir""""
-    // per-artifact ingest detail rides only in the FULL renderings —
-    // the compact stdout line stays within the driver's 2000-char tail
-    val ingestJson = ingestResults.map { case (n, ok, secs, err) =>
-      val e = err.map(m => s""","err":"${jesc(m)}"""").getOrElse("")
-      s"""{"name":"$n","ok":$ok,"secs":${num(secs)}$e}"""
-    }.mkString("[", ",", "]")
-    val json =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","value_min":${num(totalMin)},"qps":${num(qps)},"queries":$qs,"spread":$spread,"floor_ratio":$floorRatio,"scan":$scanBlock,"reps_ok":$repsOk,"keymap":$keymap,"ingest":$ingestJson,"probe_secs":[${num(probeBefore)},${num(probeAfter)}],"probe_par_secs":[${num(probeParBefore)},${num(probeParAfter)}],$tailCommon}"""
-    // the compact stdout line must survive the driver's 2000-char tail
-    // capture at 100+ queries: short keys, 2-decimal medians, no
-    // value_min/qps/spread (all live in the full JSON renderings)
+    emit()
     val compact = compactLine(good, total, failedNames,
       ingestOk, sfDir)
     if (compact.length > 1950) System.err.println(
       s"[bench] WARNING compact stdout line is ${compact.length} chars — nearing the driver's 2000-char tail window")
-    // Greppable stderr copy + JSON files FIRST, then the bare stdout
-    // line LAST: if the driver merges streams and parses the final line,
-    // that line must be the naked JSON (build.sbt routes forked stdout
-    // past sbt's [info] logger and suppresses the [success] trailer).
-    System.err.println("GRAFT_BENCH_JSON " + json)
-    for (p <- Seq("bench_out.json", "/tmp/graft-bench.json")) {
-      try {
-        java.nio.file.Files.write(java.nio.file.Paths.get(p),
-          (json + "\n").getBytes("UTF-8"))
-      } catch { case _: Throwable => () }
-    }
+    // The bare stdout line goes LAST: if the driver merges streams and
+    // parses the final line, that line must be the naked JSON
+    // (build.sbt routes forked stdout past sbt's [info] logger and
+    // suppresses the [success] trailer).
     spark.stop()
     println(compact)
   }

@@ -282,6 +282,75 @@ class BenchAggSpec extends AnyFunSuite {
     assert(line.contains(""""value":999999.000"""))
   }
 
+  test("a run killed after pass 1 leaves a parseable artifact: per-query values, probes, passes_done") {
+    // round-17 verdict item 1 (the BENCH_r17 rc-124 incident): main()
+    // now emits the FULL artifact after every completed pass, so the
+    // state written after pass 1 — what survives a kill during pass 2
+    // — must parse and carry everything the post-mortem needs. fullJson
+    // is the exact renderer main()'s emit() writes to bench_out.json.
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val names = Seq("q01_a", "q02_b", "q03_c")
+    val times = Map(
+      "q01_a" -> Vector(1.5), "q02_b" -> Vector(0.25),
+      "q03_c" -> Vector.empty[Double]) // failed on its only pass so far
+    val json = Bench.fullJson(names, times,
+      Map("q01_a" -> 4L), Map("q01_a" -> 1024L), Map("q01_a" -> 12L),
+      ingestResults = Seq(("lineitem_bkt", true, 2.0, None)),
+      ingestSecs = 2.0,
+      probes = Seq(0.62), probesPar = Seq(0.55), // before-values only
+      passesDone = 1, adaptiveDone = 0, shed = false,
+      sfDir = "/root/testdata/sf0.1")
+    val p = JsonMethods.parse(json) // throws on malformed JSON
+    assert((p \ "passes_done") === JInt(1))
+    assert((p \ "adaptive_done") === JInt(0))
+    assert((p \ "shed") === JBool(false))
+    assert((p \ "queries" \ "q01_a") === JDouble(1.5))
+    assert((p \ "queries" \ "q02_b") === JDouble(0.25))
+    assert((p \ "probe_secs") === JArray(List(JDouble(0.62))))
+    assert((p \ "probe_par_secs") === JArray(List(JDouble(0.55))))
+    assert((p \ "failed") === JArray(List(JString("q03_c"))))
+    assert((p \ "reps_ok" \ "q01_a") === JInt(1))
+    assert((p \ "value") === JDouble(1.75))
+    assert((p \ "ingest_ok") === JBool(true))
+    // and the final two-probe form parses the same way
+    val done = Bench.fullJson(names, times, Map.empty, Map.empty,
+      Map.empty, Seq(("lineitem_bkt", true, 2.0, None)), 2.0,
+      Seq(0.62, 0.64), Seq(0.55, 1.02), 3, 1, shed = false,
+      "/root/testdata/sf0.1")
+    val pd = JsonMethods.parse(done)
+    assert((pd \ "probe_par_secs") ===
+      JArray(List(JDouble(0.55), JDouble(1.02))))
+    assert((pd \ "passes_done") === JInt(3))
+  }
+
+  test("shouldShed: sheds only when a budget exists and would be crossed") {
+    // SPARK_GRAFT_BENCH_BUDGET_SECS (round-17 verdict item 1): no env →
+    // never shed; under budget → run; elapsed + projected over budget →
+    // shed (finalizing pass-1 medians beats an rc-124 parsed:null)
+    assert(!Bench.shouldShed(None, 1e9, 1e9))
+    assert(!Bench.shouldShed(Some(600.0), 200.0, 250.0))
+    assert(Bench.shouldShed(Some(600.0), 400.0, 250.0))
+    assert(!Bench.shouldShed(Some(600.0), 350.0, 250.0)) // exactly at budget
+  }
+
+  test("capacity-probe width follows SPARK_GRAFT_CPUS, the width Spark is asked for") {
+    // round-17 ADVICE item 2: the probe must contend at the parallelism
+    // the bench's local[N] session actually uses, not the machine's
+    // core count (they differ under an override, skewing cross-box
+    // probe-ratio normalization)
+    val saved = sys.props.get("SPARK_GRAFT_CPUS")
+    try {
+      sys.props("SPARK_GRAFT_CPUS") = "7"
+      assert(Bench.probeParWidth === 7)
+    } finally {
+      saved match {
+        case Some(v) => sys.props("SPARK_GRAFT_CPUS") = v
+        case None => sys.props.remove("SPARK_GRAFT_CPUS")
+      }
+    }
+  }
+
   test("cpu probe: positive, repeatable, and OUT of the compact line") {
     // the box-speed probe exists because per-query floor-flags cannot
     // see steal that is uniform across reps (round-17: three same-code

@@ -73,29 +73,147 @@ class StreamCapstoneSpec extends AnyFunSuite {
       assert(!probe.contains("SortMergeJoin") &&
         !probe.contains("ShuffledHashJoin"),
         s"capstone gram index side is shuffled at batch $id:\n$probe")
-      // and the dedup side reads the minhash base index (batch 0's
-      // plan must scan it; batch 1 unions it with the prior delta)
-      assert(dedup.contains("docs_minhash_base_"),
-        s"capstone dedup batch=$id does not scan the base index:\n$dedup")
     }
+    // the k=1 fold cadence's read set (round-17 verdict item 2):
+    // batch 0 reads the minhash base index; batch 1 — after the fold
+    // at batch 0 — reads the fold=0 segment ALONE, never the base
+    val dedup0 = StreamingJobs
+      .innerPlanOf("q122_stream_ingest_capstone dedup batch=0").get
+    val dedup1 = StreamingJobs
+      .innerPlanOf("q122_stream_ingest_capstone dedup batch=1").get
+    assert(dedup0.contains("docs_minhash_base_"),
+      s"capstone dedup batch=0 does not scan the base index:\n$dedup0")
+    assert(dedup1.contains("fold=0") &&
+      !dedup1.contains("docs_minhash_base_"),
+      s"capstone dedup batch=1 is not the fold=0 scan alone:\n$dedup1")
+  }
+
+  test("k=1 cadence: batch 1's dedup AND gram probe read fold segments only — no base, no delta") {
+    // the q110f/q117e read-side signature on the COMPOSED job, with
+    // known dirs so the delta-root absence is assertable: after the
+    // fold at batch 0, batch 1's recorded dedup plan scans the two
+    // minhash fold=0 segments and its recorded novelty plan scans the
+    // gram fold=0 segment — never a base table, never a delta root.
+    val replay = StreamingJobs.docsReplayDir(spark, dir)
+    def tmp(t: String): String = java.nio.file.Files
+      .createTempDirectory(s"graft-capc-$t").toString
+    val (db, ds, cb, cs, gd, gf, fs, ns, ckpt) = (tmp("db"), tmp("ds"),
+      tmp("cb"), tmp("cs"), tmp("gd"), tmp("gf"), tmp("fs"), tmp("ns"),
+      tmp("ckpt"))
+    DocQueries.runStreamCapstone(spark, dir, replay, db, ds, cb, cs,
+      gd, gf, fs, ns, ckpt)
+    // the fold landed at the cadence in ALL THREE relations' dirs
+    for (d <- Seq(cb, cs, gf); n <- Seq(0, 1))
+      assert(new java.io.File(s"$d/fold=$n", "_SUCCESS").exists(),
+        s"fold=$n missing or uncommitted under $d")
+    val dedup1 = StreamingJobs
+      .innerPlanOf("q122_stream_ingest_capstone dedup batch=1")
+      .getOrElse(fail("batch-1 dedup inner plan was not recorded"))
+    assert(dedup1.contains(s"$cb/fold=0") && dedup1.contains(s"$cs/fold=0"),
+      s"batch-1 dedup does not scan the minhash folds:\n$dedup1")
+    assert(!dedup1.contains(db) && !dedup1.contains(ds) &&
+      !dedup1.contains("docs_minhash_base_"),
+      s"batch-1 dedup still scans the base index or a delta root:\n$dedup1")
+    val probe1 = StreamingJobs
+      .innerPlanOf("q122_stream_ingest_capstone novelty batch=1")
+      .getOrElse(fail("batch-1 novelty inner plan was not recorded"))
+    assert(probe1.contains(s"$gf/fold=0"),
+      s"batch-1 gram probe does not scan the gram fold:\n$probe1")
+    assert(!probe1.contains(gd) && !probe1.contains("docs_grams_"),
+      s"batch-1 gram probe still scans the gram base or a delta root:\n$probe1")
+  }
+
+  test("a fold torn across the three relations is uncommitted; a k-retune after the crash converges") {
+    // the StreamIndexDedupSpec torn-fold law on the composed cadence:
+    // under k=1, batch 0's fold crashes BETWEEN the bands write and
+    // the sets/gram writes; the restart retunes to k=2, so the re-run
+    // batch 0 never re-fires its fold and the torn fold=0 stays on
+    // disk forever. foldPoint's committed-in-EVERY-relation predicate
+    // must read past it (base ∪ delta tail), and the final report must
+    // equal the one-shot run's.
+    val oneShot = capstone.map(_.toSeq).toSeq
+    val replay = StreamingJobs.docsReplayDir(spark, dir)
+    val (iBands, iSets) = Tables.minhashIndexBase(spark, dir)
+    val grams = Tables.gramIndex(spark, dir)
+    val all = spark.read.parquet(replay)
+    def tmp(t: String): String = java.nio.file.Files
+      .createTempDirectory(s"graft-capf-$t").toString
+    val (db, ds, cb, cs, gd, gf, fs, ns) = (tmp("db"), tmp("ds"),
+      tmp("cb"), tmp("cs"), tmp("gd"), tmp("gf"), tmp("fs"), tmp("ns"))
+    // seed the delta roots (the runStreamCapstone contract, inline so
+    // the batches can be driven directly)
+    iBands.select("doc_id", "band_idx", "band_val").limit(0)
+      .write.mode("overwrite").parquet(s"$db/batch=-1")
+    iSets.select("doc_id", "ss", "n").limit(0)
+      .write.mode("overwrite").parquet(s"$ds/batch=-1")
+    grams.limit(0).select(org.apache.spark.sql.functions.col("gram"))
+      .write.mode("overwrite").parquet(s"$gd/batch=-1")
+    def batch(id: Long, k: Int,
+        crashMidFold: Long => Unit = _ => ()): Unit =
+      DocQueries.streamCapstoneBatch(spark,
+        all.filter(DocQueries.q110Mod === id), id, iBands, iSets,
+        db, ds, cb, cs, grams, gd, gf, fs, ns, k,
+        crashMidFold = crashMidFold)
+    val thrown = intercept[RuntimeException] {
+      batch(0L, k = 1,
+        crashMidFold = _ => throw new RuntimeException("torn-fold injection"))
+    }
+    assert(thrown.getMessage === "torn-fold injection")
+    // the tear is real: the bands fold committed, sets + gram never
+    assert(new java.io.File(s"$cb/fold=0", "_SUCCESS").exists(),
+      "bands fold missing — wrong injection point")
+    assert(!new java.io.File(s"$cs/fold=0").exists() &&
+      !new java.io.File(s"$gf/fold=0").exists(),
+      "a later relation's fold exists despite the mid-fold crash")
+    // restart retuned to k=2: batch 0 re-runs (no fold re-fires —
+    // (0+1) % 2 != 0), batch 1 folds under the new cadence
+    batch(0L, k = 2)
+    batch(1L, k = 2)
+    assert(!new java.io.File(s"$cs/fold=0").exists(),
+      "the retuned re-run resurrected the torn fold")
+    for (d <- Seq(cb, cs, gf))
+      assert(new java.io.File(s"$d/fold=1", "_SUCCESS").exists(),
+        s"the k=2 fold at batch 1 did not commit under $d")
+    val recovered = DocQueries.capstoneTable(spark, dir, fs, ns)
+      .collect().map(_.toSeq).toSeq
+    assert(recovered === oneShot,
+      "the torn fold leaked into the capstone report")
+    // and the re-run batch 1 read PAST the torn fold: base ∪ deltas
+    val dedup1 = StreamingJobs
+      .innerPlanOf("q122_stream_ingest_capstone dedup batch=1").get
+    assert(dedup1.contains("docs_minhash_base_") && !dedup1.contains(cb),
+      s"batch-1 re-run touched the torn fold instead of the base:\n$dedup1")
   }
 
   test("at-least-once redelivery leaves both sinks and all three segment roots unchanged") {
     val replay = StreamingJobs.docsReplayDir(spark, dir)
     def tmp(t: String): String = java.nio.file.Files
       .createTempDirectory(s"graft-capd-$t").toString
-    val (db, ds, gd, fs, ns, ckpt) = (tmp("db"), tmp("ds"), tmp("gd"),
-      tmp("fs"), tmp("ns"), tmp("ckpt"))
-    DocQueries.runStreamCapstone(spark, dir, replay, db, ds, gd, fs, ns,
-      ckpt)
-    def snap(): (Seq[Seq[Any]], Set[Seq[Any]], Set[Seq[Any]]) = (
+    val (db, ds, cb, cs, gd, gf, fs, ns, ckpt) = (tmp("db"), tmp("ds"),
+      tmp("cb"), tmp("cs"), tmp("gd"), tmp("gf"), tmp("fs"), tmp("ns"),
+      tmp("ckpt"))
+    DocQueries.runStreamCapstone(spark, dir, replay, db, ds, cb, cs,
+      gd, gf, fs, ns, ckpt)
+    def snap(): (Seq[Seq[Any]], Set[Seq[Any]], Set[Seq[Any]],
+        Set[Seq[Any]]) = (
       DocQueries.capstoneTable(spark, dir, fs, ns)
         .collect().map(_.toSeq).toSeq,
       spark.read.parquet(db).select("batch", "doc_id").distinct()
         .collect().map(_.toSeq).toSet,
       spark.read.parquet(gd).select("batch", "gram").distinct()
+        .collect().map(_.toSeq).toSet,
+      // per-fold membership across the k=1 folds — redelivery must
+      // leave the fold segments unchanged too
+      spark.read.parquet(cb).select("fold", "doc_id").distinct()
         .collect().map(_.toSeq).toSet)
     val before = snap()
+    // a committed fold is never rewritten on redelivery (the lsmFoldAt
+    // skip — rewriting passed it through a transient uncommitted
+    // window): pin via the _SUCCESS mtimes
+    def foldMtimes: Seq[Long] =
+      for (d <- Seq(cb, cs, gf); n <- Seq(0, 1))
+        yield new java.io.File(s"$d/fold=$n", "_SUCCESS").lastModified
+    val mtimesBefore = foldMtimes
     // redeliver BOTH batches through the per-batch function — batch 0
     // re-runs with every later segment already on disk, so its
     // `batch < 0` filters must hide them all across both families
@@ -105,10 +223,12 @@ class StreamCapstoneSpec extends AnyFunSuite {
     Seq(0L, 1L).foreach { id =>
       DocQueries.streamCapstoneBatch(spark,
         all.filter(DocQueries.q110Mod === id), id, iBands, iSets,
-        db, ds, grams, gd, fs, ns)
+        db, ds, cb, cs, grams, gd, gf, fs, ns)
     }
     assert(snap() === before,
-      "redelivered batches changed a sink or a segment root")
+      "redelivered batches changed a sink, a segment root, or a fold")
+    assert(foldMtimes === mtimesBefore,
+      "a committed fold was rewritten during redelivery")
   }
 
   test("checkpoint resume between batches equals the one-shot run") {
@@ -117,8 +237,9 @@ class StreamCapstoneSpec extends AnyFunSuite {
     val src = new java.io.File(StreamingJobs.docsReplayDir(spark, dir))
     def tmp(t: String): Path = Files.createTempDirectory(s"graft-capr-$t")
     val stage = tmp("replay")
-    val (db, ds, gd, fs, ns, ckpt) = (tmp("db").toString,
-      tmp("ds").toString, tmp("gd").toString, tmp("fs").toString,
+    val (db, ds, cb, cs, gd, gf, fs, ns, ckpt) = (tmp("db").toString,
+      tmp("ds").toString, tmp("cb").toString, tmp("cs").toString,
+      tmp("gd").toString, tmp("gf").toString, tmp("fs").toString,
       tmp("ns").toString, tmp("ckpt").toString)
     def arrive(name: String): Unit = {
       val from = new java.io.File(src, name)
@@ -127,11 +248,11 @@ class StreamCapstoneSpec extends AnyFunSuite {
       assert(to.toFile.setLastModified(from.lastModified))
     }
     arrive("b0.parquet")
-    DocQueries.runStreamCapstone(spark, dir, stage.toString, db, ds, gd,
-      fs, ns, ckpt)
+    DocQueries.runStreamCapstone(spark, dir, stage.toString, db, ds,
+      cb, cs, gd, gf, fs, ns, ckpt)
     arrive("b1.parquet")
-    DocQueries.runStreamCapstone(spark, dir, stage.toString, db, ds, gd,
-      fs, ns, ckpt)
+    DocQueries.runStreamCapstone(spark, dir, stage.toString, db, ds,
+      cb, cs, gd, gf, fs, ns, ckpt)
     val resumed = DocQueries.capstoneTable(spark, dir, fs, ns)
       .collect().map(_.toSeq).toSeq
     assert(resumed === oneShot,
@@ -143,26 +264,28 @@ class StreamCapstoneSpec extends AnyFunSuite {
     val replay = StreamingJobs.docsReplayDir(spark, dir)
     def tmp(t: String): String = java.nio.file.Files
       .createTempDirectory(s"graft-capt-$t").toString
-    val (db, ds, gd, fs, ns, ckpt) = (tmp("db"), tmp("ds"), tmp("gd"),
-      tmp("fs"), tmp("ns"), tmp("ckpt"))
+    val (db, ds, cb, cs, gd, gf, fs, ns, ckpt) = (tmp("db"), tmp("ds"),
+      tmp("cb"), tmp("cs"), tmp("gd"), tmp("gf"), tmp("fs"), tmp("ns"),
+      tmp("ckpt"))
     val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
     val thrown = intercept[Exception] {
-      DocQueries.runStreamCapstone(spark, dir, replay, db, ds, gd, fs,
-        ns, ckpt, crashBeforeSink = id =>
+      DocQueries.runStreamCapstone(spark, dir, replay, db, ds, cb, cs,
+        gd, gf, fs, ns, ckpt, crashBeforeSink = id =>
           if (id == 1L && crashed.compareAndSet(false, true))
             throw new RuntimeException("torn-write injection"))
     }
     assert(thrown.getMessage != null)
     assert(crashed.get, "the injected crash never fired")
-    // the tear is real: batch 1's three segments exist, neither sink
+    // the tear is real: batch 1's three segments AND its fold exist
+    // (the fold precedes the sinks in the batch), neither sink does
     assert(new java.io.File(s"$db/batch=1").exists() &&
       new java.io.File(s"$gd/batch=1").exists(),
       "crash fired before the segment writes — wrong injection point")
     assert(!new java.io.File(s"$fs/batch=1").exists() &&
       !new java.io.File(s"$ns/batch=1").exists(),
       "a sink partition exists despite the pre-sink crash")
-    DocQueries.runStreamCapstone(spark, dir, replay, db, ds, gd, fs, ns,
-      ckpt)
+    DocQueries.runStreamCapstone(spark, dir, replay, db, ds, cb, cs,
+      gd, gf, fs, ns, ckpt)
     val recovered = DocQueries.capstoneTable(spark, dir, fs, ns)
       .collect().map(_.toSeq).toSeq
     assert(recovered === oneShot,

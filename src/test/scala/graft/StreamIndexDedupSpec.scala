@@ -460,6 +460,64 @@ class StreamIndexDedupSpec extends AnyFunSuite {
       "GC of the folded delta changed the funnel or fold=1's membership")
   }
 
+  test("lsmGc: superseded folds and folded deltas die; the redelivery window and every read survive") {
+    // the GC exemplar (round-17 verdict item 3): the same three-batch
+    // drive with and without GC must be byte-identical everywhere a
+    // reader can look. GC at checkpointedId=0 — fold=1 is COMMITTED
+    // but its writer batch has NOT checkpointed, so it sits inside the
+    // redelivery window and must survive untouched along with its
+    // delta input; only the folded delta-0 dies (fold=0 IS the live
+    // point). A redelivery of batch 1 on the GC'd tree must converge.
+    // GC at checkpointedId=1 — fold=0 is superseded and delta-1 folded:
+    // both die; the batch=-1 schema seed stays. A NEW batch 2 then
+    // reads fold=1 alone and the final funnel matches the un-GC'd run.
+    val (iBands, iSets) = Tables.minhashIndexBase(spark, dir)
+    def run(gc: Boolean): (Seq[Seq[Any]], Set[Seq[Any]]) = {
+      val (db, ds, cb, cs, sink) = (cadenceTmp("db4"), cadenceTmp("ds4"),
+        cadenceTmp("cb4"), cadenceTmp("cs4"), cadenceTmp("sink4"))
+      seedDeltas(db, ds)
+      val rels = Seq(
+        DocQueries.LsmRelation(
+          iBands.select("doc_id", "band_idx", "band_val"), db,
+          Seq("doc_id", "band_idx", "band_val"), cb),
+        DocQueries.LsmRelation(iSets.select("doc_id", "ss", "n"), ds,
+          Seq("doc_id", "ss", "n"), cs))
+      def batch(id: Long): Unit =
+        DocQueries.streamCompactBatch(spark, fourBatches(id.toInt), id,
+          iBands, iSets, db, ds, cb, cs, sink)
+      batch(0L); batch(1L) // k=1: fold=0 and fold=1 both commit
+      if (gc) {
+        // batch 1 committed its fold but "has not checkpointed yet"
+        assert(DocQueries.lsmGc(rels, 0L) === 0L)
+        assert(new java.io.File(s"$cb/fold=0", "_SUCCESS").exists() &&
+          new java.io.File(s"$cb/fold=1", "_SUCCESS").exists() &&
+          new java.io.File(s"$db/batch=1").exists(),
+          "GC touched the live fold or the redelivery window")
+        assert(!new java.io.File(s"$db/batch=0").exists() &&
+          !new java.io.File(s"$ds/batch=0").exists(),
+          "GC left the folded delta-0 alive")
+        assert(new java.io.File(s"$db/batch=-1").exists(),
+          "GC deleted the schema seed")
+        // redeliver batch 1 on the GC'd tree — the uncheckpointed
+        // worst case the retention rule exists for
+        batch(1L)
+        // now batch 1 checkpoints: fold=0 and delta-1 are dead
+        assert(DocQueries.lsmGc(rels, 1L) === 1L)
+        assert(!new java.io.File(s"$cb/fold=0").exists() &&
+          !new java.io.File(s"$db/batch=1").exists(),
+          "GC left a superseded fold or folded delta alive")
+        assert(new java.io.File(s"$db/batch=-1").exists(),
+          "GC deleted the schema seed")
+      }
+      batch(2L) // reads fold=1 (∪ empty tail) on both trees
+      (funnel(sink),
+        spark.read.parquet(s"$cb/fold=2").select("doc_id").distinct()
+          .collect().map(_.toSeq).toSet)
+    }
+    assert(run(gc = false) === run(gc = true),
+      "GC changed the funnel or a later fold's membership")
+  }
+
   test("q110f: at-least-once redelivery leaves sink, deltas and compacted segment unchanged") {
     val replay = StreamingJobs.docsReplayDir(spark, dir)
     def tmp(t: String): String = java.nio.file.Files

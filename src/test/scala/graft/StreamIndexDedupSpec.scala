@@ -536,8 +536,14 @@ class StreamIndexDedupSpec extends AnyFunSuite {
       spark.read.parquet(cb).select("fold", "doc_id").distinct()
         .collect().map(_.toSeq).toSet)
     val before = snap()
-    // redeliver both batches; each re-runs its FOLD too — the per-fold
-    // overwrite must rewrite the same relation at the same location
+    // a committed fold is SKIPPED on redelivery (its content is
+    // byte-identical by construction; rewriting it passed a committed
+    // fold through overwrite's transient uncommitted window) — pinned
+    // via the _SUCCESS mtimes staying put while the snapshots match
+    def foldMtimes: Seq[Long] =
+      for (d <- Seq(cb, cs); n <- Seq(0, 1))
+        yield new java.io.File(s"$d/fold=$n", "_SUCCESS").lastModified
+    val mtimesBefore = foldMtimes
     val (iBands, iSets) = Tables.minhashIndexBase(spark, dir)
     val all = spark.read.parquet(replay)
     Seq(0L, 1L).foreach { id =>
@@ -547,5 +553,7 @@ class StreamIndexDedupSpec extends AnyFunSuite {
     }
     assert(snap() === before,
       "redelivered batches changed the sink, a delta, or the compacted segment")
+    assert(foldMtimes === mtimesBefore,
+      "a committed fold was rewritten during redelivery")
   }
 }

@@ -3436,20 +3436,29 @@ object DocQueries {
   private[graft] def lsmGc(rels: Seq[LsmRelation],
       checkpointedId: Long): Long = {
     val f = foldPoint(rels.map(_.foldDir), checkpointedId + 1)
+    // delete by RAW listing, not the committed set: a TORN fold below
+    // the live point is dead garbage too (its writer batch
+    // checkpointed, so nothing will ever complete it, and the commit
+    // predicate already hides it from every read) — leaving it would
+    // accumulate junk dirs forever. Above the live point commit state
+    // doesn't matter either: everything survives.
+    def deadSegs(dir: String, prefix: String, upTo: Long)
+        : Seq[org.apache.hadoop.fs.Path] = {
+      val (fs, p) = lsmFs(dir)
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).iterator
+        .filter(st => st.getPath.getName.startsWith(prefix) &&
+          scala.util.Try(
+            st.getPath.getName.drop(prefix.length).toLong).toOption
+            .exists(n => n >= 0 && n <= upTo))
+        .map(st => st.getPath).toSeq
+    }
     if (f >= 0) rels.foreach { r =>
-      val (foldFs, foldP) = lsmFs(r.foldDir)
-      committedIds(r.foldDir, "fold=").filter(_ < f).foreach { n =>
-        foldFs.delete(
-          new org.apache.hadoop.fs.Path(foldP, s"fold=$n"), true)
-      }
-      val (dFs, dP) = lsmFs(r.deltaDir)
-      if (dFs.exists(dP))
-        dFs.listStatus(dP).iterator
-          .filter(st => st.getPath.getName.startsWith("batch="))
-          .filter(st =>
-            scala.util.Try(st.getPath.getName.drop(6).toLong).toOption
-              .exists(b => b >= 0 && b <= f))
-          .foreach(st => dFs.delete(st.getPath, true))
+      val (foldFs, _) = lsmFs(r.foldDir)
+      deadSegs(r.foldDir, "fold=", f - 1)
+        .foreach(foldFs.delete(_, true))
+      val (dFs, _) = lsmFs(r.deltaDir)
+      deadSegs(r.deltaDir, "batch=", f).foreach(dFs.delete(_, true))
     }
     f
   }

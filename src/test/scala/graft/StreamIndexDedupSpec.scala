@@ -501,11 +501,17 @@ class StreamIndexDedupSpec extends AnyFunSuite {
         // redeliver batch 1 on the GC'd tree — the uncheckpointed
         // worst case the retention rule exists for
         batch(1L)
-        // now batch 1 checkpoints: fold=0 and delta-1 are dead
+        // simulate a historic torn write below the live point: fold=0
+        // loses its _SUCCESS in ONE relation — dead garbage that GC
+        // must remove by RAW listing (the committed set can't see it)
+        assert(new java.io.File(s"$cs/fold=0", "_SUCCESS").delete())
+        // now batch 1 checkpoints: fold=0 (committed OR torn) and
+        // delta-1 are dead
         assert(DocQueries.lsmGc(rels, 1L) === 1L)
         assert(!new java.io.File(s"$cb/fold=0").exists() &&
+          !new java.io.File(s"$cs/fold=0").exists() &&
           !new java.io.File(s"$db/batch=1").exists(),
-          "GC left a superseded fold or folded delta alive")
+          "GC left a superseded fold, a torn fold, or a folded delta alive")
         assert(new java.io.File(s"$db/batch=-1").exists(),
           "GC deleted the schema seed")
       }

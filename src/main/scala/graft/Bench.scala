@@ -657,8 +657,16 @@ object Bench {
     // medians beats the driver's rc-124 kill that parses as null.
     // Elapsed counts from main entry (warm-up + ingest included),
     // matching what the driver's timeout actually covers.
-    val budget =
-      sys.env.get("SPARK_GRAFT_BENCH_BUDGET_SECS").map(_.toDouble)
+    // a malformed value degrades to no-budget with a warning rather
+    // than crashing after warm-up+ingest with no artifact — the exact
+    // failure this knob exists to prevent (review finding)
+    val budget = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_SECS")
+      .flatMap { v =>
+        val p = scala.util.Try(v.toDouble).toOption
+        if (p.isEmpty) System.err.println(
+          s"[bench] WARNING ignoring malformed SPARK_GRAFT_BENCH_BUDGET_SECS='$v'")
+        p
+      }
     def elapsed: Double = (System.nanoTime() - benchT0) / 1e9
     // box-speed probes bracket the timed region (full JSON only); one
     // discarded call per loop body first so all samples run the
@@ -681,6 +689,8 @@ object Bench {
         System.err.println(
           f"[bench] budget ${budget.get}%.0f s: elapsed $elapsed%.0f s + " +
             f"projected pass $lastPassSecs%.0f s — shedding passes $pass..$Passes")
+        emit() // the artifact must say shed:true even if the
+               // after-probes below never complete (review finding)
       } else {
         val t0 = System.nanoTime()
         names.foreach(runOne(pass.toString, _))
@@ -717,6 +727,7 @@ object Bench {
         System.err.println(
           f"[bench] budget ${budget.get}%.0f s: elapsed $elapsed%.0f s + " +
             f"projected adaptive $projected%.0f s — shedding escalation")
+        emit() // see the pass-shed emit above
       } else {
         adaptiveDone += 1
         System.err.println(

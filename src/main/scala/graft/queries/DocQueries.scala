@@ -3344,7 +3344,12 @@ object DocQueries {
   private def lsmFs(dir: String)
       : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
     val p = new org.apache.hadoop.fs.Path(dir)
+    // getActiveSession is thread-local — a maintenance thread calling
+    // lsmGc/foldPoint would miss the session's fs.* credentials/
+    // defaultFS through it, so fall back to the process-wide default
+    // session before a bare Configuration (review finding)
     val conf = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
       .map(_.sessionState.newHadoopConf())
       .getOrElse(new org.apache.hadoop.conf.Configuration())
     (p.getFileSystem(conf), p)
@@ -3406,13 +3411,20 @@ object DocQueries {
     * nothing. Skipping closes that window entirely; a TORN fold (no
     * _SUCCESS) still takes the overwrite path and completes. */
   private def lsmFoldAt(s: SparkSession, rels: Seq[LsmRelation],
-      f: Long, id: Long, midFold: () => Unit = () => ()): Unit =
-    rels.zip(lsmStateAsOf(s, rels, f, id + 1)).zipWithIndex.foreach {
-      case ((r, st), i) =>
+      f: Long, id: Long, midFold: () => Unit = () => ()): Unit = {
+    // decide the skip set FIRST: building lsmStateAsOf eagerly lists +
+    // schema-infers every relation's fold/delta locations, which is
+    // pure waste for relations about to be skipped (review finding —
+    // several LIST/HEAD round-trips per redelivered fold on S3/HDFS).
+    // midFold keeps firing between actual WRITES only.
+    val pending = rels.filterNot(r =>
+      committedIds(r.foldDir, "fold=").contains(id))
+    pending.zip(lsmStateAsOf(s, pending, f, id + 1)).zipWithIndex
+      .foreach { case ((r, st), i) =>
         if (i > 0) midFold()
-        if (!committedIds(r.foldDir, "fold=").contains(id))
-          st.write.mode("overwrite").parquet(s"${r.foldDir}/fold=$id")
-    }
+        st.write.mode("overwrite").parquet(s"${r.foldDir}/fold=$id")
+      }
+  }
 
   /** LSM GC exemplar (round-17 verdict item 3 — the contract the
     * foldPoint docstring specifies, as code): delete the fold/delta

@@ -40,9 +40,25 @@ package graft
   * killed mid-flight (BENCH_r17: driver rc 124 at pass 3/3 → "parsed":
   * null, two complete passes destroyed) still leaves the newest
   * complete state on disk; "passes_done"/"adaptive_done"/"shed" say
-  * how much of the plan the artifact reflects. An optional
-  * SPARK_GRAFT_BENCH_BUDGET_SECS sheds remaining passes when elapsed +
-  * a projected pass would cross it, finalizing with what exists.
+  * how much of the plan the artifact reflects.
+  *
+  * SELF-BUDGET, ON BY DEFAULT (round-18 verdict item 1): elapsed +
+  * a projected next pass/adaptive round crossing the budget sheds the
+  * remaining work and finalizes with what exists. Default 2800 s
+  * (effectiveBudget) — the driver allots ~3600 s, parses only the
+  * final stdout line, and never set the opt-in env, so BENCH_r17 AND
+  * r18 both ended rc-124/"parsed": null with complete state stranded
+  * in bench_out.json. SPARK_GRAFT_BENCH_BUDGET_SECS overrides; <= 0
+  * disables. A SIGTERM shutdown hook additionally prints the newest
+  * compact line so even a killed run ends stdout parseably.
+  *
+  * STEAL COUNTER (round-18 verdict item 2): /proc/stat field-8 deltas
+  * → "steal_pct" (whole-run) + "steal_pct_pass" (per pass/adaptive
+  * round) in the full JSON and "steal" in the compact line. The judge
+  * measured 46.8% hypervisor steal while BOTH CPU probes read nominal
+  * — the kernel counter is the authoritative normalizer (divide
+  * ratios by 1/(1−steal/100); BASELINE §3's reading rule), and
+  * in-guest probes/load/pressure are all blind to it.
   */
 object Bench {
   private val Passes =
@@ -286,7 +302,8 @@ object Bench {
   def compactLine(
       good: Seq[(String, Double, Double, Double, Int)],
       total: Double, failed: Seq[String],
-      ingestOk: Boolean, sfDir: String): String = {
+      ingestOk: Boolean, sfDir: String,
+      stealPct: Double = -1.0): String = {
     val shortKey = shortKeys(good.map(_._1))
     // COMPACT-TAIL SHAVE (round-15 verdict item 1: the 144-query
     // worst-realistic 2-dec form sat EXACTLY at the 1950 budget, so
@@ -303,8 +320,12 @@ object Bench {
     // driver gate reads (metric/value/unit/queries/failed/ingest_ok/
     // sf) keeps its key.
     val sfBase = new java.io.File(sfDir).getName
+    // "steal": whole-run hypervisor steal as % of demanded cycles
+    // (round-18 verdict item 2) — 1 decimal, ~13 chars, so the 2x
+    // gate can steal-normalize (divide ratios by 1/(1−steal/100))
+    // WITHOUT opening bench_out.json; −1.0 = counter unavailable.
     def tail(failedJson: String): String =
-      s""""failed":$failedJson,"ingest_ok":$ingestOk,"sf":"$sfBase""""
+      s""""failed":$failedJson,"steal":${num(stealPct, 1)},"ingest_ok":$ingestOk,"sf":"$sfBase""""
     val failedFull = failed.map("\"" + jesc(_) + "\"").mkString("[", ",", "]")
     def render(qs2: String, failedJson: String): String =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs2,${tail(failedJson)}}"""
@@ -348,10 +369,84 @@ object Bench {
     * elapsed plus the projected unit cost would cross the budget —
     * finalizing with the passes that exist beats a driver timeout
     * (rc 124) that destroys them all (pass-1 medians of 149 queries
-    * beat `parsed: null` every time). No budget env → never shed. */
+    * beat `parsed: null` every time). No budget → never shed. */
   def shouldShed(budget: Option[Double], elapsed: Double,
       projected: Double): Boolean =
     budget.exists(b => elapsed + projected > b)
+
+  /** The built-in self-budget (round-18 verdict item 1): the driver
+    * allots ~1 h wall (BENCH_r17/r18 both rc 124; CORRECTNESS_r18
+    * written 15:05:50, the kill at 16:05:52) and parses ONLY the final
+    * stdout line, which main() prints at normal exit — so the bench
+    * must FINISH, shedding work if it has to, strictly inside that
+    * window under any steal regime. 2800 s leaves ~13 min of margin
+    * for JVM shutdown + the after-probes below the observed kill. */
+  val DefaultBudgetSecs = 2800.0
+
+  /** Resolve SPARK_GRAFT_BENCH_BUDGET_SECS to the effective budget.
+    * Round-18 flipped the default: TWO consecutive driver artifacts
+    * parsed null because the driver never sets the env and the shed
+    * machinery never fired. Unset → DefaultBudgetSecs. A positive
+    * value overrides. Zero/negative explicitly DISABLES shedding
+    * (the local-iteration escape hatch). Malformed degrades to the
+    * default — the protective behavior — with a warning, not to
+    * no-budget (pre-round-19 behavior) and not to a crash. */
+  def effectiveBudget(raw: Option[String]): Option[Double] = raw match {
+    case None => Some(DefaultBudgetSecs)
+    case Some(v) => scala.util.Try(v.trim.toDouble).toOption match {
+      case Some(d) if d > 0 => Some(d)
+      case Some(_) => None // explicit opt-out
+      case None =>
+        System.err.println(
+          s"[bench] WARNING malformed SPARK_GRAFT_BENCH_BUDGET_SECS='$v'" +
+            f" — using the built-in default $DefaultBudgetSecs%.0f s")
+        Some(DefaultBudgetSecs)
+    }
+  }
+
+  /** Parse the aggregate `cpu` line of /proc/stat into (busy, steal)
+    * tick counters, where busy = user+nice+system+irq+softirq — the
+    * cycles this guest DEMANDED — and steal is field 8, the cycles the
+    * hypervisor withheld while a vCPU was runnable. Exists because the
+    * round-18 judge measured **46.8% steal by exactly this delta while
+    * BOTH CPU probes read nominal** (serial 0.341 s, parallel 0.509 s
+    * vs ~0.52 idle): the probes approximate what this kernel counter
+    * states authoritatively and for free, and no in-guest load/pressure
+    * signal sees it at all. Pure (takes the line) so the spec can pin
+    * the parse against synthetic counter lines. */
+  def procStatTicks(line: String): Option[(Long, Long)] = {
+    val p = line.trim.split("\\s+")
+    if (p.length < 9 || p(0) != "cpu") None
+    else scala.util.Try {
+      val v = p.drop(1).map(_.toLong)
+      // fields: user nice system idle iowait irq softirq steal ...
+      (v(0) + v(1) + v(2) + v(5) + v(6), v(7))
+    }.toOption
+  }
+
+  /** Read the live aggregate counters; None off-Linux or unreadable. */
+  def readProcCpu(): Option[(Long, Long)] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try src.getLines().find(_.startsWith("cpu "))
+        .flatMap(procStatTicks)
+      finally src.close()
+    } catch { case _: Throwable => None }
+
+  /** Steal as a percentage of DEMANDED cycles over a counter delta —
+    * steal/(steal+busy), the judge's round-18 formula (2710 steal vs
+    * 3080 busy ticks → 46.8%). The box-factor a ratio-reader divides
+    * out is 1/(1 − steal_pct/100) (BASELINE §3's reading rule). −1
+    * when either sample is unavailable (off-Linux) or the delta is
+    * empty — an explicit sentinel, never an absent key. */
+  def stealPctOf(before: Option[(Long, Long)],
+      after: Option[(Long, Long)]): Double = (before, after) match {
+    case (Some((b0, s0)), Some((b1, s1))) =>
+      val db = b1 - b0; val ds = s1 - s0
+      if (ds < 0 || db < 0 || ds + db == 0) -1.0
+      else 100.0 * ds / (ds + db)
+    case _ => -1.0
+  }
 
   /** The FULL-JSON artifact rendered from the aggregation state as it
     * stands after `passesDone` completed passes. Pure so BenchAggSpec
@@ -377,7 +472,9 @@ object Bench {
       ingestSecs: Double,
       probes: Seq[Double], probesPar: Seq[Double],
       passesDone: Int, adaptiveDone: Int, shed: Boolean,
-      sfDir: String): String = {
+      sfDir: String,
+      stealPct: Double = -1.0,
+      stealPass: Seq[Double] = Nil): String = {
     val good = summarize(names, times)
     val qs = good.map { case (k, med, _, _, _) => "\"" + k + "\":" + num(med) }
       .mkString("{", ",", "}")
@@ -404,7 +501,7 @@ object Bench {
       s"""{"name":"$n","ok":$ok,"secs":${num(secs)}$e}"""
     }.mkString("[", ",", "]")
     def arr(vs: Seq[Double]): String = vs.map(num(_)).mkString("[", ",", "]")
-    s"""{"metric":"total","value":${num(total)},"unit":"sec","value_min":${num(totalMin)},"qps":${num(qps)},"queries":$qs,"spread":$spread,"floor_ratio":$floorRatio,"scan":$scanBlock,"reps_ok":$repsOk,"keymap":$keymap,"ingest":$ingestJson,"probe_secs":${arr(probes)},"probe_par_secs":${arr(probesPar)},"passes_done":$passesDone,"adaptive_done":$adaptiveDone,"shed":$shed,"reps":$Passes,"failed":$failed,"ingest_ok":$ingestOk,"ingest_secs":${num(ingestSecs)},"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${num(total)},"unit":"sec","value_min":${num(totalMin)},"qps":${num(qps)},"queries":$qs,"spread":$spread,"floor_ratio":$floorRatio,"scan":$scanBlock,"reps_ok":$repsOk,"keymap":$keymap,"ingest":$ingestJson,"probe_secs":${arr(probes)},"probe_par_secs":${arr(probesPar)},"steal_pct":${num(stealPct, 1)},"steal_pct_pass":${arr(stealPass)},"passes_done":$passesDone,"adaptive_done":$adaptiveDone,"shed":$shed,"reps":$Passes,"failed":$failed,"ingest_ok":$ingestOk,"ingest_secs":${num(ingestSecs)},"sf":"$sfDir"}"""
   }
 
   /** One untimed throwaway execution of a registry query's own plan
@@ -422,6 +519,9 @@ object Bench {
     // against SPARK_GRAFT_BENCH_BUDGET_SECS exactly like they count
     // against the driver's external timeout
     val benchT0 = System.nanoTime()
+    // whole-run steal baseline: sampled at entry so warm-up + ingest
+    // steal is visible too (round-18 verdict item 2)
+    val cpuRun0 = readProcCpu()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local("graft-bench")
     // Warm up the JVM/codegen paths once (vectorized parquet scan,
@@ -635,13 +735,24 @@ object Bench {
     // as overwritten — both always carry the newest complete state.
     var probes = Vector.empty[Double]
     var probesPar = Vector.empty[Double]
+    var stealPass = Vector.empty[Double]
     var passesDone = 0
     var adaptiveDone = 0
     var shed = false
+    // the newest compact line, refreshed on every emit — what the
+    // SIGTERM shutdown hook below prints if main never reaches its
+    // own stdout println (round-18 verdict item 1, belt-and-braces)
+    @volatile var lastCompact = ""
+    val printedCompact = new java.util.concurrent.atomic.AtomicBoolean(false)
     def emit(): String = {
+      val stealNow = stealPctOf(cpuRun0, readProcCpu())
       val json = fullJson(names, times, scanFiles, scanBytes, scanMs,
         ingestResults, ingestSecs, probes, probesPar,
-        passesDone, adaptiveDone, shed, sfDir)
+        passesDone, adaptiveDone, shed, sfDir, stealNow, stealPass)
+      val goodNow = summarize(names, times)
+      lastCompact = compactLine(goodNow, goodNow.map(_._2).sum,
+        names.filter(times.getOrElse(_, Vector.empty).isEmpty),
+        ingestOk, sfDir, stealNow)
       System.err.println("GRAFT_BENCH_JSON " + json)
       for (p <- Seq("bench_out.json", "/tmp/graft-bench.json")) {
         try {
@@ -651,22 +762,35 @@ object Bench {
       }
       json
     }
-    // Optional wall-clock budget: when elapsed + a projected next unit
+    // SIGTERM insurance: the driver's kill (timeout → SIGTERM, rc 124)
+    // runs JVM shutdown hooks, so a run that never reached the normal
+    // exit still ends its stdout with the newest parseable compact
+    // line. The flag keeps normal exits single-printed; the hook is
+    // best-effort (SIGKILL skips all hooks — the default budget above
+    // exists so it never comes to that).
+    java.lang.Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      if (printedCompact.compareAndSet(false, true) && lastCompact.nonEmpty) {
+        println(lastCompact)
+        System.out.flush()
+      }
+    }, "graft-bench-final-line"))
+    // Wall-clock self-budget: when elapsed + a projected next unit
     // would cross it, shed the remaining passes/adaptive rounds and
     // finalize with what exists — a self-shortened run with pass-1
     // medians beats the driver's rc-124 kill that parses as null.
     // Elapsed counts from main entry (warm-up + ingest included),
-    // matching what the driver's timeout actually covers.
-    // a malformed value degrades to no-budget with a warning rather
-    // than crashing after warm-up+ingest with no artifact — the exact
-    // failure this knob exists to prevent (review finding)
-    val budget = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_SECS")
-      .flatMap { v =>
-        val p = scala.util.Try(v.toDouble).toOption
-        if (p.isEmpty) System.err.println(
-          s"[bench] WARNING ignoring malformed SPARK_GRAFT_BENCH_BUDGET_SECS='$v'")
-        p
-      }
+    // matching what the driver's timeout actually covers. ON BY
+    // DEFAULT since round 19 (effectiveBudget): the driver never sets
+    // the env, allots ~3600 s, and parses only the final stdout line —
+    // BENCH_r17 AND r18 both died rc-124/parsed-null waiting for an
+    // opt-in budget nobody opted into. Zero/negative disables.
+    val budget = effectiveBudget(sys.env.get("SPARK_GRAFT_BENCH_BUDGET_SECS"))
+    budget match {
+      case Some(b) => System.err.println(f"[bench] self-budget $b%.0f s" +
+        f" (default ${DefaultBudgetSecs}%.0f s unless SPARK_GRAFT_BENCH_BUDGET_SECS overrides)")
+      case None => System.err.println(
+        "[bench] self-budget DISABLED by SPARK_GRAFT_BENCH_BUDGET_SECS <= 0")
+    }
     def elapsed: Double = (System.nanoTime() - benchT0) / 1e9
     // box-speed probes bracket the timed region (full JSON only); one
     // discarded call per loop body first so all samples run the
@@ -681,6 +805,19 @@ object Bench {
     System.err.println(
       f"[bench] cpu probe parallel before=${probesPar.last}%.3f s " +
         s"(width=$probeParWidth)")
+    // First artifact BEFORE pass 1 (round-18 ADVICE item 1): warm-up +
+    // ingest + pass 1 is the longest otherwise-un-emitted stretch of
+    // the run — a kill during pass 1 must still find the ingest
+    // results and before-probes on disk, not an empty bench_out.json.
+    emit()
+    // Round-18 ADVICE item 2: when warm-up + ingest alone already blew
+    // the budget (severe steal), say so NOW — pass 1 still runs (an
+    // artifact with no per-query data helps nobody), but the condition
+    // is visible in stderr rather than silently proceeding into the
+    // external-timeout window the budget exists to avoid.
+    if (budget.exists(elapsed > _)) System.err.println(
+      f"[bench] WARNING budget ${budget.get}%.0f s already exceeded " +
+        f"(elapsed $elapsed%.0f s) before pass 1 — running pass 1 only")
     var lastPassSecs = 0.0
     var pass = 1
     while (pass <= Passes && !shed) {
@@ -693,8 +830,13 @@ object Bench {
                // after-probes below never complete (review finding)
       } else {
         val t0 = System.nanoTime()
+        val cpu0 = readProcCpu()
         names.foreach(runOne(pass.toString, _))
+        val passSteal = stealPctOf(cpu0, readProcCpu())
+        stealPass :+= passSteal
         lastPassSecs = (System.nanoTime() - t0) / 1e9
+        System.err.println(
+          f"[bench] pass $pass steal=$passSteal%.1f%% of demanded cycles")
         passesDone = pass
         pass += 1
         emit()
@@ -733,7 +875,9 @@ object Bench {
         System.err.println(
           s"[bench] adaptive pass $adaptiveDone for ${flagged.size} " +
             s"spread-flagged: " + flagged.mkString(", "))
+        val cpu0 = readProcCpu()
         flagged.foreach(runOne(s"adaptive$adaptiveDone", _))
+        stealPass :+= stealPctOf(cpu0, readProcCpu())
         emit()
         flagged = adaptiveEligible(summarize(names, times), attempts, MaxReps)
       }
@@ -756,15 +900,21 @@ object Bench {
     //    overflowed that window, leaving "parsed": null — the compact
     //    line stays under the 1950 ladder budget at 150+ queries.
     emit()
+    val stealRun = stealPctOf(cpuRun0, readProcCpu())
+    System.err.println(
+      f"[bench] whole-run steal=$stealRun%.1f%% of demanded cycles" +
+        " (BASELINE re-records require < 5)")
     val compact = compactLine(good, total, failedNames,
-      ingestOk, sfDir)
+      ingestOk, sfDir, stealRun)
     if (compact.length > 1950) System.err.println(
       s"[bench] WARNING compact stdout line is ${compact.length} chars — nearing the driver's 2000-char tail window")
     // The bare stdout line goes LAST: if the driver merges streams and
     // parses the final line, that line must be the naked JSON
     // (build.sbt routes forked stdout past sbt's [info] logger and
-    // suppresses the [success] trailer).
+    // suppresses the [success] trailer). The flag retires the SIGTERM
+    // hook so the line prints exactly once on a normal exit.
     spark.stop()
+    printedCompact.set(true)
     println(compact)
   }
 }

@@ -100,8 +100,12 @@ class StreamCapstoneSpec extends AnyFunSuite {
     val (db, ds, cb, cs, gd, gf, fs, ns, ckpt) = (tmp("db"), tmp("ds"),
       tmp("cb"), tmp("cs"), tmp("gd"), tmp("gf"), tmp("fs"), tmp("ns"),
       tmp("ckpt"))
+    // gc = false: this law forensically inspects the SUPERSEDED fold=0
+    // (and the delta roots) after the drain — exactly what the wired-in
+    // post-checkpoint GC deletes; the GC equivalence law below covers
+    // the default path
     DocQueries.runStreamCapstone(spark, dir, replay, db, ds, cb, cs,
-      gd, gf, fs, ns, ckpt)
+      gd, gf, fs, ns, ckpt, gc = false)
     // the fold landed at the cadence in ALL THREE relations' dirs
     for (d <- Seq(cb, cs, gf); n <- Seq(0, 1))
       assert(new java.io.File(s"$d/fold=$n", "_SUCCESS").exists(),
@@ -192,8 +196,10 @@ class StreamCapstoneSpec extends AnyFunSuite {
     val (db, ds, cb, cs, gd, gf, fs, ns, ckpt) = (tmp("db"), tmp("ds"),
       tmp("cb"), tmp("cs"), tmp("gd"), tmp("gf"), tmp("fs"), tmp("ns"),
       tmp("ckpt"))
+    // gc = false: the law snapshots the delta roots and BOTH folds,
+    // which the wired-in post-checkpoint GC would reap
     DocQueries.runStreamCapstone(spark, dir, replay, db, ds, cb, cs,
-      gd, gf, fs, ns, ckpt)
+      gd, gf, fs, ns, ckpt, gc = false)
     def snap(): (Seq[Seq[Any]], Set[Seq[Any]], Set[Seq[Any]],
         Set[Seq[Any]]) = (
       DocQueries.capstoneTable(spark, dir, fs, ns)
@@ -209,11 +215,17 @@ class StreamCapstoneSpec extends AnyFunSuite {
     val before = snap()
     // a committed fold is never rewritten on redelivery (the lsmFoldAt
     // skip — rewriting passed it through a transient uncommitted
-    // window): pin via the _SUCCESS mtimes
-    def foldMtimes: Seq[Long] =
+    // window): pin via the part-FILE NAME sets. Every Spark write job
+    // mints fresh job-UUID part names (part-00000-<uuid>-…), so a
+    // rewrite — even one landing byte-identical content within the
+    // same mtime-granularity second (round-18 ADVICE item 3) —
+    // changes the name set, while a skip provably cannot.
+    def foldPartNames: Seq[Set[String]] =
       for (d <- Seq(cb, cs, gf); n <- Seq(0, 1))
-        yield new java.io.File(s"$d/fold=$n", "_SUCCESS").lastModified
-    val mtimesBefore = foldMtimes
+        yield new java.io.File(s"$d/fold=$n").list().toSet
+    val partNamesBefore = foldPartNames
+    assert(partNamesBefore.forall(_.exists(_.startsWith("part-"))),
+      "fixture: expected parquet part files in every committed fold")
     // redeliver BOTH batches through the per-batch function — batch 0
     // re-runs with every later segment already on disk, so its
     // `batch < 0` filters must hide them all across both families
@@ -227,7 +239,7 @@ class StreamCapstoneSpec extends AnyFunSuite {
     }
     assert(snap() === before,
       "redelivered batches changed a sink, a segment root, or a fold")
-    assert(foldMtimes === mtimesBefore,
+    assert(foldPartNames === partNamesBefore,
       "a committed fold was rewritten during redelivery")
   }
 
@@ -290,5 +302,128 @@ class StreamCapstoneSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSeq
     assert(recovered === oneShot,
       "post-crash rerun diverged from the one-shot run")
+  }
+
+  test("post-checkpoint GC rides the capstone's own path: dead segments die, the report and live fold survive") {
+    // round-18 verdict item 5 — the StreamIndexDedupSpec GC law
+    // extended to the capstone's THREE relations, exercised where a
+    // deployment runs it: runStreamCapstone's default gc = true calls
+    // lsmGc(capstoneRels, checkpointedBatchId(ckpt)) after the drain.
+    // The registry fixture (`capstone`) already runs that path; here
+    // a gc'd and an un-gc'd drive of the same replay must agree on
+    // the report, and the gc'd tree must hold exactly the live state.
+    val replay = StreamingJobs.docsReplayDir(spark, dir)
+    def tmp(t: String): String = java.nio.file.Files
+      .createTempDirectory(s"graft-capgc-$t").toString
+    def drive(gc: Boolean): (Seq[Seq[Any]], Seq[String], String) = {
+      val (db, ds, cb, cs, gd, gf, fs, ns, ckpt) = (tmp("db"), tmp("ds"),
+        tmp("cb"), tmp("cs"), tmp("gd"), tmp("gf"), tmp("fs"), tmp("ns"),
+        tmp("ckpt"))
+      DocQueries.runStreamCapstone(spark, dir, replay, db, ds, cb, cs,
+        gd, gf, fs, ns, ckpt, gc = gc)
+      val table = DocQueries.capstoneTable(spark, dir, fs, ns)
+        .collect().map(_.toSeq).toSeq
+      (table, Seq(db, ds, cb, cs, gd, gf), ckpt)
+    }
+    // the wired-in path: a gc'd and an un-gc'd drive agree on the report
+    val (tableNoGc, dirsNoGc, ckptNoGc) = drive(gc = false)
+    val (tableGc, dirsGc, _) = drive(gc = true)
+    assert(tableGc === tableNoGc, "GC changed the capstone report")
+    def assertGcd(dirs: Seq[String]): Unit = {
+      val Seq(db, ds, cb, cs, gd, gf) = dirs
+      // the checkpoint committed batches 0 and 1 → live fold point = 1:
+      // fold=0 is superseded and deltas 0..1 folded — dead; fold=1 and
+      // the batch=-1 schema seeds survive committed
+      for (d <- Seq(cb, cs, gf)) {
+        assert(!new java.io.File(s"$d/fold=0").exists(),
+          s"GC left the superseded fold=0 alive under $d")
+        assert(new java.io.File(s"$d/fold=1", "_SUCCESS").exists(),
+          s"GC touched the live fold under $d")
+      }
+      for (d <- Seq(db, ds, gd)) {
+        assert(!new java.io.File(s"$d/batch=0").exists() &&
+          !new java.io.File(s"$d/batch=1").exists(),
+          s"GC left a folded delta alive under $d")
+        assert(new java.io.File(s"$d/batch=-1").exists(),
+          s"GC deleted the schema seed under $d")
+      }
+    }
+    assertGcd(dirsGc)
+    // the same GC applied DIRECTLY (the deployment's maintenance call,
+    // against the real checkpoint's committed id) on the un-gc'd tree:
+    // also reaps a stranded stage dir below the live point — the
+    // stage+rename crash leftover only a mid-fold kill can produce
+    val Seq(db, ds, cb, cs, gd, gf) = dirsNoGc
+    assert(new java.io.File(s"$cb/.fold=0.staging").mkdirs())
+    val (iBands, iSets) = graft.Tables.minhashIndexBase(spark, dir)
+    val grams = graft.Tables.gramIndex(spark, dir)
+    val rels = Seq(
+      DocQueries.LsmRelation(
+        iBands.select("doc_id", "band_idx", "band_val"), db,
+        Seq("doc_id", "band_idx", "band_val"), cb),
+      DocQueries.LsmRelation(iSets.select("doc_id", "ss", "n"), ds,
+        Seq("doc_id", "ss", "n"), cs),
+      DocQueries.LsmRelation(grams.select("gram"), gd, Seq("gram"), gf))
+    assert(DocQueries.checkpointedBatchId(ckptNoGc) === 1L,
+      "commit log does not show both drained batches")
+    assert(DocQueries.lsmGc(rels, 1L) === 1L)
+    assertGcd(dirsNoGc)
+    assert(!new java.io.File(s"$cb/.fold=0.staging").exists(),
+      "GC left the dead staging leftover alive")
+    // and the GC'd tree still reads exactly the live fold: a NEW
+    // batch 2 folds fold=2 from fold=1 ∪ its own delta alone
+    val all = spark.read.parquet(replay)
+    DocQueries.streamCapstoneBatch(spark,
+      all.filter(DocQueries.q110Mod === 1L), 2L, iBands, iSets,
+      db, ds, cb, cs, grams, gd, gf,
+      tmp("fs2"), tmp("ns2"))
+    assert(new java.io.File(s"$cb/fold=2", "_SUCCESS").exists(),
+      "batch 2 on the GC'd tree failed to fold")
+  }
+
+  test("a torn fold heals by stage+rename; committed sibling folds are never touched") {
+    // round-18 verdict item 6 (r17 ADVICE item 4 residual): the
+    // genuinely-torn redelivery path now stages the rewrite to a
+    // dot-prefixed sibling and renames into place — the final
+    // location is never mid-write — and a relation whose fold is
+    // COMMITTED keeps its part files and _SUCCESS bit-for-bit (the
+    // skip set), pinned by part-file NAME sets (fresh job UUIDs per
+    // write make any rewrite visible regardless of mtime granularity).
+    val replay = StreamingJobs.docsReplayDir(spark, dir)
+    def tmp(t: String): String = java.nio.file.Files
+      .createTempDirectory(s"graft-captr-$t").toString
+    val (db, ds, cb, cs, gd, gf, fs, ns, ckpt) = (tmp("db"), tmp("ds"),
+      tmp("cb"), tmp("cs"), tmp("gd"), tmp("gf"), tmp("fs"), tmp("ns"),
+      tmp("ckpt"))
+    DocQueries.runStreamCapstone(spark, dir, replay, db, ds, cb, cs,
+      gd, gf, fs, ns, ckpt, gc = false)
+    def names(d: String, n: Long): Set[String] =
+      Option(new java.io.File(s"$d/fold=$n").list())
+        .map(_.toSet).getOrElse(Set.empty)
+    val csRows = spark.read.parquet(s"$cs/fold=1")
+      .collect().map(_.toSeq).toSet
+    // tear fold=1 in ONE relation (sets): drop its commit marker AND
+    // a part file — the on-disk shape of a crash mid-write
+    assert(new java.io.File(s"$cs/fold=1", "_SUCCESS").delete())
+    new java.io.File(s"$cs/fold=1").listFiles()
+      .filter(_.getName.startsWith("part-")).take(1)
+      .foreach(f => assert(f.delete()))
+    val cbBefore = names(cb, 1L); val gfBefore = names(gf, 1L)
+    // redeliver batch 1: pending = {sets} alone; the torn fold heals
+    val (iBands, iSets) = (graft.Tables.minhashIndexBase(spark, dir))
+    val grams = graft.Tables.gramIndex(spark, dir)
+    val all = spark.read.parquet(replay)
+    DocQueries.streamCapstoneBatch(spark,
+      all.filter(DocQueries.q110Mod === 1L), 1L, iBands, iSets,
+      db, ds, cb, cs, grams, gd, gf, fs, ns)
+    assert(names(cb, 1L) === cbBefore && names(gf, 1L) === gfBefore,
+      "a committed sibling fold was rewritten while healing the torn one")
+    assert(new java.io.File(s"$cs/fold=1", "_SUCCESS").exists(),
+      "the torn fold did not heal to a committed state")
+    assert(spark.read.parquet(s"$cs/fold=1")
+      .collect().map(_.toSeq).toSet === csRows,
+      "the healed fold's content differs from the original commit")
+    assert(!new java.io.File(s"$cs/.fold=1.staging").exists(),
+      "the stage dir survived its own rename")
   }
 }

@@ -2959,10 +2959,15 @@ object DocQueries {
     val near = nearPlan.localCheckpoint()
     val kept = batch.select(col("doc_id"))
       .join(near, Seq("doc_id"), "left_anti")
-    bBands.join(broadcast(kept), Seq("doc_id"), "left_semi")
-      .write.mode("overwrite").parquet(dBandsLoc)
-    setsB.join(broadcast(kept), Seq("doc_id"), "left_semi")
-      .write.mode("overwrite").parquet(dSetsLoc)
+    // the two delta segments are independent (disjoint locations, both
+    // derived from checkpointed inputs) — one concurrent wave; a crash
+    // leaves either torn exactly as it could under the sequential
+    // order, and redelivery overwrites both idempotently
+    parWrite(Seq(
+      () => bBands.join(broadcast(kept), Seq("doc_id"), "left_semi")
+        .write.mode("overwrite").parquet(dBandsLoc),
+      () => setsB.join(broadcast(kept), Seq("doc_id"), "left_semi")
+        .write.mode("overwrite").parquet(dSetsLoc)))
     near
   }
 
@@ -3426,39 +3431,68 @@ object DocQueries {
     * through a transient uncommitted window (the _SUCCESS delete) for
     * nothing. Skipping closes that window entirely; a TORN fold (no
     * _SUCCESS) still takes the overwrite path and completes. */
+  /** Run independent Spark write thunks CONCURRENTLY, one thread per
+    * thunk, propagating the first failure. Spark's scheduler is built
+    * for multi-threaded job submission (FIFO across the 32 local
+    * cores); the LSM family's per-batch cost at bench scale is
+    * FIXED per-job overhead, not data (q122 reads ~16 s at sf0.001
+    * AND sf0.1), so running the independent writes of one batch as
+    * one wave instead of a sequence is pure wall-clock back — the
+    * round-18 WATCH item's fix, without changing any on-disk layout
+    * or commit point. Single-thunk calls stay inline (no thread). */
+  private def parWrite(thunks: Seq[() => Unit]): Unit =
+    if (thunks.sizeIs <= 1) thunks.foreach(_())
+    else {
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val ts = thunks.map(t => new Thread(() =>
+        try t() catch { case e: Throwable => errs.add(e) }))
+      ts.foreach(_.start()); ts.foreach(_.join())
+      if (!errs.isEmpty) throw errs.peek()
+    }
+
   private def lsmFoldAt(s: SparkSession, rels: Seq[LsmRelation],
       f: Long, id: Long, midFold: () => Unit = () => ()): Unit = {
     // decide the skip set FIRST: building lsmStateAsOf eagerly lists +
     // schema-infers every relation's fold/delta locations, which is
     // pure waste for relations about to be skipped (review finding —
     // several LIST/HEAD round-trips per redelivered fold on S3/HDFS).
-    // midFold keeps firing between actual WRITES only.
     val pending = rels.filterNot(r =>
       committedIds(r.foldDir, "fold=").contains(id))
-    pending.zip(lsmStateAsOf(s, pending, f, id + 1)).zipWithIndex
-      .foreach { case ((r, st), i) =>
-        if (i > 0) midFold()
-        // STAGE + RENAME (round-18 verdict item 6, the r17 ADVICE
-        // item 4 residual): a direct mode("overwrite") of a genuinely
-        // TORN fold deleted the remains and then spent the whole
-        // parquet job inside a half-written final location — a second
-        // crash left a differently-torn dir. Staging to a dot-prefixed
-        // sibling (hidden from parquet listings, committedIds and GC's
-        // fold= prefix match) and renaming into place shrinks the
-        // commit to one directory rename: the final location is only
-        // ever absent, the old torn remains, or complete-with-_SUCCESS
-        // — never mid-write. Committed folds are skipped above, so no
-        // _SUCCESS-bearing segment is ever deleted (law-pinned).
+    // STAGE + RENAME (round-18 verdict item 6, the r17 ADVICE item 4
+    // residual): a direct mode("overwrite") of a genuinely TORN fold
+    // deleted the remains and then spent the whole parquet job inside
+    // a half-written final location — a second crash left a
+    // differently-torn dir. Staging to a dot-prefixed sibling (hidden
+    // from parquet listings, committedIds and GC's fold= prefix
+    // match) and renaming into place shrinks the commit to one
+    // directory rename: the final location is only ever absent, the
+    // old torn remains, or complete-with-_SUCCESS — never mid-write.
+    // Committed folds are skipped above, so no _SUCCESS-bearing
+    // segment is ever deleted (law-pinned). Staging also splits the
+    // fold into an expensive parallel phase and a cheap commit phase:
+    // the parquet jobs run as ONE concurrent wave (they are
+    // independent — immutable prior fold + write-once deltas in, a
+    // private staging dir out), then the renames COMMIT sequentially
+    // with midFold between them, so the observable crash states are
+    // exactly the sequential ones (relations 0..i-1 committed, the
+    // rest absent-from-final) at a third of the wall.
+    val staged = pending.zip(lsmStateAsOf(s, pending, f, id + 1))
+      .map { case (r, st) =>
         val (fs, _) = lsmFs(r.foldDir)
         val finalP = new org.apache.hadoop.fs.Path(s"${r.foldDir}/fold=$id")
         val stageP = new org.apache.hadoop.fs.Path(
           s"${r.foldDir}/.fold=$id.staging")
-        st.write.mode("overwrite").parquet(stageP.toString)
-        if (fs.exists(finalP)) fs.delete(finalP, true) // torn remains
-        if (!fs.rename(stageP, finalP))
-          throw new java.io.IOException(
-            s"fold commit rename failed: $stageP -> $finalP")
+        (fs, finalP, stageP,
+          () => st.write.mode("overwrite").parquet(stageP.toString))
       }
+    parWrite(staged.map(_._4))
+    staged.zipWithIndex.foreach { case ((fs, finalP, stageP, _), i) =>
+      if (i > 0) midFold()
+      if (fs.exists(finalP)) fs.delete(finalP, true) // torn remains
+      if (!fs.rename(stageP, finalP))
+        throw new java.io.IOException(
+          s"fold commit rename failed: $stageP -> $finalP")
+    }
   }
 
   /** LSM GC exemplar (round-17 verdict item 3 — the contract the
@@ -4743,7 +4777,11 @@ object DocQueries {
   // two minhash relations AND the gram relation — so a long-lived
   // deployment of this one job reads O(fold + k) segments per batch
   // instead of base + every delta ever appended (the last unbounded
-  // tail in the family); superseded folds/deltas are lsmGc's food.
+  // tail in the family); superseded folds/deltas are lsmGc's food,
+  // and since round 19 the GC actually EATS them in this entry's own
+  // path: runStreamCapstone calls lsmGc(capstoneRels,
+  // checkpointedBatchId(ckpt)) after the drain — the post-checkpoint
+  // maintenance point a deployment would use.
   // The registry entry runs k = 1 over the two-file replay: batch 1
   // reads fold=0 ALONE in both the dedup join and the gram probe
   // (StreamCapstoneSpec pins the recorded inner plans), and the
@@ -4824,10 +4862,15 @@ object DocQueries {
     // ---- (c) sink commits (torn-write injection point: all segments
     // landed, neither sink has — the worst at-least-once case)
     crashBeforeSink(id)
-    noveltyReportFromHits(bg, hits).coalesce(1)
-      .write.mode("overwrite").parquet(s"$novSinkDir/batch=$id")
-    dedupFunnel(b, near).coalesce(1)
-      .write.mode("overwrite").parquet(s"$funnelSinkDir/batch=$id")
+    // both sinks derive from checkpointed inputs and commit to
+    // disjoint locations — one concurrent wave (the torn-write law
+    // injects BEFORE either; a crash between them was always healed
+    // by redelivery's overwrite)
+    parWrite(Seq(
+      () => noveltyReportFromHits(bg, hits).coalesce(1)
+        .write.mode("overwrite").parquet(s"$novSinkDir/batch=$id"),
+      () => dedupFunnel(b, near).coalesce(1)
+        .write.mode("overwrite").parquet(s"$funnelSinkDir/batch=$id")))
   }
 
   /** Run the capstone replay: seed empty delta roots for all three

@@ -4838,21 +4838,42 @@ object DocQueries {
       gramFoldDir)
     val f = foldPoint(rels.map(_.foldDir), id)
     val Seq(ib, is, gramRef) = lsmStateAsOf(s, rels, f, id)
-    // ---- (a) dedup + minhash index append (q110d's step, shared sh)
-    val near = ingestAndAppend(b, ib, is,
-      s"$deltaBandsDir/batch=$id", s"$deltaSetsDir/batch=$id",
-      graft.streaming.StreamingJobs.recordInnerPlan(
-        s"q122_stream_ingest_capstone dedup batch=$id", _),
-      prebuiltSh = Some(shAll.select(col("doc_id"), col("shingle"))))
-    // ---- (b) cumulative gram novelty + gram append (q117d's step)
-    val bg = shAll.select(col("source"), col("shingle")).distinct()
-      .localCheckpoint()
-    val hitsPlan = noveltyHits(bg, gramRef)
-    graft.streaming.StreamingJobs.recordInnerPlan(
-      s"q122_stream_ingest_capstone novelty batch=$id", hitsPlan)
-    val hits = hitsPlan.localCheckpoint()
-    novelGrams(bg, hits)
-      .write.mode("overwrite").parquet(s"$gramDeltaDir/batch=$id")
+    // ---- (a) ∥ (b): the two monitor families are INDEPENDENT — (a)
+    // reads the batch + the minhash LSM state and writes the two
+    // minhash deltas, (b) reads the shared shingle pass + the gram
+    // LSM state and writes the gram delta; no artifact of either is
+    // an input of the other, and both derive from the already-
+    // checkpointed b/shAll. One concurrent wave (the parWrite
+    // rationale at section granularity — the capstone's per-batch
+    // cost is job overhead, and these were its two largest
+    // sequential stretches). The fold below needs BOTH families'
+    // deltas on disk, which the wave's join guarantees; a crash
+    // inside either section cancels the batch after both attempted,
+    // and redelivery overwrites every segment idempotently — the same
+    // healing as the old sequential order's partial states. Plan
+    // recording is concurrent-safe (ConcurrentHashMap, distinct keys).
+    var near: DataFrame = null
+    var bg: DataFrame = null
+    var hits: DataFrame = null
+    parWrite(Seq(
+      // (a) dedup + minhash index append (q110d's step, shared sh)
+      () => near = ingestAndAppend(b, ib, is,
+        s"$deltaBandsDir/batch=$id", s"$deltaSetsDir/batch=$id",
+        graft.streaming.StreamingJobs.recordInnerPlan(
+          s"q122_stream_ingest_capstone dedup batch=$id", _),
+        prebuiltSh = Some(shAll.select(col("doc_id"), col("shingle")))),
+      // (b) cumulative gram novelty + gram append (q117d's step)
+      () => {
+        val bgL = shAll.select(col("source"), col("shingle")).distinct()
+          .localCheckpoint()
+        val hitsPlan = noveltyHits(bgL, gramRef)
+        graft.streaming.StreamingJobs.recordInnerPlan(
+          s"q122_stream_ingest_capstone novelty batch=$id", hitsPlan)
+        val hitsL = hitsPlan.localCheckpoint()
+        novelGrams(bgL, hitsL)
+          .write.mode("overwrite").parquet(s"$gramDeltaDir/batch=$id")
+        bg = bgL; hits = hitsL
+      }))
     // ---- fold at the cadence, all three relations in one step: prior
     // fold ∪ the delta tail THROUGH this batch lands at the immutable
     // fold=<id> of each relation (bounded at O(fold + k) inputs;

@@ -395,8 +395,10 @@ object Bench {
     case None => Some(DefaultBudgetSecs)
     case Some(v) => scala.util.Try(v.trim.toDouble).toOption match {
       case Some(d) if d > 0 => Some(d)
-      case Some(_) => None // explicit opt-out
-      case None =>
+      case Some(d) if d <= 0 => None // explicit opt-out
+      case _ => // unparseable OR a parsed NaN (fails both guards above):
+        // malformed degrades to the PROTECTIVE default, never to
+        // no-budget (review finding: "NaN".toDouble parses)
         System.err.println(
           s"[bench] WARNING malformed SPARK_GRAFT_BENCH_BUDGET_SECS='$v'" +
             f" — using the built-in default $DefaultBudgetSecs%.0f s")
@@ -749,10 +751,17 @@ object Bench {
       val json = fullJson(names, times, scanFiles, scanBytes, scanMs,
         ingestResults, ingestSecs, probes, probesPar,
         passesDone, adaptiveDone, shed, sfDir, stealNow, stealPass)
+      // arm the hook's line only once per-query data EXISTS: a
+      // zero-pass compact line reads "value":0.0 with an empty
+      // queries map — shaped like an implausibly fast successful run,
+      // strictly worse for the gate than no final line (review
+      // finding). Until pass 1 completes the kill story is the full
+      // artifact on disk, not stdout.
       val goodNow = summarize(names, times)
-      lastCompact = compactLine(goodNow, goodNow.map(_._2).sum,
-        names.filter(times.getOrElse(_, Vector.empty).isEmpty),
-        ingestOk, sfDir, stealNow)
+      if (goodNow.nonEmpty)
+        lastCompact = compactLine(goodNow, goodNow.map(_._2).sum,
+          names.filter(times.getOrElse(_, Vector.empty).isEmpty),
+          ingestOk, sfDir, stealNow)
       System.err.println("GRAFT_BENCH_JSON " + json)
       for (p <- Seq("bench_out.json", "/tmp/graft-bench.json")) {
         try {
@@ -912,9 +921,13 @@ object Bench {
     // parses the final line, that line must be the naked JSON
     // (build.sbt routes forked stdout past sbt's [info] logger and
     // suppresses the [success] trailer). The flag retires the SIGTERM
-    // hook so the line prints exactly once on a normal exit.
+    // hook AFTER the println: a kill landing between them then at
+    // worst duplicates the line (last-line parsers are fine with
+    // that), whereas flag-first left a window with the hook disarmed
+    // and the println never reached — zero final lines, the exact
+    // failure the hook exists to prevent (review finding).
     spark.stop()
-    printedCompact.set(true)
     println(compact)
+    printedCompact.set(true)
   }
 }

@@ -3447,7 +3447,15 @@ object DocQueries {
       val ts = thunks.map(t => new Thread(() =>
         try t() catch { case e: Throwable => errs.add(e) }))
       ts.foreach(_.start()); ts.foreach(_.join())
-      if (!errs.isEmpty) throw errs.peek()
+      if (!errs.isEmpty) {
+        // surface ONE failure, but keep every other thread's as
+        // suppressed — a wave where both families fail must not lose
+        // the more informative diagnostic (review finding)
+        val first = errs.poll()
+        var e = errs.poll()
+        while (e != null) { first.addSuppressed(e); e = errs.poll() }
+        throw first
+      }
     }
 
   private def lsmFoldAt(s: SparkSession, rels: Seq[LsmRelation],

@@ -339,6 +339,10 @@ class BenchAggSpec extends AnyFunSuite {
     assert(Bench.effectiveBudget(Some("0")) === None)
     assert(Bench.effectiveBudget(Some("-5")) === None)
     assert(Bench.effectiveBudget(Some("abc")) === Some(Bench.DefaultBudgetSecs))
+    // "NaN".toDouble PARSES — it must count as malformed (protective
+    // default), not as an opt-out (NaN > 0 and NaN <= 0 are both
+    // false, so it falls through both guards)
+    assert(Bench.effectiveBudget(Some("NaN")) === Some(Bench.DefaultBudgetSecs))
   }
 
   test("procStatTicks parses the aggregate cpu line; stealPctOf reproduces the judge's 46.8%") {
@@ -362,10 +366,13 @@ class BenchAggSpec extends AnyFunSuite {
     assert(Bench.stealPctOf(Some((9L, 9L)), Some((5L, 5L))) === -1.0)
     // a zero-steal window reads 0, not a sentinel
     assert(Bench.stealPctOf(Some((100L, 7L)), Some((300L, 7L))) === 0.0)
-    // and the live reader either works (Linux) or returns None — on
-    // this box it must parse, and a 1s-apart busy delta is monotone
-    val live = Bench.readProcCpu()
-    assert(live.isDefined, "/proc/stat unreadable on the build box")
+    // and the live reader either works (procfs present) or returns
+    // None — asserted only where /proc/stat exists, so the
+    // pure-function suite stays runnable off-Linux, where the
+    // production sentinel path (-1) is the contract (review finding)
+    if (new java.io.File("/proc/stat").exists())
+      assert(Bench.readProcCpu().isDefined,
+        "/proc/stat exists but the counter reader returned None")
   }
 
   test("steal rides the full JSON and the compact line; sentinel is -1, never absent") {

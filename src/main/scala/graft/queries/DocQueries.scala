@@ -2947,9 +2947,31 @@ object DocQueries {
       idxSets: DataFrame, dBandsLoc: String, dSetsLoc: String,
       onNearPlan: DataFrame => Unit = _ => (),
       prebuiltSh: Option[DataFrame] = None): DataFrame = {
-    val shB = prebuiltSh.getOrElse(shingleTable(batch, Nil).localCheckpoint())
-    val bBands = bandRows(shB, Nil).localCheckpoint()
-    val setsB = verifySets(shB, None).localCheckpoint()
+    // FUSED SIGNATURE (round 20, guide §2.4 "operations keyed the same
+    // way share one exchange"): bandRows + verifySets both group the
+    // SAME shingle rows by doc_id — computed separately they paid two
+    // shuffles and two localCheckpoint jobs of the same relation per
+    // ingest step. One aggregation now produces the minhash columns,
+    // the sorted verify set and its size together; bands derive
+    // map-side (explode) and sets by projection from the ONE pinned
+    // signature table. Per-batch cost here is fixed job overhead, not
+    // data (q122 ≈ equal at sf0.001 and sf0.1), so halving the
+    // shuffle/job count on this path is direct wall-clock. Hash
+    // contract unchanged: same minhashAggs(8,4)/bandArray(2,4) over
+    // the same rows; delta-segment schemas and locations unchanged.
+    val shB = prebuiltSh.getOrElse(shingleTable(batch, Nil))
+    val hs = minhashAggs(8, 4)
+    val sig = shB.withColumn("h", md5(col("shingle").cast(BinaryType)))
+      .groupBy(col("doc_id"))
+      .agg(hs.head, hs.tail ++ Seq(
+        sort_array(collect_list(col("shingle"))).as("ss"),
+        count(lit(1)).as("n")): _*)
+      .localCheckpoint()
+    val bBands = sig.select(col("doc_id"),
+        explode(bandArray(2, 4)).as("bd"))
+      .select(col("doc_id"), col("bd.band_idx").as("band_idx"),
+        col("bd.band_val").as("band_val"))
+    val setsB = sig.select(col("doc_id"), col("ss"), col("n"))
     val nearPlan = indexDedupStep(shB, bBands, Some(setsB), idxBands, idxSets)
     // observe the dedup-join plan BEFORE the checkpoint executes it —
     // the streaming kernels record it per (query, batch) so PLANS.md

@@ -197,27 +197,46 @@ object DocQueries {
       val withH = sh.withColumn("h", md5($"shingle".cast(BinaryType)))
       val hs = minhashAggs(16, 2)
       val sig = withH.groupBy($"doc_id")
-        .agg(hs.head, (hs.tail :+ count(lit(1)).as("n")): _*)
-      val sizes = sig.select($"doc_id", $"n")
+        .agg(hs.head, hs.tail: _*)
       val bands = sig.select($"doc_id", explode(bandArray(4, 4)).as("bd"))
         .select($"doc_id", $"bd.band_idx".as("band_idx"),
           $"bd.band_val".as("band_val"))
       val b1 = bands.toDF("doc1", "band_idx", "band_val")
       val b2 = bands.toDF("doc2", "band_idx", "band_val")
+      // candidates feed TWO consumers now (the verify joins and the
+      // candidate-id restriction below) — pin them once
       val cand = b1.join(b2, Seq("band_idx", "band_val"))
         .filter($"doc1" < $"doc2")
         .select($"doc1", $"doc2").distinct()
-      val s1 = sh.toDF("doc1", "shingle")
-      val s2 = sh.toDF("doc2", "shingle")
-      val inter = cand
-        .join(s1, "doc1")
-        .join(s2, Seq("doc2", "shingle"))
-        .groupBy($"doc1", $"doc2")
-        .agg(count(lit(1)).as("n_shared"))
+        .localCheckpoint()
+      // VERIFY REWRITE (round 20, guide §2.3 "shuffle fewer bytes" +
+      // §3): the old exact-Jaccard verify joined the FULL shingle table
+      // twice (cand ⋈ sh ⋈ sh + count), shuffling the corpus-sized
+      // (doc, shingle) relation by doc1 and again by (doc2, shingle) —
+      // at 100 TB two corpus-wide shuffles whose only purpose is a
+      // per-pair intersection count. Now: restrict the per-doc sorted
+      // shingle arrays to CANDIDATE docs (semi-join — candidate ids
+      // are a corpus fraction, no broadcast hint so AQE picks the
+      // strategy by size), build each doc's array ONCE, and count the
+      // intersection with the codegen'd sorted_icount merge scan per
+      // candidate pair — the exact shape q45/q110 measured ~3x faster
+      // than the row-level join (q45's verify comment), applied to the
+      // q23/q39/q115 kernel. n1/n2 = size(set) — the separate sizes
+      // joins disappear with the second corpus shuffle.
+      val candIds = cand.select($"doc1".as("doc_id"))
+        .union(cand.select($"doc2".as("doc_id"))).distinct()
+      val docSets = sh.join(candIds, Seq("doc_id"), "left_semi")
+        .groupBy($"doc_id")
+        .agg(sort_array(collect_list($"shingle")).as("ss"))
+      val verified = cand
+        .join(docSets.toDF("doc1", "ss1"), "doc1")
+        .join(docSets.toDF("doc2", "ss2"), "doc2")
+        .select($"doc1", $"doc2",
+          expr("sorted_icount(ss1, ss2)").as("n_shared"),
+          size($"ss1").cast(LongType).as("n1"),
+          size($"ss2").cast(LongType).as("n2"))
       val jac = $"n_shared".cast(DoubleType) / ($"n1" + $"n2" - $"n_shared")
-      inter
-        .join(sizes.toDF("doc1", "n1"), "doc1")
-        .join(sizes.toDF("doc2", "n2"), "doc2")
+      verified
         .select($"doc1", $"doc2", $"n_shared", $"n1", $"n2",
           jac.as("jaccard"))
         .filter(jac >= 0.6)
@@ -694,18 +713,27 @@ object DocQueries {
             .select(col("l1.doc_id").as("doc_id"),
               col("l2.label").as("label"))
         else labels.limit(0)
-      val next = labels.unionAll(prop).unionAll(hop)
-        .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
+      // FUSED CHANGE CHECK (round 20, guide §2.4): carry each node's
+      // OLD label through the min-aggregation instead of re-joining
+      // `next` against `labels` afterwards. Only the labels branch
+      // contributes a non-null `old`, every node has exactly one row
+      // there, and min ignores nulls — so min(old) IS the node's old
+      // label, and the per-round change probe becomes a scan of the
+      // just-checkpointed blocks (limit-1 under isEmpty) instead of a
+      // join per round. prop/hop doc_ids are always existing nodes
+      // (dst ∈ nodes; l(x) ∈ nodes), so no row escapes the old-label
+      // branch. Labels for the next round are a projection of the same
+      // checkpoint — nothing else changes.
+      val next3 = labels
+        .select(col("doc_id"), col("label"), col("label").as("old"))
+        .unionAll(prop.withColumn("old", lit(null).cast(LongType)))
+        .unionAll(hop.withColumn("old", lit(null).cast(LongType)))
+        .groupBy(col("doc_id"))
+        .agg(min(col("label")).as("label"), min(col("old")).as("old"))
         .localCheckpoint()
-      // ANY-row existence (limit-1 under the hood), not a full count:
-      // the loop only needs "did something change", and isEmpty stops
-      // at the first differing label instead of scanning them all.
-      changed = !next.as("n")
-        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
-        .filter(col("n.label") =!= col("o.label"))
-        .isEmpty
+      changed = !next3.filter(col("label") =!= col("old")).isEmpty
       if (changed) rounds += 1
-      labels = next
+      labels = next3.select(col("doc_id"), col("label"))
     }
     if (changed)
       throw new IllegalStateException(

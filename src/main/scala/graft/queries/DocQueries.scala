@@ -4307,9 +4307,7 @@ object DocQueries {
       // shingle distinct ONCE instead of re-running the batch scan +
       // shuffle per branch (the q23/q110c pattern; batch-sized, so
       // the blocks are small by the ingest assumption)
-      val bg = shingleTable(d.filter($"is_batch"), Seq("source"))
-        .select($"source", $"shingle").distinct()
-        .localCheckpoint()
+      val bg = sourceGrams(d.filter($"is_batch")).localCheckpoint()
       val corpusGrams = d.filter(!$"is_batch")
         .select(split(lower($"text"), " ").as("toks"))
         .filter(size($"toks") >= 5)
@@ -4379,6 +4377,20 @@ object DocQueries {
     * q117b probes. Raw explode + global distinct (q117's corpus-side
     * rationale: no per-doc distinct shuffle for a set the query
     * doesn't need per-doc). */
+  /** Distinct (source, shingle) grams of a batch frame — the novelty
+    * probe's batch side. Built WITHOUT the per-doc shingleTable
+    * distinct (round 20, guide §2.4): the probe needs per-SOURCE
+    * distinctness only, so one distinct here does what the
+    * (per-(doc,shingle) distinct → per-(source,shingle) distinct)
+    * pair did in two consecutive shuffles of the same gram rows.
+    * Set-identical by construction: dropping doc_id before the dedup
+    * cannot change the distinct (source, shingle) set. */
+  private def sourceGrams(d: DataFrame): DataFrame =
+    d.select(col("source"), split(lower(col("text")), " ").as("toks"))
+      .filter(size(col("toks")) >= 5)
+      .select(col("source"), gramExplode.as("shingle"))
+      .distinct()
+
   private[graft] def corpusGramSet(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).filter(q110Mod === 2)
       .select(split(lower(col("text")), " ").as("toks"))
@@ -4444,9 +4456,7 @@ object DocQueries {
            id: Long) =>
             // bg feeds the probe set and the final left join — pin one
             // derivation (the q117 pattern; batch-sized blocks)
-            val bg = shingleTable(df, Seq("source"))
-              .select($"source", $"shingle").distinct()
-              .localCheckpoint()
+            val bg = sourceGrams(df).localCheckpoint()
             val rep = noveltyBatchReport(bg, grams)
             graft.streaming.StreamingJobs.recordInnerPlan(
               s"q117b_stream_novelty batch=$id", rep)
@@ -4529,8 +4539,7 @@ object DocQueries {
       // ---- batch 1 vs the base index: ONE probe feeds the report and
       // the admitted-gram delta (localCheckpoint pins it — bounded by
       // the batch grams)
-      val bg1 = shingleTable(d.filter(q110Mod === 0), Seq("source"))
-        .select($"source", $"shingle").distinct().localCheckpoint()
+      val bg1 = sourceGrams(d.filter(q110Mod === 0)).localCheckpoint()
       val hits1 = noveltyHits(bg1, idx).localCheckpoint()
       val rep1 = noveltyReportFromHits(bg1, hits1)
         .withColumn("batch", lit(1L))
@@ -4538,8 +4547,7 @@ object DocQueries {
       // idempotent per run, the q110c delta contract)
       novelGrams(bg1, hits1).write.mode("overwrite").parquet(deltaLoc)
       // ---- batch 2 vs the UPDATED index (base ∪ admitted delta)
-      val bg2 = shingleTable(d.filter(q110Mod === 1), Seq("source"))
-        .select($"source", $"shingle").distinct().localCheckpoint()
+      val bg2 = sourceGrams(d.filter(q110Mod === 1)).localCheckpoint()
       val rep2 = noveltyBatchReport(bg2,
           idx.union(s.read.parquet(deltaLoc)))
         .withColumn("batch", lit(2L))
@@ -4628,9 +4636,7 @@ object DocQueries {
   private[graft] def streamGramBatch(s: SparkSession, micro: DataFrame,
       id: Long, grams: DataFrame, deltaDir: String,
       sinkDir: String, crashAfterSink: Long => Unit = _ => ()): Unit = {
-    val bg = shingleTable(micro, Seq("source"))
-      .select(col("source"), col("shingle")).distinct()
-      .localCheckpoint()
+    val bg = sourceGrams(micro).localCheckpoint()
     val ref = grams.union(
       s.read.parquet(deltaDir).filter(col("batch") < id)
         .select(col("gram")))
@@ -4728,9 +4734,7 @@ object DocQueries {
       foldDir: String, sinkDir: String, k: Int = 1,
       crashAfterSink: Long => Unit = _ => ()): Unit = {
     require(k >= 1, s"compact-every-k cadence needs k >= 1, got $k")
-    val bg = shingleTable(micro, Seq("source"))
-      .select(col("source"), col("shingle")).distinct()
-      .localCheckpoint()
+    val bg = sourceGrams(micro).localCheckpoint()
     // the shared LSM cadence machinery (foldPoint/lsmStateAsOf/
     // lsmFoldAt — the streamCompactBatch contract at gram granularity)
     val rels = Seq(LsmRelation(grams, deltaDir, Seq("gram"), foldDir))

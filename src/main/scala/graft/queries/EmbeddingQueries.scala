@@ -696,8 +696,21 @@ object EmbeddingQueries {
   private def pqAssign(e: DataFrame, cents: DataFrame)(
       implicit s: SparkSession): DataFrame = {
     import s.implicits._
-    e.crossJoin(broadcast(cents))
-      .withColumn("svec", expr(s"slice(embedding, sub * $pqD + 1, $pqD)"))
+    // Pre-explode each vector into its m subvectors ONCE, then
+    // equi-join the k centroids of the SAME subspace (round 20, guide
+    // §2.3): the old crossJoin re-sliced the 64-float embedding inside
+    // every one of the |e|·m·k joined rows (k = 16 slice allocations
+    // per subvector) and carried the full embedding through the join;
+    // now only the 8-float subvector flows, sliced once per (vec, sub),
+    // and the join is keyed on sub instead of a cartesian. Same
+    // |e|·m·k l2q comparisons, same (d2, cid) argmin — assignment
+    // relation unchanged.
+    e.select($"vec_id", explode(expr(
+        s"transform(sequence(0, ${pqM - 1}), sb -> struct(" +
+          s"CAST(sb AS BIGINT) AS sub, " +
+          s"slice(embedding, sb * $pqD + 1, $pqD) AS svec))")).as("z"))
+      .select($"vec_id", $"z.sub".as("sub"), $"z.svec".as("svec"))
+      .join(broadcast(cents), Seq("sub"))
       .withColumn("d2", expr("l2q(svec, carr)"))
       .groupBy($"vec_id", $"sub")
       .agg(min(struct($"d2", $"cid")).as("m"), first($"svec").as("svec"))

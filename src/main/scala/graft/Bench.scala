@@ -303,7 +303,8 @@ object Bench {
       good: Seq[(String, Double, Double, Double, Int)],
       total: Double, failed: Seq[String],
       ingestOk: Boolean, sfDir: String,
-      stealPct: Double = -1.0): String = {
+      stealPct: Double = -1.0,
+      shed: Boolean = false, passes: Int = -1): String = {
     val shortKey = shortKeys(good.map(_._1))
     // COMPACT-TAIL SHAVE (round-15 verdict item 1: the 144-query
     // worst-realistic 2-dec form sat EXACTLY at the 1950 budget, so
@@ -324,8 +325,15 @@ object Bench {
     // (round-18 verdict item 2) — 1 decimal, ~13 chars, so the 2x
     // gate can steal-normalize (divide ratios by 1/(1−steal/100))
     // WITHOUT opening bench_out.json; −1.0 = counter unavailable.
+    // "shed"/"passes" (round-19 verdict item 1): BENCH_r19's compact
+    // line published a SINGLE budget-shed pass's storm numbers with no
+    // marker — anyone normalizing its 2429 s by the line's own
+    // whole-run steal read an 11.9x false regression. ~30 chars make
+    // the driver artifact self-describing: shed:true or passes < 3
+    // says "these are not 3-pass medians, open bench_out.json before
+    // judging". passes = completed round-robin passes (-1 = unknown).
     def tail(failedJson: String): String =
-      s""""failed":$failedJson,"steal":${num(stealPct, 1)},"ingest_ok":$ingestOk,"sf":"$sfBase""""
+      s""""failed":$failedJson,"steal":${num(stealPct, 1)},"shed":$shed,"passes":$passes,"ingest_ok":$ingestOk,"sf":"$sfBase""""
     val failedFull = failed.map("\"" + jesc(_) + "\"").mkString("[", ",", "]")
     def render(qs2: String, failedJson: String): String =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs2,${tail(failedJson)}}"""
@@ -394,7 +402,12 @@ object Bench {
   def effectiveBudget(raw: Option[String]): Option[Double] = raw match {
     case None => Some(DefaultBudgetSecs)
     case Some(v) => scala.util.Try(v.trim.toDouble).toOption match {
-      case Some(d) if d > 0 => Some(d)
+      // d must be FINITE (round-19 ADVICE item 3): "Infinity" parses,
+      // passes d > 0, and yields a budget that reports as enabled
+      // while shedding can never fire — behaviorally disabled without
+      // the explicit opt-out log line. Non-finite degrades to the
+      // protective default like any other malformed input.
+      case Some(d) if d > 0 && !d.isInfinite => Some(d)
       case Some(d) if d <= 0 => None // explicit opt-out
       case _ => // unparseable OR a parsed NaN (fails both guards above):
         // malformed degrades to the PROTECTIVE default, never to
@@ -761,7 +774,7 @@ object Bench {
       if (goodNow.nonEmpty)
         lastCompact = compactLine(goodNow, goodNow.map(_._2).sum,
           names.filter(times.getOrElse(_, Vector.empty).isEmpty),
-          ingestOk, sfDir, stealNow)
+          ingestOk, sfDir, stealNow, shed, passesDone)
       System.err.println("GRAFT_BENCH_JSON " + json)
       for (p <- Seq("bench_out.json", "/tmp/graft-bench.json")) {
         try {
@@ -914,7 +927,7 @@ object Bench {
       f"[bench] whole-run steal=$stealRun%.1f%% of demanded cycles" +
         " (BASELINE re-records require < 5)")
     val compact = compactLine(good, total, failedNames,
-      ingestOk, sfDir, stealRun)
+      ingestOk, sfDir, stealRun, shed, passesDone)
     if (compact.length > 1950) System.err.println(
       s"[bench] WARNING compact stdout line is ${compact.length} chars — nearing the driver's 2000-char tail window")
     // The bare stdout line goes LAST: if the driver merges streams and

@@ -147,6 +147,22 @@ class BenchAggSpec extends AnyFunSuite {
       assert(!line.contains(k), s"$k should have been shaved: $line")
   }
 
+  test("compact line carries shed and passes, so a shed single pass is self-describing") {
+    // round-19 verdict item 1: BENCH_r19's compact line was a budget-
+    // shed SINGLE pass through a steal storm, indistinguishable from a
+    // 16.7x regression to anyone reading only the line the driver
+    // stores. shed:true / passes:<n> must ride the line itself.
+    val good = Seq(("q01_pricing_summary", 1.10, 1.00, 1.20, 1))
+    val shedLine = Bench.compactLine(good, 1.10, Nil,
+      ingestOk = true, "/root/testdata/sf0.1", 28.5, shed = true, passes = 1)
+    assert(shedLine.contains(""""shed":true"""), shedLine)
+    assert(shedLine.contains(""""passes":1"""), shedLine)
+    val cleanLine = Bench.compactLine(good, 1.10, Nil,
+      ingestOk = true, "/root/testdata/sf0.1", 1.9, shed = false, passes = 3)
+    assert(cleanLine.contains(""""shed":false"""), cleanLine)
+    assert(cleanLine.contains(""""passes":3"""), cleanLine)
+  }
+
   test("compact line keeps headroom with a realistic flagged set") {
     // six flagged queries (the BENCH_r11 worst case) at the full
     // registry: the per-flag ~14-char growth must not break the

@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(FreqSketch.descriptor)
     e.injectFunction(NGramsGen.descriptor)
     e.injectFunction(SortedIntersectCount.descriptor)
+    e.injectFunction(SpanHashes.descriptor)
     e.injectFunction(BpeMerge.descriptor)
     // Real pure-JVM BMP codec kernels (multimodal pipeline, q31b/q31e).
     e.injectFunction(graft.multimodal.BmpCodec.encodeDescriptor)

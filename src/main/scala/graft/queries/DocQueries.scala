@@ -3763,18 +3763,45 @@ object DocQueries {
     * injectable so the spec can force same-hash/different-span buckets
     * and exercise the collision fallback below, which is unreachable
     * under a 128-bit hash on any real corpus. */
+  /** The shipped span content-address: marker default for
+    * substrDupDocs — when unchanged, the window pass runs the O(tokens)
+    * rolling `span_hashes` expression; an INJECTED hash (the spec's
+    * forced-collision laws) falls back to the explicit per-window
+    * construction below, which is what the injection seam addresses. */
+  private[graft] val DefaultSpanHash: Column => Column =
+    c => md5(c.cast(BinaryType))
+
   private[graft] def substrDupDocs(d: DataFrame, k: Int,
-      spanHash: Column => Column = c => md5(c.cast(BinaryType))): DataFrame = {
+      spanHash: Column => Column = DefaultSpanHash): DataFrame = {
     val toks = d.select(col("doc_id"),
         expr("filter(split(lower(text), ' '), t -> length(t) > 0)").as("toks"))
       .withColumn("n", size(col("toks")).cast(LongType))
       .filter(col("n") >= k)
-    val win = toks
-      .select(col("doc_id"), col("toks"),
-        explode(expr(s"sequence(1L, n - $k + 1)")).as("i"))
-      .select(col("doc_id"), col("i"),
-        spanHash(concat_ws(" ",
-          slice(col("toks"), col("i").cast("int"), lit(k)))).as("h"))
+    // ROLLING WINDOW PASS (round 20, guide §1.2 per-task work): the
+    // default path computes every window's 128-bit content address in
+    // ONE O(tokens) rolling scan (`span_hashes`) instead of building
+    // and md5-ing the ~k·avg_token-byte span string per position —
+    // O(tokens·k) hashing, measured as q112's dominant compute. The
+    // address is 16-byte binary (vs 32-char hex), halving the shuffled
+    // key bytes (§2.3). Results are hash-independent: candidates are
+    // verified by exact span bytes, the residue fallback covers
+    // realized collisions, and the 128-bit width keeps the round-15
+    // two-distinct-spans analysis intact; SubstrDedupSpec additionally
+    // pins this path result-identical to the md5-per-window form on
+    // the real corpus. An injected spanHash keeps the explicit
+    // per-window form (that seam exists to force collisions).
+    val win =
+      if (spanHash eq DefaultSpanHash)
+        toks.select(col("doc_id"),
+            posexplode(expr(s"span_hashes(toks, $k)")).as(Seq("p", "h")))
+          .select(col("doc_id"), (col("p") + 1).cast(LongType).as("i"),
+            col("h"))
+      else toks
+        .select(col("doc_id"), col("toks"),
+          explode(expr(s"sequence(1L, n - $k + 1)")).as("i"))
+        .select(col("doc_id"), col("i"),
+          spanHash(concat_ws(" ",
+            slice(col("toks"), col("i").cast("int"), lit(k)))).as("h"))
     // one representative position per (window hash, doc): min(i) —
     // within-doc repeats of the same span collapse map-side here
     val wd = win.groupBy(col("h"), col("doc_id")).agg(min(col("i")).as("i"))

@@ -155,4 +155,21 @@ class SubstrDedupSpec extends AnyFunSuite {
     assert(fast === ref)
     assert(fast.nonEmpty, "fixture regression: no shared spans bound")
   }
+
+  test("rolling span_hashes path == md5-per-window path on the real corpus") {
+    // round-20 optimization law: the default window pass switched from
+    // md5 over the materialized span string (O(tokens·k) hashing) to
+    // the O(tokens) rolling 128-bit span_hashes expression. Results
+    // must be hash-independent — pin the rolling default against the
+    // explicit md5-per-window form (injected through the spec seam,
+    // which forces the old construction) on the real sf0.001 corpus.
+    val d = Tables.load(spark, TestSpark.sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    val rolling = dupIds(DocQueries.substrDupDocs(d, K))
+    val md5Form = dupIds(DocQueries.substrDupDocs(d, K,
+      c => org.apache.spark.sql.functions.md5(c.cast(
+        org.apache.spark.sql.types.BinaryType))))
+    assert(rolling === md5Form)
+    assert(rolling.nonEmpty)
+  }
 }

@@ -222,13 +222,19 @@ object EventQueries {
       val qname = s"q44_mem_${memCounter.incrementAndGet()}"
       val stream = StreamingJobs.hourlyCounts(
         StreamingJobs.readReplayStream(s, replay))
-      val q = stream.writeStream
-        .format("memory").queryName(qname)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      StreamingJobs.capturePlan("q44_stream_hourly", q)
+      // state sized to the job like every other stateful entry (q49/
+      // q58/q79/q96–q99; round 20 — q44 was the one sibling still
+      // paying 32 state stores × per-batch commit IO for a few
+      // thousand aggregate rows; see withStatePartitions)
+      StreamingJobs.withStatePartitions(s, 8) {
+        val q = stream.writeStream
+          .format("memory").queryName(qname)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        StreamingJobs.capturePlan("q44_stream_hourly", q)
+      }
       s.table(qname)
         .select(date_format($"hour", "yyyy-MM-dd HH:mm:ss").as("hour"),
           $"event_type", $"n_events", $"sum_value")

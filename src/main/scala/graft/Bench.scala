@@ -489,7 +489,9 @@ object Bench {
       passesDone: Int, adaptiveDone: Int, shed: Boolean,
       sfDir: String,
       stealPct: Double = -1.0,
-      stealPass: Seq[Double] = Nil): String = {
+      stealPass: Seq[Double] = Nil,
+      jobCounts: scala.collection.Map[String, Long] = Map.empty,
+      gapSecs: scala.collection.Map[String, Double] = Map.empty): String = {
     val good = summarize(names, times)
     val qs = good.map { case (k, med, _, _, _) => "\"" + k + "\":" + num(med) }
       .mkString("{", ",", "}")
@@ -516,7 +518,20 @@ object Bench {
       s"""{"name":"$n","ok":$ok,"secs":${num(secs)}$e}"""
     }.mkString("[", ",", "]")
     def arr(vs: Seq[Double]): String = vs.map(num(_)).mkString("[", ",", "]")
-    s"""{"metric":"total","value":${num(total)},"unit":"sec","value_min":${num(totalMin)},"qps":${num(qps)},"queries":$qs,"spread":$spread,"floor_ratio":$floorRatio,"scan":$scanBlock,"reps_ok":$repsOk,"keymap":$keymap,"ingest":$ingestJson,"probe_secs":${arr(probes)},"probe_par_secs":${arr(probesPar)},"steal_pct":${num(stealPct, 1)},"steal_pct_pass":${arr(stealPass)},"passes_done":$passesDone,"adaptive_done":$adaptiveDone,"shed":$shed,"reps":$Passes,"failed":$failed,"ingest_ok":$ingestOk,"ingest_secs":${num(ingestSecs)},"sf":"$sfDir"}"""
+    // per-query JOB-COUNT telemetry (round-20 verdict item 7): the
+    // overhead-bound families' cost is Spark jobs, not data — "jobs"
+    // (min job count across passes; -1 = not measured) and "gap_secs"
+    // (min summed inter-job driver gap) put ProfileQuery's numbers in
+    // the artifact so a job-count optimization is checkable from
+    // bench_out.json alone. FULL JSON only — the compact line's
+    // 1950-char ladder budget is untouched.
+    val jobsBlock = good.map { case (k, _, _, _, _) =>
+      "\"" + k + "\":" + jobCounts.getOrElse(k, -1L)
+    }.mkString("{", ",", "}")
+    val gapsBlock = good.map { case (k, _, _, _, _) =>
+      "\"" + k + "\":" + num(gapSecs.getOrElse(k, -1.0))
+    }.mkString("{", ",", "}")
+    s"""{"metric":"total","value":${num(total)},"unit":"sec","value_min":${num(totalMin)},"qps":${num(qps)},"queries":$qs,"spread":$spread,"floor_ratio":$floorRatio,"scan":$scanBlock,"reps_ok":$repsOk,"jobs":$jobsBlock,"gap_secs":$gapsBlock,"keymap":$keymap,"ingest":$ingestJson,"probe_secs":${arr(probes)},"probe_par_secs":${arr(probesPar)},"steal_pct":${num(stealPct, 1)},"steal_pct_pass":${arr(stealPass)},"passes_done":$passesDone,"adaptive_done":$adaptiveDone,"shed":$shed,"reps":$Passes,"failed":$failed,"ingest_ok":$ingestOk,"ingest_secs":${num(ingestSecs)},"sf":"$sfDir"}"""
   }
 
   /** One untimed throwaway execution of a registry query's own plan
@@ -693,6 +708,47 @@ object Bench {
     // satisfy times(n).size >= MaxReps and the loop would spin forever.
     val attempts = scala.collection.mutable.Map
       .empty[String, Int].withDefaultValue(0)
+    // Per-query JOB telemetry (round-20 verdict item 7): a listener
+    // records every Spark job's (start, end) wall ms; runOne clears
+    // the queue before its action and reads it after, so the events
+    // it sees are exactly its own (the bench runs one query at a
+    // time — concurrent jobs WITHIN a query, e.g. parWrite waves,
+    // are handled by the cursor walk below). Kept as MIN across
+    // passes: steal only ever adds gap time, and AQE only ever adds
+    // stage-jobs, so the min is the cleanest observed shape.
+    val jobEvents =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        private val starts =
+          new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          starts.put(js.jobId, js.time)
+        override def onJobEnd(
+            je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val t0 = starts.remove(je.jobId)
+          if (t0 != null) jobEvents.add((t0.longValue(), je.time))
+        }
+      })
+    val jobCounts = scala.collection.mutable.Map.empty[String, Long]
+    val gapSecs = scala.collection.mutable.Map.empty[String, Double]
+    // The listener bus is async: wait (bounded, POST-timing) until the
+    // drained event count stops moving, so the last job's end event is
+    // in the queue before we aggregate. Two stable 5 ms polls suffice
+    // in practice; the 100 ms cap keeps a backed-up bus from stalling
+    // the run — an undercounted diagnostic beats a slow bench.
+    def drainJobEvents(): Seq[(Long, Long)] = {
+      var last = -1
+      var spins = 0
+      while (spins < 20 && jobEvents.size != last) {
+        last = jobEvents.size
+        Thread.sleep(5)
+        spins += 1
+      }
+      import scala.jdk.CollectionConverters._
+      jobEvents.asScala.toSeq
+    }
     def runOne(pass: String, name: String): Unit = {
       attempts(name) += 1
       // Execute the query's OWN physical plan via toRdd, not count()
@@ -704,11 +760,29 @@ object Bench {
       // ONCE, immediately after the action — metric collection below
       // must not inflate the reported time.
       try {
+        jobEvents.clear()
+        val w0 = System.currentTimeMillis()
         val t0 = System.nanoTime()
         val df = SparkEntry.queries(name)(spark, sfDir)
         df.queryExecution.toRdd.count()
         val secs = (System.nanoTime() - t0) / 1e9
         times(name) = times(name) :+ secs
+        // job-count/gap aggregation is strictly POST-timing (like the
+        // scan metrics below): walk the window's jobs in start order
+        // with a cursor so overlapping jobs never count as gap
+        try {
+          val evs = drainJobEvents().sortBy(_._1)
+          var cursor = w0
+          var gapMs = 0L
+          evs.foreach { case (s0, s1) =>
+            gapMs += math.max(0L, s0 - cursor)
+            cursor = math.max(cursor, s1)
+          }
+          jobCounts(name) =
+            math.min(jobCounts.getOrElse(name, Long.MaxValue), evs.size.toLong)
+          gapSecs(name) = math.min(
+            gapSecs.getOrElse(name, Double.MaxValue), gapMs / 1000.0)
+        } catch { case _: Throwable => () }
         try {
           val ls = leaves(df.queryExecution.executedPlan)
           def m(keys: Set[String]): Long =
@@ -763,7 +837,8 @@ object Bench {
       val stealNow = stealPctOf(cpuRun0, readProcCpu())
       val json = fullJson(names, times, scanFiles, scanBytes, scanMs,
         ingestResults, ingestSecs, probes, probesPar,
-        passesDone, adaptiveDone, shed, sfDir, stealNow, stealPass)
+        passesDone, adaptiveDone, shed, sfDir, stealNow, stealPass,
+        jobCounts, gapSecs)
       // arm the hook's line only once per-query data EXISTS: a
       // zero-pass compact line reads "value":0.0 with an empty
       // queries map — shaped like an implausibly fast successful run,

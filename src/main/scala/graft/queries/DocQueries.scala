@@ -2727,6 +2727,40 @@ object DocQueries {
         :+ col("bd.band_val").as("band_val"): _*)
   }
 
+  /** ONE fused aggregation of a batch shingle relation (the round-20
+    * ingest-append fusion, factored out in round 21 so the batch-2
+    * steps share it): (doc_id, the 8 minhash columns, sorted verify
+    * set `ss`, size `n`) in a single groupBy — where bandRows +
+    * verifySets computed separately paid two shuffles and two eager
+    * jobs over the SAME shingle rows (guide §2.4, "operations keyed
+    * the same way share one exchange"). localCheckpointed: every
+    * consumer (bands, verify join, append payload) reads the pinned
+    * table. Hash contract identical to bandRows/verifySets by
+    * construction — same minhashAggs(8,4) over the same md5, same
+    * sorted collect_list, same distinct-row count. Sound for BOUNDED
+    * batches (the ingest contract): the batch side's full sorted-set
+    * build is O(batch) — it is exactly what ingestAndAppend already
+    * pays to admit a batch; the INDEX side's candidate restriction
+    * (the load-bearing one at 100 TB) lives in indexDedupStep's
+    * setsC semi-join and is untouched. q110's in-query form keeps
+    * the two-agg shape instead: its verify sets span the CORPUS side
+    * too, where candidates-only genuinely bounds an unbounded build. */
+  private def fusedSigTable(shB: DataFrame): DataFrame = {
+    val hs = minhashAggs(8, 4)
+    shB.withColumn("h", md5(col("shingle").cast(BinaryType)))
+      .groupBy(col("doc_id"))
+      .agg(hs.head, hs.tail ++ Seq(
+        sort_array(collect_list(col("shingle"))).as("ss"),
+        count(lit(1)).as("n")): _*)
+      .localCheckpoint()
+  }
+
+  /** Band rows derived map-side (explode) from a fusedSigTable. */
+  private def sigBandRows(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), explode(bandArray(2, 4)).as("bd"))
+      .select(col("doc_id"), col("bd.band_idx").as("band_idx"),
+        col("bd.band_val").as("band_val"))
+
   /** Sorted-shingle-array verify sets (doc_id, ss, n) — the exact-
     * Jaccard side of the q110 contract, optionally restricted to a
     * candidate id set BEFORE the expensive per-doc array build. */
@@ -2876,11 +2910,19 @@ object DocQueries {
       // goldens), a pure parquet read when Bench's ingest pre-built it
       val (cBands, cSets) = Tables.minhashIndex(s, dir)
       val batch = docs(s, dir).filter(q110IsBatch)
-      val shB = shingleTable(batch, Nil).localCheckpoint()
-      // candidates-only verify on BOTH sides (batch sets built from the
-      // batch shingle table, corpus sets = index rows semi-pruned to
-      // candidate ids) — the shared q110-family kernel
-      val near = indexDedupStep(shB, bandRows(shB, Nil), None, cBands, cSets)
+      // FUSED batch signature (round 21, guide §2.4): one aggregation
+      // yields bands AND verify sets — was a localCheckpointed shingle
+      // table + two separate aggregations (bandRows, then a
+      // candidates-restricted verifySets). The batch side is bounded
+      // by the ingest contract, so its full O(batch) set build is the
+      // ingestAndAppend shape; the CORPUS side's candidate semi-join
+      // (the restriction that matters at 100 TB) is inside
+      // indexDedupStep, unchanged.
+      val shB = shingleTable(batch, Nil)
+      val sig = fusedSigTable(shB)
+      val near = indexDedupStep(shB, sigBandRows(sig),
+        Some(sig.select(col("doc_id"), col("ss"), col("n"))),
+        cBands, cSets)
       dedupFunnel(batch, near).orderBy($"source")
     },
     Some(q110OracleSql))
@@ -2988,17 +3030,8 @@ object DocQueries {
     // contract unchanged: same minhashAggs(8,4)/bandArray(2,4) over
     // the same rows; delta-segment schemas and locations unchanged.
     val shB = prebuiltSh.getOrElse(shingleTable(batch, Nil))
-    val hs = minhashAggs(8, 4)
-    val sig = shB.withColumn("h", md5(col("shingle").cast(BinaryType)))
-      .groupBy(col("doc_id"))
-      .agg(hs.head, hs.tail ++ Seq(
-        sort_array(collect_list(col("shingle"))).as("ss"),
-        count(lit(1)).as("n")): _*)
-      .localCheckpoint()
-    val bBands = sig.select(col("doc_id"),
-        explode(bandArray(2, 4)).as("bd"))
-      .select(col("doc_id"), col("bd.band_idx").as("band_idx"),
-        col("bd.band_val").as("band_val"))
+    val sig = fusedSigTable(shB)
+    val bBands = sigBandRows(sig)
     val setsB = sig.select(col("doc_id"), col("ss"), col("n"))
     val nearPlan = indexDedupStep(shB, bBands, Some(setsB), idxBands, idxSets)
     // observe the dedup-join plan BEFORE the checkpoint executes it —
@@ -3033,9 +3066,13 @@ object DocQueries {
       // bands/sets become the delta segment
       val (dBandsLoc, dSetsLoc) = q110cDeltaLocs(s, dir)
       val near1 = ingestAndAppend(b1, iBands, iSets, dBandsLoc, dSetsLoc)
-      // ---- ingest batch 2 vs the UPDATED index (base ∪ delta)
-      val shB2 = shingleTable(b2, Nil).localCheckpoint()
-      val near2 = indexDedupStep(shB2, bandRows(shB2, Nil), None,
+      // ---- ingest batch 2 vs the UPDATED index (base ∪ delta) —
+      // fused batch-2 signature (round 21): one aggregation for bands
+      // + verify sets, the q110b rationale
+      val shB2 = shingleTable(b2, Nil)
+      val sig2 = fusedSigTable(shB2)
+      val near2 = indexDedupStep(shB2, sigBandRows(sig2),
+        Some(sig2.select(col("doc_id"), col("ss"), col("n"))),
         iBands.select("doc_id", "band_idx", "band_val")
           .union(s.read.parquet(dBandsLoc)
             .select("doc_id", "band_idx", "band_val")),
@@ -3174,15 +3211,22 @@ object DocQueries {
     // micro feeds three branches (shingles, kept anti-join, funnel):
     // pin it once so the file slice is read once
     val b = micro.localCheckpoint()
-    def priorDelta(loc: String, cols: Seq[String]): DataFrame =
-      s.read.parquet(loc).filter(col("batch") < id)
-        .select(cols.map(col): _*)
+    // EMPTY-TAIL ELISION (round 21, guide §2.4): when the listing
+    // proves no strictly-earlier segment exists (batch 0 of a fresh
+    // run), the base relation IS the index — skip the empty delta
+    // scan and the union. Same `batch < id` self-exclusion contract:
+    // a redelivered batch's own segment never qualifies either way.
+    def withPriorDelta(base: DataFrame, loc: String,
+        cols: Seq[String]): DataFrame =
+      if (!hasBatchIn(loc, Long.MinValue, id)) base
+      else base.union(s.read.parquet(loc).filter(col("batch") < id)
+        .select(cols.map(col): _*))
     val near = ingestAndAppend(b,
-      baseBands.select("doc_id", "band_idx", "band_val")
-        .union(priorDelta(deltaBandsDir,
-          Seq("doc_id", "band_idx", "band_val"))),
-      baseSets.select("doc_id", "ss", "n")
-        .union(priorDelta(deltaSetsDir, Seq("doc_id", "ss", "n"))),
+      withPriorDelta(
+        baseBands.select("doc_id", "band_idx", "band_val"),
+        deltaBandsDir, Seq("doc_id", "band_idx", "band_val")),
+      withPriorDelta(baseSets.select("doc_id", "ss", "n"),
+        deltaSetsDir, Seq("doc_id", "ss", "n")),
       s"$deltaBandsDir/batch=$id", s"$deltaSetsDir/batch=$id",
       graft.streaming.StreamingJobs.recordInnerPlan(
         s"q110d_stream_index_dedup batch=$id", _))
@@ -3195,19 +3239,17 @@ object DocQueries {
       .write.mode("overwrite").parquet(s"$sinkDir/batch=$id")
   }
 
-  /** Run the full streaming ingest-dedup replay: seed empty delta
-    * roots (so batch 0's `batch < 0` scan has a schema to read), then
-    * drain the two-file replay through foreachBatch with AvailableNow.
+  /** Run the full streaming ingest-dedup replay: drain the two-file
+    * replay through foreachBatch with AvailableNow. The `batch=-1`
+    * schema-seed writes are gone (round 21): batch 0's empty-tail
+    * read is elided by listing (hasBatchIn), so no seed segment —
+    * and no seed-write Spark job — is needed.
     * private[graft] for StreamIndexDedupSpec. */
   private[graft] def runStreamIndexDedup(s: SparkSession, dir: String,
       replayDir: String, deltaBandsDir: String, deltaSetsDir: String,
       sinkDir: String, ckpt: String,
       crashBeforeSink: Long => Unit = _ => ()): Unit = {
     val (iBands, iSets) = Tables.minhashIndexBase(s, dir)
-    iBands.select("doc_id", "band_idx", "band_val").limit(0)
-      .write.mode("overwrite").parquet(s"$deltaBandsDir/batch=-1")
-    iSets.select("doc_id", "ss", "n").limit(0)
-      .write.mode("overwrite").parquet(s"$deltaSetsDir/batch=-1")
     val q = graft.streaming.StreamingJobs.readDocsStream(s, replayDir)
       .writeStream
       .foreachBatch {
@@ -3310,9 +3352,12 @@ object DocQueries {
       iSets.select("doc_id", "ss", "n")
         .union(s.read.parquet(dSetsLoc).select("doc_id", "ss", "n"))
         .write.mode("overwrite").parquet(cSetsLoc)
-      // ---- ingest batch 2 vs the COMPACTED index only
-      val shB2 = shingleTable(b2, Nil).localCheckpoint()
-      val near2 = indexDedupStep(shB2, bandRows(shB2, Nil), None,
+      // ---- ingest batch 2 vs the COMPACTED index only — fused
+      // batch-2 signature (round 21), the q110b rationale
+      val shB2 = shingleTable(b2, Nil)
+      val sig2 = fusedSigTable(shB2)
+      val near2 = indexDedupStep(shB2, sigBandRows(sig2),
+        Some(sig2.select(col("doc_id"), col("ss"), col("n"))),
         s.read.parquet(cBandsLoc), s.read.parquet(cSetsLoc))
       batchFunnel(b1, near1, 1).union(batchFunnel(b2, near2, 2))
         .select($"batch", $"source", $"batch_docs", $"near_dups",
@@ -3432,6 +3477,31 @@ object DocQueries {
     dirs.map(committedIds(_, "fold=")).reduce(_ intersect _)
       .filter(_ < id).foldLeft(-1L)(math.max)
 
+  /** True iff `dir` holds any `batch=<n>` partition dir with
+    * lo < n < hi — the LISTING form of the delta-tail-emptiness
+    * question every per-batch read asks (round 21, guide §2.4: remove
+    * provably-empty scans outright). DIRECTORY existence — not the
+    * `_SUCCESS` commit marker — is deliberately the predicate: it is
+    * exactly the set a parquet partition-discovery read of the root
+    * would enumerate, so skipping the scan+union when this is false
+    * cannot change what any read returns. This is also what retires
+    * the `batch=-1` schema seed: the only reason the runners wrote an
+    * empty seed segment was so the batch-0 empty-tail read had a
+    * schema to infer — a read that is now elided instead of paid
+    * (2-3 seed-write jobs per streaming run, one empty scan per
+    * batch-0 relation). A spec-seeded `batch=-1` still behaves as
+    * before: it satisfies n < hi bounds with lo = MinValue and the
+    * parquet read then sees its 0 rows, while lsmStateAsOf's
+    * lo = f ≥ -1 excludes it exactly like its `batch > f` filter. */
+  private def hasBatchIn(dir: String, lo: Long, hi: Long): Boolean = {
+    val (fs, p) = lsmFs(dir)
+    fs.exists(p) && fs.listStatus(p).iterator.exists { st =>
+      st.isDirectory && st.getPath.getName.startsWith("batch=") &&
+        scala.util.Try(st.getPath.getName.drop("batch=".length).toLong)
+          .toOption.exists(n => n > lo && n < hi)
+    }
+  }
+
   /** Highest micro-batch id the stream's CHECKPOINT has committed —
     * lsmGc's `checkpointedId` input, read from the checkpoint's
     * commit log (`<ckpt>/commits/<batchId>`, one file per committed
@@ -3460,8 +3530,17 @@ object DocQueries {
     def tail: DataFrame = s.read.parquet(r.deltaDir)
       .filter(col("batch") > f && col("batch") < hi)
       .select(r.cols.map(col): _*)
-    if (f < 0L) r.base.select(r.cols.map(col): _*).union(tail)
-    else if (hi == f + 1L) s.read.parquet(s"${r.foldDir}/fold=$f")
+    // EMPTY-TAIL ELISION (round 21, guide §2.4): when the listing
+    // proves no delta segment falls in (f, hi) — batch 0, or any
+    // fresh post-fold batch — skip the tail scan AND the union
+    // outright instead of scanning an empty relation. The old
+    // hi == f + 1 special case is subsumed (no n fits in (f, f+1)).
+    val hasTail = hasBatchIn(r.deltaDir, f, hi)
+    if (f < 0L) {
+      val base = r.base.select(r.cols.map(col): _*)
+      if (hasTail) base.union(tail) else base
+    }
+    else if (!hasTail) s.read.parquet(s"${r.foldDir}/fold=$f")
     else s.read.parquet(s"${r.foldDir}/fold=$f").union(tail)
   }
 
@@ -3566,8 +3645,10 @@ object DocQueries {
     * a committed-but-uncheckpointed fold sits inside the redelivery
     * window (its writer batch may re-run and must re-read the live
     * fold + the tail past it), so GC never touches it or its delta
-    * inputs. The `batch=-1` schema seed also stays (the empty-tail
-    * read of the delta root needs a schema). Returns the live fold
+    * inputs. A `batch=-1` schema seed (no longer written by the
+    * runners — empty tails are elided by listing — but legal on
+    * disk, e.g. spec-seeded) also stays: deadSegs bounds at n >= 0.
+    * Returns the live fold
     * point (-1 = nothing GC-able yet). Idempotent and crash-safe:
     * every delete targets a segment no current or future read can
     * reference, so a GC torn mid-way just leaves some dead segments
@@ -3673,10 +3754,10 @@ object DocQueries {
       .write.mode("overwrite").parquet(s"$sinkDir/batch=$id")
   }
 
-  /** Run the streaming compaction replay: seed empty delta roots (the
-    * q110d schema-seed contract), drain the two-file replay through
-    * streamCompactBatch with AvailableNow under the compact-every-k
-    * cadence. private[graft] for StreamIndexDedupSpec's
+  /** Run the streaming compaction replay: drain the two-file replay
+    * through streamCompactBatch with AvailableNow under the
+    * compact-every-k cadence (no schema seeds — the empty tail is
+    * elided by listing). private[graft] for StreamIndexDedupSpec's
     * restart-across-the-fold and torn-write laws. */
   private[graft] def runStreamCompactDedup(s: SparkSession, dir: String,
       replayDir: String, deltaBandsDir: String, deltaSetsDir: String,
@@ -3685,10 +3766,6 @@ object DocQueries {
       crashBeforeSink: Long => Unit = _ => (),
       crashMidFold: Long => Unit = _ => ()): Unit = {
     val (iBands, iSets) = Tables.minhashIndexBase(s, dir)
-    iBands.select("doc_id", "band_idx", "band_val").limit(0)
-      .write.mode("overwrite").parquet(s"$deltaBandsDir/batch=-1")
-    iSets.select("doc_id", "ss", "n").limit(0)
-      .write.mode("overwrite").parquet(s"$deltaSetsDir/batch=-1")
     val q = graft.streaming.StreamingJobs.readDocsStream(s, replayDir)
       .writeStream
       .foreachBatch {
@@ -4664,9 +4741,13 @@ object DocQueries {
       id: Long, grams: DataFrame, deltaDir: String,
       sinkDir: String, crashAfterSink: Long => Unit = _ => ()): Unit = {
     val bg = sourceGrams(micro).localCheckpoint()
-    val ref = grams.union(
-      s.read.parquet(deltaDir).filter(col("batch") < id)
-        .select(col("gram")))
+    // empty-tail elision, the streamDedupBatch form: batch 0 of a
+    // fresh run probes the base gram index alone
+    val ref =
+      if (!hasBatchIn(deltaDir, Long.MinValue, id)) grams
+      else grams.union(
+        s.read.parquet(deltaDir).filter(col("batch") < id)
+          .select(col("gram")))
     val hitsPlan = noveltyHits(bg, ref)
     graft.streaming.StreamingJobs.recordInnerPlan(
       s"q117d_stream_gram_append batch=$id", hitsPlan)
@@ -4678,16 +4759,14 @@ object DocQueries {
       .write.mode("overwrite").parquet(s"$deltaDir/batch=$id")
   }
 
-  /** Run the streaming cumulative-novelty replay: seed an empty delta
-    * root (the q110d schema-seed contract), drain the two-file replay
-    * with AvailableNow. private[graft] for GramAppendSpec's resume
+  /** Run the streaming cumulative-novelty replay: drain the two-file
+    * replay with AvailableNow (no schema seed — the empty tail is
+    * elided by listing). private[graft] for GramAppendSpec's resume
     * law. */
   private[graft] def runStreamGramAppend(s: SparkSession, dir: String,
       replayDir: String, deltaDir: String, sinkDir: String,
       ckpt: String, crashAfterSink: Long => Unit = _ => ()): Unit = {
     val grams = Tables.gramIndex(s, dir)
-    grams.limit(0).select(col("gram"))
-      .write.mode("overwrite").parquet(s"$deltaDir/batch=-1")
     val q = graft.streaming.StreamingJobs.readDocsStream(s, replayDir)
       .writeStream
       .foreachBatch {
@@ -4783,16 +4862,14 @@ object DocQueries {
     if ((id + 1) % k == 0) lsmFoldAt(s, rels, f, id)
   }
 
-  /** Run the streaming gram-compaction replay (seed, drain,
-    * AvailableNow — the runStreamGramAppend contract plus the fold
-    * dir). private[graft] for GramAppendSpec. */
+  /** Run the streaming gram-compaction replay (drain, AvailableNow —
+    * the runStreamGramAppend contract plus the fold dir; no schema
+    * seed). private[graft] for GramAppendSpec. */
   private[graft] def runStreamGramCompact(s: SparkSession, dir: String,
       replayDir: String, deltaDir: String, foldDir: String,
       sinkDir: String, ckpt: String, k: Int = 1,
       crashAfterSink: Long => Unit = _ => ()): Unit = {
     val grams = Tables.gramIndex(s, dir)
-    grams.limit(0).select(col("gram"))
-      .write.mode("overwrite").parquet(s"$deltaDir/batch=-1")
     val q = graft.streaming.StreamingJobs.readDocsStream(s, replayDir)
       .writeStream
       .foreachBatch {
@@ -4983,9 +5060,9 @@ object DocQueries {
         .write.mode("overwrite").parquet(s"$funnelSinkDir/batch=$id")))
   }
 
-  /** Run the capstone replay: seed empty delta roots for all three
-    * segment families (the q110d schema-seed contract), drain the
-    * two-file replay through streamCapstoneBatch with AvailableNow.
+  /** Run the capstone replay: drain the two-file replay through
+    * streamCapstoneBatch with AvailableNow (no schema seeds — all
+    * three families' empty tails are elided by listing).
     * private[graft] for StreamCapstoneSpec. */
   private[graft] def runStreamCapstone(s: SparkSession, dir: String,
       replayDir: String, deltaBandsDir: String, deltaSetsDir: String,
@@ -4998,12 +5075,6 @@ object DocQueries {
       gc: Boolean = true): Unit = {
     val (iBands, iSets) = Tables.minhashIndexBase(s, dir)
     val grams = Tables.gramIndex(s, dir)
-    iBands.select("doc_id", "band_idx", "band_val").limit(0)
-      .write.mode("overwrite").parquet(s"$deltaBandsDir/batch=-1")
-    iSets.select("doc_id", "ss", "n").limit(0)
-      .write.mode("overwrite").parquet(s"$deltaSetsDir/batch=-1")
-    grams.limit(0).select(col("gram"))
-      .write.mode("overwrite").parquet(s"$gramDeltaDir/batch=-1")
     val q = graft.streaming.StreamingJobs.readDocsStream(s, replayDir)
       .writeStream
       .foreachBatch {

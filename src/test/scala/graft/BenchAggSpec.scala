@@ -479,4 +479,39 @@ class BenchAggSpec extends AnyFunSuite {
     assert(!line.contains("probe_secs"),
       "probe leaked into the compact stdout line")
   }
+
+  test("per-query jobs/gap_secs ride the full JSON only; unmeasured is -1, never absent") {
+    // round-20 verdict item 7: the overhead-bound families' cost is
+    // Spark JOBS, not data — the artifact must carry ProfileQuery's
+    // job-count/inter-job-gap numbers per query so a job-count
+    // optimization (e.g. the round-21 seed/empty-tail elision) is
+    // checkable from bench_out.json alone. FULL JSON only: the
+    // compact stdout line's 1950-char ladder budget must not grow.
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val names = Seq("q01_a", "q02_b")
+    val times = Map("q01_a" -> Vector(1.5), "q02_b" -> Vector(0.25))
+    val json = Bench.fullJson(names, times, Map.empty, Map.empty,
+      Map.empty, Seq(("lineitem_bkt", true, 2.0, None)), 2.0,
+      Seq(0.62), Seq(0.55), 1, 0, shed = false, "/root/testdata/sf0.1",
+      jobCounts = Map("q01_a" -> 79L),
+      gapSecs = Map("q01_a" -> 2.437))
+    val p = JsonMethods.parse(json)
+    assert((p \ "jobs" \ "q01_a") === JInt(79))
+    assert((p \ "gap_secs" \ "q01_a") === JDouble(2.437))
+    // a query with no measurement renders the explicit -1 sentinel
+    assert((p \ "jobs" \ "q02_b") === JInt(-1))
+    assert((p \ "gap_secs" \ "q02_b") === JDouble(-1.0))
+    // omitting the maps entirely (old call shape) still parses, with
+    // sentinels for every query — the artifact schema is stable
+    val pn = JsonMethods.parse(Bench.fullJson(names, times, Map.empty,
+      Map.empty, Map.empty, Nil, 0.0, Nil, Nil, 0, 0, shed = false, "sf"))
+    assert((pn \ "jobs" \ "q01_a") === JInt(-1))
+    // and the compact line carries neither key
+    val line2 = Bench.compactLine(
+      Seq(("q01_pricing_summary", 1.0, 1.0, 1.0, 3)), 1.0, Nil,
+      ingestOk = true, "/root/testdata/sf0.1")
+    assert(!line2.contains("\"jobs\"") && !line2.contains("gap_secs"),
+      "job telemetry leaked into the compact stdout line")
+  }
 }

@@ -332,8 +332,11 @@ class StreamCapstoneSpec extends AnyFunSuite {
     def assertGcd(dirs: Seq[String]): Unit = {
       val Seq(db, ds, cb, cs, gd, gf) = dirs
       // the checkpoint committed batches 0 and 1 → live fold point = 1:
-      // fold=0 is superseded and deltas 0..1 folded — dead; fold=1 and
-      // the batch=-1 schema seeds survive committed
+      // fold=0 is superseded and deltas 0..1 folded — dead; fold=1
+      // survives committed. (No batch=-1 schema seed exists any more —
+      // round 21 elides the empty-tail read by listing instead of
+      // seeding a schema; a spec-seeded one would still survive GC via
+      // deadSegs' n >= 0 bound, pinned in StreamIndexDedupSpec.)
       for (d <- Seq(cb, cs, gf)) {
         assert(!new java.io.File(s"$d/fold=0").exists(),
           s"GC left the superseded fold=0 alive under $d")
@@ -344,8 +347,6 @@ class StreamCapstoneSpec extends AnyFunSuite {
         assert(!new java.io.File(s"$d/batch=0").exists() &&
           !new java.io.File(s"$d/batch=1").exists(),
           s"GC left a folded delta alive under $d")
-        assert(new java.io.File(s"$d/batch=-1").exists(),
-          s"GC deleted the schema seed under $d")
       }
     }
     assertGcd(dirsGc)

@@ -46,6 +46,59 @@ class StreamIndexDedupSpec extends AnyFunSuite {
     assert(streamed.map(_.getAs[Long]("batch")).toSet === Set(1L, 2L))
   }
 
+  test("empty-tail elision: no schema seed, batch 0 reads the base alone, and a legacy seed changes nothing") {
+    // round 21 (guide §2.4): the runners no longer write `batch=-1`
+    // schema seeds — batch 0's provably-empty `batch < 0` tail is
+    // ELIDED by directory listing instead of scanned. Pins: (a) no
+    // seed segment exists after a drive; (b) the recorded batch-0
+    // dedup plan scans NO delta location while batch-1's still scans
+    // batch 0's segment; (c) a legacy/spec-seeded tree produces the
+    // byte-identical funnel — the listing gate preserves exactly what
+    // the parquet read returned.
+    val replay = StreamingJobs.docsReplayDir(spark, dir)
+    def tmp(t: String): String = java.nio.file.Files
+      .createTempDirectory(s"graft-side-$t").toString
+    val (db, ds, sink, ckpt) =
+      (tmp("dbands"), tmp("dsets"), tmp("sink"), tmp("ckpt"))
+    DocQueries.runStreamIndexDedup(spark, dir, replay, db, ds, sink, ckpt)
+    assert(!new java.io.File(s"$db/batch=-1").exists() &&
+      !new java.io.File(s"$ds/batch=-1").exists(),
+      "runner still writes batch=-1 schema seeds")
+    val plan0 = StreamingJobs
+      .innerPlanOf("q110d_stream_index_dedup batch=0")
+      .getOrElse(fail("batch-0 inner plan was not recorded"))
+    assert(!plan0.contains(db) && !plan0.contains(ds),
+      s"batch-0 dedup still scans an (empty) delta location:\n$plan0")
+    assert(plan0.contains("docs_minhash_base_"),
+      s"batch-0 dedup does not scan the base index:\n$plan0")
+    val plan1 = StreamingJobs
+      .innerPlanOf("q110d_stream_index_dedup batch=1")
+      .getOrElse(fail("batch-1 inner plan was not recorded"))
+    assert(plan1.contains(db) && plan1.contains(ds),
+      s"batch-1 dedup lost its real delta-tail scan:\n$plan1")
+    // (c) the legacy seeded layout is still read identically: seed
+    // batch=-1 (as pre-round-21 runs and older deployments have on
+    // disk), re-drive batch by batch, compare funnels byte for byte
+    val (iBands, iSets) = Tables.minhashIndexBase(spark, dir)
+    val (db2, ds2, sink2) = (tmp("dbands2"), tmp("dsets2"), tmp("sink2"))
+    iBands.select("doc_id", "band_idx", "band_val").limit(0)
+      .write.mode("overwrite").parquet(s"$db2/batch=-1")
+    iSets.select("doc_id", "ss", "n").limit(0)
+      .write.mode("overwrite").parquet(s"$ds2/batch=-1")
+    val all = spark.read.parquet(replay)
+    Seq(0L, 1L).foreach { id =>
+      DocQueries.streamDedupBatch(spark,
+        all.filter(DocQueries.q110Mod === id), id, iBands, iSets,
+        db2, ds2, sink2)
+    }
+    assert(
+      DocQueries.streamDedupTable(spark, sink2)
+        .collect().map(_.toSeq).toSeq ===
+      DocQueries.streamDedupTable(spark, sink)
+        .collect().map(_.toSeq).toSeq,
+      "a seeded tree and an unseeded tree disagree")
+  }
+
   test("at-least-once redelivery leaves the funnel and the index unchanged") {
     val replay = StreamingJobs.docsReplayDir(spark, dir)
     def tmp(t: String): String = java.nio.file.Files

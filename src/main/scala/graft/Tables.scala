@@ -468,8 +468,11 @@ object Policy {
   def dec(c: Column): Column = c.cast(Dec4)
   def dbl(c: Column): Column = c.cast(DoubleType)
 
-  /** Exact decimal sum of a double column, emitted as double. */
-  def sumDbl(c: Column): Column = dbl(sum(dec(c)))
+  /** Exact decimal sum of a double column, emitted as double — the
+    * round-2..20 form, kept as the independently-derived twin the
+    * MoneyUnitsSpec differentials pin the integer-unit forms against
+    * (not used on hot paths since round 21). */
+  def sumDblDec(c: Column): Column = dbl(sum(dec(c)))
 
   /** Sum of a PRODUCT of decimals (scale 8), rescaled to Dec4 BEFORE the
     * double cast. A scale-8 sum beyond ~9e15 no longer fits the 53-bit
@@ -479,13 +482,78 @@ object Policy {
     * 4 the scaled integer stays exact up to ~9e11, 100× above the
     * fixture's largest totals. The rescale itself is decimal-exact
     * HALF_UP (away from zero) in both engines.
-    * Oracle twin: CAST(CAST(SUM(x) AS DECIMAL(18,4)) AS DOUBLE). */
-  def sumMoney(c: Column): Column = dbl(sum(c).cast(Dec4))
+    * Oracle twin: CAST(CAST(SUM(x) AS DECIMAL(18,4)) AS DOUBLE).
+    * Decimal twin of sumMoney, like sumDblDec (spec-pinned). */
+  def sumMoneyDec(c: Column): Column = dbl(sum(c).cast(Dec4))
 
-  /** Exact decimal-sum average emitted as double (sum→double, ÷ count). */
-  def avgDbl(c: Column): Column = dbl(sum(dec(c))) / count(c)
+  /** Decimal twin of avgDbl (spec-pinned, off the hot paths). */
+  def avgDblDec(c: Column): Column = dbl(sum(dec(c))) / count(c)
 
   /** TPC-H style revenue term: extprice * (1 - discount), exact decimal. */
-  def revenue(price: Column, discount: Column): Column =
+  def revenueDec(price: Column, discount: Column): Column =
     dec(price) * (lit(1) - dec(discount))
+
+  // ---- MONEY AS EXACT INTEGER UNITS (round 21, guide §1.2 per-task
+  // work). The decimal scheme above is exact but expensive per ROW: a
+  // DECIMAL(18,4) × DECIMAL(18,4) product runs through
+  // java.math.BigDecimal (result precision 38 is past the compact-long
+  // ceiling) and each double→decimal cast allocates — measured 1.27 s
+  // vs 0.48 s on q09's 600k-row aggregate job (R21Probe, 5-rep mins),
+  // and that allocation traffic is what a bandwidth-contended 32-thread
+  // box amplifies (the PERF_r20 q09/q101/q102/q103 anti-scaling
+  // cluster). Fixture money columns are 2-DECIMAL by generator
+  // contract — MoneyUnitsSpec verifies EVERY money column at EVERY
+  // shipped SF — so value·10⁴ lies within ~1e-6 of an integer:
+  // floor(x·10⁴ + 0.5) IS dec(x)'s unscaled long, in pure codegen
+  // arithmetic. (Exact .00005 ties cannot occur for 2-decimal sources,
+  // so HALF_UP-vs-floor never diverges; negatives hit the same nearest
+  // integer.) Sums run over DECIMAL(38,0) integers — exact and
+  // partition-order-free exactly like the decimal sums they replace,
+  // compact-long-backed until 10¹⁸ — and ONE per-GROUP decimal
+  // division ((30,0)/(9,0) → (38,8), exact; R21Probe pins the typing)
+  // rescales before the SAME Dec4 HALF_UP cast and double conversion
+  // the old forms ended in. Equality with the decimal forms is pinned
+  // by MoneyUnitsSpec (per-value u4 ≡ dec unscaled on the real
+  // fixtures; boundary-sum differentials for the rescale), and the
+  // oracle/golden gates verify every declared query end to end.
+  // Domain: |Σ| < 10³⁰ units — far above the old scheme's documented
+  // ~9e11-money headroom.
+
+  /** Integer-unit sum type: exact, compact while < 1e18. */
+  val DecU: DecimalType = DecimalType(38, 0)
+
+  /** Money value → exact 1e-4-unit long (the Dec4 unscaled value). */
+  def u4(c: Column): Column =
+    floor(c * lit(10000.0) + lit(0.5)).cast(LongType)
+
+  /** Exact Σ of integer 1e-4 (money) or 1e-8 (money²) units. */
+  def sumU(c: Column): Column = sum(c.cast(DecU))
+
+  /** 1e-4-unit exact sum → the double the decimal sumDbl emits:
+    * (34,0)/(5,0) divides exactly at scale 6 ≥ 4, and decimal→double
+    * is value-based, so the scale-6 vs scale-4 repr cannot differ. */
+  def dblU4(su: Column): Column =
+    dbl(su.cast(DecimalType(34, 0)) / lit(10000L).cast(DecimalType(5, 0)))
+
+  /** 1e-8-unit exact sum → sumMoney's contract: exact rescale to
+    * scale 8 ((30,0)/(9,0) → (38,8)), the same Dec4 HALF_UP cast, one
+    * double conversion. */
+  def dblU8(su: Column): Column =
+    dbl((su.cast(DecimalType(30, 0)) /
+      lit(100000000L).cast(DecimalType(9, 0))).cast(Dec4))
+
+  /** Exact integer-unit sumDbl: same double as sumDblDec. */
+  def sumDbl(c: Column): Column = dblU4(sumU(u4(c)))
+
+  /** Exact integer-unit sumMoney: takes a 1e-8-unit (money²) LONG
+    * column — the new `revenue`'s output, or u4(a)·u4(b) — where the
+    * decimal twin took the scale-8 decimal product. */
+  def sumMoney(c: Column): Column = dblU8(sumU(c))
+
+  /** Exact integer-unit avgDbl: same double ÷ the same exact count. */
+  def avgDbl(c: Column): Column = dblU4(sumU(u4(c))) / count(c)
+
+  /** revenue in exact 1e-8 units: u4(price) · (10⁴ − u4(discount)). */
+  def revenue(price: Column, discount: Column): Column =
+    u4(price) * (lit(10000L) - u4(discount))
 }

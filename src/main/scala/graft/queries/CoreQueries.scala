@@ -181,7 +181,7 @@ object CoreQueries {
         .filter($"l_shipdate" >= lit("1995-01-01").cast(TimestampNTZType) &&
           $"l_shipdate" < lit("1996-01-01").cast(TimestampNTZType) &&
           $"l_discount".between(0.05, 0.07) && $"l_quantity" < 24)
-        .agg(sumMoney(dec($"l_extendedprice") * dec($"l_discount")).as("revenue"))
+        .agg(sumMoney(u4($"l_extendedprice") * u4($"l_discount")).as("revenue"))
     },
     Some("""SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
                             CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
@@ -218,7 +218,8 @@ object CoreQueries {
         .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
         .groupBy($"c_mktsegment")
         .agg(
-          dbl(sum(when($"o_orderstatus" === "F", dec($"o_totalprice")))).as("f_total"),
+          dblU4(sumU(when($"o_orderstatus" === "F", u4($"o_totalprice"))))
+            .as("f_total"),
           sumDbl($"o_totalprice").as("total"))
         .withColumn("f_ratio", $"f_total" / $"total")
         .orderBy($"c_mktsegment")
@@ -239,7 +240,7 @@ object CoreQueries {
     (s, dir) => {
       import s.implicits._
       val margin = revenue($"l_extendedprice", $"l_discount") -
-        dec($"p_retailprice") * dec($"l_quantity")
+        u4($"p_retailprice") * u4($"l_quantity")
       // part scales with SF (200k×SF rows) — NOT catalog-sized, so no
       // explicit broadcast hint: AQE converts to broadcast when the
       // runtime size is under threshold and keeps a shuffled join at
@@ -340,17 +341,17 @@ object CoreQueries {
       import s.implicits._
       val daily = t(s, dir, "lineitem")
         .groupBy($"l_shipdate".cast(DateType).as("ship_date"))
-        .agg(sum(revenue($"l_extendedprice", $"l_discount")).as("rev"))
-      // Running total over the EXACT decimal, only then cast to double:
-      // decimal addition is associative, so the result is partition-stable.
-      // The unpartitioned window runs over PER-DAY aggregates — cardinality
-      // = #distinct ship dates (~2.5k, time-bounded), not |lineitem|, so
-      // the single-partition sort is fine at any fact-table scale.
-      // Dec4 rescale before the double cast: Policy.sumMoney rationale.
-      daily.select($"ship_date", dbl($"rev".cast(Dec4)).as("daily_revenue"),
-          dbl(sum($"rev").over(Window.orderBy($"ship_date")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-            .cast(Dec4))
+        .agg(sumU(revenue($"l_extendedprice", $"l_discount")).as("rev"))
+      // Running total over the EXACT integer-unit sum, only then cast
+      // to double: integer/decimal addition is associative, so the
+      // result is partition-stable. The unpartitioned window runs over
+      // PER-DAY aggregates — cardinality = #distinct ship dates
+      // (~2.5k, time-bounded), not |lineitem|, so the single-partition
+      // sort is fine at any fact-table scale. dblU8 = the Dec4 rescale
+      // before the double cast (Policy.sumMoney rationale).
+      daily.select($"ship_date", dblU8($"rev").as("daily_revenue"),
+          dblU8(sum($"rev").over(Window.orderBy($"ship_date")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
             .as("running_revenue"))
         .orderBy($"ship_date")
     },
@@ -369,10 +370,10 @@ object CoreQueries {
       import s.implicits._
       val daily = t(s, dir, "lineitem")
         .groupBy($"l_shipdate".cast(DateType).as("ship_date"))
-        .agg(sum(revenue($"l_extendedprice", $"l_discount")).as("rev"))
+        .agg(sumU(revenue($"l_extendedprice", $"l_discount")).as("rev"))
       val w7 = Window.orderBy($"ship_date").rowsBetween(-6, Window.currentRow)
       daily.select($"ship_date",
-          (dbl(sum($"rev").over(w7).cast(Dec4)) / count(lit(1)).over(w7))
+          (dblU8(sum($"rev").over(w7)) / count(lit(1)).over(w7))
             .as("avg_7d"))
         .orderBy($"ship_date")
     },
@@ -493,12 +494,12 @@ object CoreQueries {
         .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
         .join(broadcast(t(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
         .groupBy($"r_name", $"n_name")
-        .agg(sum(revenue($"l_extendedprice", $"l_discount")).as("rev"))
+        .agg(sumU(revenue($"l_extendedprice", $"l_discount")).as("rev"))
       fine
         .rollup($"r_name", $"n_name")
         .agg(grouping($"r_name").cast(LongType).as("g_region"),
           grouping($"n_name").cast(LongType).as("g_nation"),
-          dbl(sum($"rev").cast(Dec4)).as("revenue"))
+          dblU8(sum($"rev")).as("revenue"))
         .select(coalesce($"r_name", lit("(all)")).as("region_name"),
           coalesce($"n_name", lit("(all)")).as("nation_name"),
           $"g_region", $"g_nation", $"revenue")
@@ -869,7 +870,8 @@ object CoreQueries {
         .groupBy($"o_orderpriority")
         .pivot("o_orderstatus", Seq("F", "O", "P"))
         .agg(count(lit(1)).as("n"),
-          sumMoney(dec($"o_totalprice")).as("total"))
+          // ×10⁴ lifts the 1e-4-unit value to sumMoney's 1e-8 units
+          sumMoney(u4($"o_totalprice") * lit(10000L)).as("total"))
         .select($"o_orderpriority",
           coalesce($"F_n", lit(0L)).as("n_f"), $"F_total".as("total_f"),
           coalesce($"O_n", lit(0L)).as("n_o"), $"O_total".as("total_o"),

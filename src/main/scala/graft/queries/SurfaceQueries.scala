@@ -546,13 +546,36 @@ object SurfaceQueries {
         .coalesce(1).localCheckpoint()
         .createOrReplaceTempView("suppkeys_q85")
       Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem_q85")
+      // TWO LEVELS PER ITERATION (round 21, guide §2.4 at job
+      // granularity): UnionLoop's cost here is one JOB per recursion
+      // step (~0.08 s each, scheduler-bound locally), so halving the
+      // step count halves the query's fixed overhead. Each step joins
+      // only the EVEN-depth rows of the previous step's output
+      // (t.depth % 2 = 0) and emits BOTH their children (depth+1) and
+      // grandchildren (depth+2); odd-depth rows are emitted but never
+      // extended — their children are exactly the grandchildren the
+      // even parent already produced. Every (skey, depth) row is
+      // produced exactly once (d odd ⇒ by its even parent at d−1;
+      // d even ≥ 2 ⇒ by its even grandparent at d−2 — the parities
+      // are disjoint), so the tree RELATION is identical to the
+      // one-level form and the oracle keeps the canonical recursion.
+      // The recursive reference still appears once (kids); the
+      // grandchild branch re-joins the supplier keys, not tree.
       s.sql("""WITH RECURSIVE tree(skey, depth) AS (
           SELECT s_suppkey, CAST(0 AS BIGINT) FROM suppkeys_q85
           WHERE s_suppkey = 0
           UNION ALL
-          SELECT s.s_suppkey, t.depth + 1
-          FROM suppkeys_q85 s JOIN tree t ON s.s_suppkey DIV 2 = t.skey
-          WHERE s.s_suppkey > 0),
+          SELECT skey, depth FROM (
+            WITH kids AS (
+              SELECT s.s_suppkey AS k, t.depth + 1 AS d
+              FROM suppkeys_q85 s JOIN tree t
+                ON s.s_suppkey DIV 2 = t.skey AND t.depth % 2 = 0
+              WHERE s.s_suppkey > 0)
+            SELECT k AS skey, d AS depth FROM kids
+            UNION ALL
+            SELECT s2.s_suppkey AS skey, kids.d + 1 AS depth
+            FROM kids JOIN suppkeys_q85 s2
+              ON s2.s_suppkey DIV 2 = kids.k) step),
         rev AS (
           SELECT l_suppkey, SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
             (1 - CAST(l_discount AS DECIMAL(18,4)))) AS r

@@ -24,9 +24,14 @@ class PolicySpec extends AnyFunSuite {
   test("sumMoney rescales before the double cast") {
     import spark.implicits._
     val df = Seq((100.0, 0.25), (200.0, 0.5)).toDF("p", "d")
-    val got = df.agg(sumMoney(dec($"p") * dec($"d")).as("s"))
+    // round 21: sumMoney takes the 1e-8-unit integer product
+    val got = df.agg(sumMoney(u4($"p") * u4($"d")).as("s"))
       .collect().head.getDouble(0)
     assert(got === 125.0)
+    // and agrees with its decimal twin on the same frame
+    val dec8 = df.agg(sumMoneyDec(dec($"p") * dec($"d")).as("s"))
+      .collect().head.getDouble(0)
+    assert(got === dec8)
   }
 
   test("wavg_dec quantizes like CAST(double AS DECIMAL(18,4)) at a .00005 tie") {

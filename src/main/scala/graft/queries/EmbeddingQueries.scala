@@ -981,9 +981,18 @@ object EmbeddingQueries {
       val r = bandBits(Tables.rowCount(s, dir, "embeddings"))
       val bands = lshBands(corpus.select($"vec_id", $"embedding"), r)
       // bucket self-join: candidates are same-(table, sig) pairs; the
-      // distinct dedups pairs found by several tables BEFORE scoring
+      // distinct dedups pairs found by several tables BEFORE scoring.
+      // SHUFFLE-hinted since round 21 (guide §2.4/§3): the default plan
+      // broadcast one side, so the 4·r-dotq signature subtree ran TWICE
+      // (stream + broadcast build — and a corpus-sized bands broadcast
+      // is impossible at 100 TB anyway). Hinting both sides into the
+      // same hash-partitioning makes them canonically identical, so the
+      // second side becomes a ReusedExchange: signatures are computed
+      // ONCE and only the 24-byte (table_idx, sig, vec_id) rows shuffle.
       val cand = bands.select($"table_idx", $"sig", $"vec_id".as("id1"))
-        .join(bands.select($"table_idx", $"sig", $"vec_id".as("id2")),
+        .hint("shuffle_hash")
+        .join(bands.select($"table_idx", $"sig", $"vec_id".as("id2"))
+          .hint("shuffle_hash"),
           Seq("table_idx", "sig"))
         .filter($"id1" < $"id2")
         .select($"id1", $"id2").distinct()
@@ -1113,15 +1122,38 @@ object EmbeddingQueries {
       "AS k FROM embeddings)"
 
   /** Nearest-centroid assignment: (vec_id, cid, d2, embedding).
-    * `cents` is (cid long, carr float[64]) and is always broadcast. */
+    * `cents` is (cid long, carr float[64]) and is always broadcast.
+    *
+    * MAP-ONLY since round 21 (guide §2.4): the old shape crossJoined
+    * the broadcast centroid table into |e|·k rows — the 64-float
+    * embedding column COPIED k times per vector — and argmin'd back
+    * through a groupBy(vec_id) exchange. The centroids now fold as ONE
+    * broadcast array row and each vector computes its argmin in place
+    * with a higher-order `aggregate`: no row blow-up, no exchange —
+    * assignment becomes a pure projection of `e`, so each Lloyd round
+    * stops shuffling a corpus-sized relation. Tie-break identical:
+    * least(struct(d2, cid)) is the same lexicographic (d2, cid) min as
+    * min(struct(d2, cid)) and is visit-order-free (R21Probe: diff rows
+    * = 0, and the fold measured ~2× faster at 32k vectors despite the
+    * interpreted HOF lambda — the removed n·k materialization and
+    * exchange dominate). Scale note: the array row needs k·268 B in
+    * one cell (k ≤ ~7M under the 2 GB cell cap) — the same
+    * broadcastable-k regime the old table form capped at (~8 GB / 30M
+    * rows), and far above any kmK(n) a broadcast-kmeans deployment
+    * would run with a single codebook. */
   private def kmAssign(e: DataFrame, cents: DataFrame)(
       implicit s: SparkSession): DataFrame = {
     import s.implicits._
-    e.crossJoin(broadcast(cents))
-      .withColumn("d2", expr("l2q(embedding, carr)"))
-      .groupBy($"vec_id")
-      .agg(min(struct($"d2", $"cid")).as("m"),
-        first($"embedding").as("embedding"))
+    val centArr = cents
+      .agg(sort_array(collect_list(struct($"cid", $"carr"))).as("cs"))
+    e.crossJoin(broadcast(centArr))
+      .select($"vec_id", expr(
+        "aggregate(cs, " +
+          "struct(CAST(9223372036854775807 AS BIGINT) AS d2, " +
+          "CAST(-1 AS BIGINT) AS cid), " +
+          "(acc, c) -> least(acc, " +
+          "struct(l2q(embedding, c.carr) AS d2, c.cid AS cid)))").as("m"),
+        $"embedding")
       .select($"vec_id", $"m.cid".as("cid"), $"m.d2".as("d2"), $"embedding")
   }
 

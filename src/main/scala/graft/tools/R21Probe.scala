@@ -139,6 +139,71 @@ object R21Probe {
       return
     }
 
+    // ---- kmAssign shape probe (round-20 verdict item 1, the
+    // q103/q105 kernels): the shipped assignment crossJoins the
+    // broadcast (cid, carr) table into |e|·k rows (the embedding
+    // column copied k times) and argmins through a groupBy(vec_id)
+    // exchange; the candidate shape folds the centroid ARRAY per row
+    // with a higher-order aggregate — no row blow-up, no exchange,
+    // but interpreted lambda evaluation. Equality + timing decide.
+    if (args.length > 1 && args(1) == "km") {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.load(spark, sfDir, "embeddings")
+        .select($"vec_id", $"embedding")
+      val wide = (0 until 16).map(i =>
+        emb.select(($"vec_id" + lit(i * 1000000L)).as("vec_id"),
+          $"embedding")).reduce(_ unionAll _).localCheckpoint()
+      val k = 32
+      val cents = emb.orderBy($"vec_id").limit(k)
+        .select((row_number().over(Window.orderBy($"vec_id")) - 1)
+          .cast(LongType).as("cid"), $"embedding".as("carr"))
+        .localCheckpoint()
+      def oldAssign(e: org.apache.spark.sql.DataFrame) =
+        e.crossJoin(broadcast(cents))
+          .withColumn("d2", expr("l2q(embedding, carr)"))
+          .groupBy($"vec_id")
+          .agg(min(struct($"d2", $"cid")).as("m"))
+          .select($"vec_id", $"m.cid".as("cid"), $"m.d2".as("d2"))
+      val centArr = cents
+        .agg(sort_array(collect_list(struct($"cid", $"carr"))).as("cs"))
+      def newAssign(e: org.apache.spark.sql.DataFrame) =
+        e.crossJoin(broadcast(centArr))
+          .select($"vec_id", expr(
+            "aggregate(cs, " +
+              "struct(CAST(9223372036854775807 AS BIGINT) AS d2, " +
+              "CAST(-1 AS BIGINT) AS cid), " +
+              "(acc, c) -> least(acc, " +
+              "struct(l2q(embedding, c.carr) AS d2, c.cid AS cid)))").as("m"))
+          .select($"vec_id", $"m.cid".as("cid"), $"m.d2".as("d2"))
+      val diff = oldAssign(wide).except(newAssign(wide)).count() +
+        newAssign(wide).except(oldAssign(wide)).count()
+      println(s"[probe] km old-vs-new assignment diff rows = $diff")
+      time("KM old xjoin")(oldAssign(wide))
+      time("KM new fold")(newAssign(wide))
+      spark.stop()
+      return
+    }
+
+    // ---- q102 final-plan probe: the shuffle_hash-hinted bucket
+    // self-join's signature-once claim is a RUNTIME effect (AQE's
+    // stage cache reuses canonically-identical exchanges when the
+    // second stage is created, which a static explain cannot show).
+    // Execute the declared query and print the FINAL adaptive plan so
+    // the reuse is visible as a ReusedQueryStage/ShuffleQueryStage
+    // sharing one stage id.
+    if (args.length > 1 && args(1) == "q102") {
+      val df = graft.SparkEntry.queries("q102_semantic_dedup")(spark, sfDir)
+      df.queryExecution.toRdd.count()
+      val fin = df.queryExecution.executedPlan.toString
+      println("[probe] q102 FINAL adaptive plan:")
+      println(fin)
+      println("[probe] reused-stage markers: " +
+        fin.linesIterator.count(l =>
+          l.contains("ReusedQueryStage") || l.contains("ReusedExchange")))
+      spark.stop()
+      return
+    }
+
     // decimal typing probe: the u8→money rescale path relies on
     // (30,0)/(9,0) → scale ≥ 8 exact and (34,0)/(5,0) → scale ≥ 4
     val dt = spark.range(1).select(
